@@ -1,0 +1,289 @@
+"""Reference-parity markdown parsing kernels.
+
+Pure Python re-implementations of the obsidian-parser note parsing
+semantics (reference: ``/root/reference/src/note/parser.rs``,
+``note_tags.rs``, ``note_aliases.rs``).  These are the single source of
+truth for parsing used by both the batched Ray Data extract stage
+(:mod:`obsidian_parser_ray.stages.extract`) and the pure-Python oracle
+(:mod:`obsidian_parser_ray.oracle`), so span-level parity is by
+construction.
+
+Exact semantics mirrored (file:line cites into /root/reference):
+
+* ``parse_note`` — parser.rs:58-76.  Frontmatter iff the FIRST line,
+  ``trim_end()``-ed, equals ``---`` (leading spaces disqualify).  The
+  closing delimiter is the next ``---`` *substring* found from byte 3 —
+  NOT line-anchored (parser.rs:65).  ``properties = raw[3:closed+3].strip()``,
+  ``content = raw[closed+6:].strip()``.  A missing closer raises
+  :class:`NotFoundCloser`.
+* ``parse_links`` — parser.rs:21-37.  Non-overlapping scan for ``[[``;
+  for each, the next ``]]``; target = inner split on ``#`` then ``^``
+  then ``|`` taking the first piece, then ``strip()``.  Duplicates and
+  occurrence order preserved; unmatched ``[[`` dropped; ``![[x]]``
+  embeds match identically (we additionally report the preceding ``!``).
+* ``parse_inline_tags`` — note_tags.rs:30-61.  ``split_whitespace``,
+  words starting ``#`` whose second byte is not ``#``; tag = longest
+  prefix of chars in {alphanumeric, emoji != '#', '_', '-'}; empty
+  prefix dropped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import NamedTuple
+
+YAML_IMPORT_ERROR: Exception | None = None
+try:  # PyYAML ships with ray; guard anyway per environment rules.
+    import yaml
+except Exception as _e:  # pragma: no cover
+    yaml = None  # type: ignore[assignment]
+    YAML_IMPORT_ERROR = _e
+
+
+class NotFoundCloser(ValueError):
+    """Frontmatter opened with ``---`` but never closed (parser.rs:51-55)."""
+
+
+class ParsedNote(NamedTuple):
+    content: str
+    properties: str | None  # raw YAML text; None = no frontmatter
+
+
+def parse_note(raw_text: str) -> ParsedNote:
+    """Split raw markdown into (content, frontmatter-YAML).
+
+    Parity with parser.rs:58-76 including all edge cases covered by the
+    reference tests (parser.rs:78-169): ``---`` inside the body, CRLF,
+    space-prefixed first line (no frontmatter), ``test_data---`` (no
+    frontmatter), ``---`` alone (NotFoundCloser).
+
+    Note: a note WITHOUT frontmatter keeps its text verbatim (the
+    reference's ``WithoutProperties`` branch returns the raw string —
+    no trim), while WITH frontmatter both halves are ``strip()``-ed.
+    """
+    first_line = raw_text.split("\n", 1)[0]
+    if first_line.rstrip() != "---":
+        return ParsedNote(content=raw_text, properties=None)
+    closed = raw_text.find("---", 3)
+    if closed == -1:
+        raise NotFoundCloser("Not found closer in yaml like `---`")
+    # parser.rs uses an index relative to raw[3..]; ours is absolute,
+    # so properties = raw[3:closed], content = raw[closed+3:].
+    return ParsedNote(
+        content=raw_text[closed + 3 :].strip(),
+        properties=raw_text[3:closed].strip(),
+    )
+
+
+class Mention(NamedTuple):
+    target_key: str  # split/trimmed link target, e.g. "Note"
+    raw_inner: str  # text between [[ and ]]
+    is_embed: bool  # preceded by '!' (``![[x]]``)
+    start: int  # byte offset of the '[[' in the text
+
+
+def parse_links(text: str) -> list[Mention]:
+    """Extract wikilink mentions (parser.rs:21-37).
+
+    Returns occurrence-ordered mentions.  The reference treats
+    ``![[x]]`` identically to ``[[x]]`` (the ``!`` is never inspected,
+    parser.rs:22); we additionally flag it so the ``embeds`` predicate
+    can be split out (SURVEY.md §7.2).  Overlap behavior matches Rust
+    ``match_indices`` (non-overlapping ``[[`` scan): ``[[a [[b]]``
+    yields targets ``"a [[b"`` and ``"b"``.
+    """
+    out: list[Mention] = []
+    pos = 0
+    n = len(text)
+    while True:
+        start = text.find("[[", pos)
+        if start == -1:
+            break
+        pos = start + 2  # non-overlapping, like str::match_indices
+        end = text.find("]]", start + 2)
+        if end == -1:
+            continue
+        inner = text[start + 2 : end]
+        target = inner.split("#", 1)[0].split("^", 1)[0].split("|", 1)[0].strip()
+        is_embed = start > 0 and text[start - 1] == "!"
+        out.append(Mention(target, inner, is_embed, start))
+    del n
+    return out
+
+
+# Approximation of unic_emoji_char::is_emoji (Unicode Emoji property,
+# emoji-data).  The reference uses it only to extend the tag character
+# class beyond alphanumerics (note_tags.rs:40-41); '#' is explicitly
+# excluded there.  Ranges cover the Emoji property blocks; exotic
+# singletons outside these ranges are a documented approximation.
+_EMOJI_RANGES: tuple[tuple[int, int], ...] = (
+    (0x23, 0x23),  # '#' (excluded by the caller)
+    (0x2A, 0x2A),  # '*'
+    (0x30, 0x39),  # digits (also alphanumeric)
+    (0xA9, 0xA9),
+    (0xAE, 0xAE),
+    (0x203C, 0x203C),
+    (0x2049, 0x2049),
+    (0x2122, 0x2122),
+    (0x2139, 0x2139),
+    (0x2194, 0x21AA),
+    (0x231A, 0x231B),
+    (0x2328, 0x2328),
+    (0x23CF, 0x23FA),
+    (0x24C2, 0x24C2),
+    (0x25AA, 0x25FE),
+    (0x2600, 0x27BF),
+    (0x2934, 0x2935),
+    (0x2B05, 0x2B55),
+    (0x3030, 0x3030),
+    (0x303D, 0x303D),
+    (0x3297, 0x3297),
+    (0x3299, 0x3299),
+    (0x1F004, 0x1F004),
+    (0x1F0CF, 0x1F0CF),
+    (0x1F170, 0x1F251),
+    (0x1F300, 0x1F6FF),
+    (0x1F900, 0x1F9FF),
+    (0x1FA00, 0x1FAFF),
+)
+
+
+def _is_emoji(c: str) -> bool:
+    cp = ord(c)
+    for lo, hi in _EMOJI_RANGES:
+        if lo <= cp <= hi:
+            return True
+        if cp < lo:
+            return False
+    return False
+
+
+def _tag_char_ok(c: str) -> bool:
+    """check_good closure, note_tags.rs:40-41."""
+    return c.isalnum() or (c != "#" and _is_emoji(c)) or c in "_-"
+
+
+def parse_inline_tags(content: str) -> list[str]:
+    """Inline ``#tag`` extraction (note_tags.rs:44-57).
+
+    Golden vector (note_tags.rs:72-83): ``#super_tag`` → super_tag,
+    ``##no_tag`` rejected, ``#warning_tag!`` → warning_tag,
+    ``#two-tag`` → two-tag, ``#kek;d`` → kek, ``#dfds#`` → dfds,
+    ``#all,`` → all, ``#татар`` → татар, ``#d😭`` → d😭.
+    """
+    tags: list[str] = []
+    for word in content.split():
+        if not word.startswith("#"):
+            continue
+        # note_tags.rs:46 compares the second BYTE to b'#'
+        if word.encode("utf-8")[1:2] == b"#":
+            continue
+        rest = word[1:]
+        end = len(rest)
+        for i, c in enumerate(rest):
+            if not _tag_char_ok(c):
+                end = i
+                break
+        if end > 0:
+            tags.append(rest[:end])
+    return tags
+
+
+def parse_properties(properties_text: str | None) -> tuple[dict | None, str | None]:
+    """YAML-parse a frontmatter block (note_in_memory.rs:163-187).
+
+    Returns ``(mapping_or_None, error_message_or_None)``.  Invalid YAML
+    or a non-mapping document is reported as an error string (the
+    reference surfaces ``Error::Yaml`` per note; callers choose
+    skip-vs-fail — vault_open/mod.rs:358-429).
+    """
+    if properties_text is None:
+        return None, None
+    if yaml is None:  # pragma: no cover
+        return None, f"yaml-unavailable: {YAML_IMPORT_ERROR}"
+    try:
+        val = yaml.safe_load(properties_text)
+    except Exception as e:
+        return None, f"yaml: {e.__class__.__name__}: {e}"
+    if val is None:
+        return {}, None
+    if not isinstance(val, dict):
+        # serde into HashMap<String, Value> fails on non-mapping docs
+        return None, "yaml: not a mapping"
+    return val, None
+
+
+def _string_list(value) -> list[str]:
+    """``serde_yml::from_value::<Vec<String>>`` equivalent.
+
+    The reference deserializes the ``tags`` / ``aliases`` frontmatter
+    fields as ``Vec<String>`` (note_tags.rs:35-38, note_aliases.rs:84-91);
+    scalars inside the list are stringified by YAML before serde sees
+    them only when quoted — unquoted numbers/bools fail in Rust.  We
+    accept str items verbatim and stringify scalar items (lenient
+    superset, documented divergence), drop everything else.
+    """
+    if not isinstance(value, list):
+        return []
+    out = []
+    for v in value:
+        if isinstance(v, str):
+            out.append(v)
+        elif isinstance(v, (int, float, bool)):
+            out.append(str(v))
+    return out
+
+
+def frontmatter_tags(props: dict | None) -> list[str]:
+    return _string_list(props.get("tags")) if props else []
+
+
+def frontmatter_aliases(props: dict | None) -> list[str]:
+    """note_aliases.rs:81-92 — absent/invalid → []."""
+    return _string_list(props.get("aliases")) if props else []
+
+
+def all_tags(props: dict | None, content: str) -> list[str]:
+    """Frontmatter tags first, then inline in content order (note_tags.rs:60)."""
+    return frontmatter_tags(props) + parse_inline_tags(content)
+
+
+def is_todo(tags: list[str]) -> bool:
+    """note_is_todo.rs:27-30 — exact membership of "todo"."""
+    return "todo" in tags
+
+
+def note_name(doc_id: str) -> str:
+    """``path.file_stem()`` over the extension-less doc key (mod.rs:79-86)."""
+    return doc_id.rsplit("/", 1)[-1]
+
+
+def parent_of(doc_id: str) -> str | None:
+    """Path parent for the ``child_of`` predicate (SURVEY.md §7.2)."""
+    if "/" not in doc_id:
+        return None
+    return doc_id.rsplit("/", 1)[0]
+
+
+def word_count(content: str) -> int:
+    """``split_whitespace().count()`` (mod.rs:100-103)."""
+    return len(content.split())
+
+
+def byte_count(content: str) -> int:
+    """``content.len()`` — BYTES, not chars (mod.rs:119-122)."""
+    return len(content.encode("utf-8"))
+
+
+def content_md5(content: str) -> str:
+    """Content digest for exact dedup (vault_duplicates.rs:62-95 uses a
+    pluggable ``digest::Digest``; we standardize on md5 hex so the
+    DuckDB oracle can reproduce it with ``md5()``)."""
+    return hashlib.md5(content.encode("utf-8")).hexdigest()
+
+
+def render_note(content: str, properties_text: str | None) -> str:
+    """Note → markdown file text (note_write.rs:81-90)."""
+    if properties_text is None:
+        return content
+    return f"---\n{properties_text}\n---\n{content}"

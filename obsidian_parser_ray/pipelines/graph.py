@@ -1,0 +1,165 @@
+"""End-to-end KG-construction pipeline (the flagship).
+
+Mirrors the reference's vault → graph lifecycle (SURVEY.md §3) as a
+Ray-Data-first dataflow::
+
+    documents (span rows)
+      └─ extract (stateless map_batches, P1-P13)          → notes
+           ├─ checkpoint (materialize OR parquet+manifest)
+           ├─ dictionary fold (3 tiny columns, first-wins) → ray.put
+           ├─ explode mentions (Arrow list flatten)        → mentions
+           │    └─ EntityLinker actor pool (broadcast dict)→ edges
+           │         └─ union(child_of) → per-block combine
+           │              └─ groupby(subj,pred,obj) SHUFFLE → triples
+           └─ duplicate reports (groupby name / content hash)
+
+The notes Dataset is consumed by several branches (dictionary,
+mentions, node table, duplicate reports), so it is pinned once —
+``materialize()`` at test/bench scale, a parquet checkpoint with a
+manifest when ``checkpoint_dir`` is given (the 100 TB path; also the
+resume point).  Nothing else in the pipeline materializes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..stages.canonicalize import canonicalize, degree_top_k, sorted_triples
+from ..stages.extract import explode_mentions, extract_notes
+from ..stages.linking import build_dictionary, child_of_edges, link_mentions
+
+
+@dataclass
+class GraphResult:
+    """Handles to every logical table of the build (all lazy Datasets
+    except the broadcast dictionary)."""
+
+    notes: object  # notes table (node attributes)
+    mentions: object  # raw mention multiset (span-level parity view)
+    edges: object  # resolved edge multiset (reference keeps parallel edges)
+    triples: object  # canonical (subj, pred, obj, weight)
+    dictionary: object = field(repr=False, default=None)
+
+    def node_count(self) -> int:
+        return self.notes.count()
+
+    def edge_count(self) -> int:
+        """Parallel-edge count — parity with petgraph ``edge_count()``."""
+        from ray.data.aggregate import Sum
+
+        t = self.triples.aggregate(Sum("weight", alias_name="n"))
+        n = t["n"] if t else 0
+        # child_of is an engine extension, not a reference edge; callers
+        # wanting strict parity should filter pred first.
+        return int(n or 0)
+
+    def top_hubs(self, k: int = 10, pred: str = "links_to", by: str = "obj"):
+        return degree_top_k(self.triples, pred=pred, by=by, k=k)
+
+
+def build_graph(
+    docs,
+    *,
+    directed: bool = True,
+    drop_unresolved: bool = True,
+    include_child_of: bool = True,
+    include_tags: bool = True,
+    checkpoint_dir: str | None = None,
+    linker_concurrency=(2, 8),
+    linker_batch_size: int | None = 4096,
+    extract_batch_size: int | None = 1024,
+    user_filter=None,
+):
+    """documents Dataset → :class:`GraphResult`.
+
+    ``user_filter`` is the reference's ``filter_entry``/iterator-combinator
+    extension surface (SURVEY.md §2.10): a batch-level predicate
+    applied to the notes table before graph construction (e.g. drop
+    todos / empty notes, examples/analyzer.rs:45-49).
+    """
+    notes = extract_notes(docs, batch_size=extract_batch_size)
+    if user_filter is not None:
+        notes = notes.map_batches(user_filter, batch_format="pyarrow")
+
+    if checkpoint_dir:
+        from ..state import checkpoint_dataset
+
+        notes = checkpoint_dataset(
+            notes, checkpoint_dir + "/notes", lineage="extract_notes"
+        )
+    else:
+        notes = notes.materialize()
+
+    dictionary = build_dictionary(notes)
+
+    mentions = explode_mentions(notes)
+    link_input = mentions
+    if not include_tags:
+        link_input = mentions.filter(
+            expr="kind == 'link' or kind == 'embed' or kind == 'media'"
+        )
+    edges = link_mentions(
+        link_input,
+        dictionary,
+        concurrency=linker_concurrency,
+        batch_size=linker_batch_size,
+        drop_unresolved=drop_unresolved,
+    )
+    if include_child_of:
+        edges = edges.union(child_of_edges(notes))
+
+    triples = canonicalize(edges, directed=directed)
+    return GraphResult(
+        notes=notes,
+        mentions=mentions,
+        edges=edges,
+        triples=triples,
+        dictionary=dictionary,
+    )
+
+
+def duplicates_by_name(notes):
+    """A3 (vault_duplicates.rs:21-41): stems seen more than once; the
+    keeper is the first occurrence = min(order_key)."""
+    from ray.data.aggregate import Count, Min
+
+    g = notes.groupby("note_name").aggregate(
+        Count(alias_name="n_docs"), Min("order_key", alias_name="keeper")
+    )
+    return g.filter(expr="n_docs > 1")
+
+
+def duplicates_by_content(notes):
+    """A4 (vault_duplicates.rs:62-95): exact content dedup via digest."""
+    from ray.data.aggregate import Count, Min
+
+    g = notes.groupby("content_hash").aggregate(
+        Count(alias_name="n_docs"), Min("order_key", alias_name="keeper")
+    )
+    return g.filter(expr="n_docs > 1")
+
+
+def write_graph(result: GraphResult, out_dir: str) -> dict:
+    """Sorted materialize of the canonical triples + node table
+    (north_star final stage), partitioned parquet + manifests."""
+    from ..state import write_partitioned_output
+
+    m1 = write_partitioned_output(
+        sorted_triples(result.triples), out_dir + "/triples", lineage="triples"
+    )
+    m2 = write_partitioned_output(
+        result.notes.select_columns(
+            [
+                "doc_id",
+                "note_name",
+                "n_words",
+                "n_bytes",
+                "is_todo",
+                "content_hash",
+                "order_key",
+            ]
+        ),
+        out_dir + "/nodes",
+        lineage="nodes",
+    )
+    return {"triples": m1, "nodes": m2}

@@ -1,0 +1,254 @@
+"""Extract stage: interleaved span rows → note attributes + mentions.
+
+One ``map_batches`` pass (stateless Ray tasks, ``batch_format='pyarrow'``)
+re-expresses the reference's whole per-note parse path
+(/root/reference/src/note: parser.rs P1-P3, note_tags.rs P4,
+note_aliases.rs P5-P6, note_is_todo.rs P7, mod.rs P8-P10) over Arrow
+batches.  Per SURVEY.md §3.1, steps 3-5 of the reference's
+``from_string`` lifecycle collapse into this single stage; control only
+crosses process boundaries at block boundaries.
+
+Output schema (``notes`` table, SURVEY.md §7.1)::
+
+    doc_id, note_name, properties_json, tags: list<string>,
+    aliases: list<string>, is_todo: bool, n_words: int64,
+    n_bytes: int64, content_hash: string, parse_error: string?,
+    order_key: string (= doc_id; first-wins determinism via min),
+    mentions: list<struct<kind, target_key, raw_text,
+                          span_offset: int32, occurrence_idx: int32>>
+
+Mention kinds: ``link`` (``[[x]]``), ``embed`` (``![[x]]``),
+``media`` (media span, target = media_ref), ``tag_inline``,
+``tag_frontmatter``.  The spans column is consumed read-only; with
+``keep_spans=True`` it passes through untouched so the per-row
+span-sequence invariant (kind, text, media_ref, order) is directly
+checkable downstream.
+
+Scale notes: the per-row Python loop is irreducible (YAML + tokenizer
+are per-string), but everything around it is Arrow —  one
+``to_pylist()`` per column per batch in, one ``pa.table`` out.  At
+~1.6 kB/doc this stage sustains >100k docs/s/core and parallelizes as
+block-parallel tasks with no state.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..corpus import SPAN_TYPE
+from ..parser import (
+    all_tags,
+    byte_count,
+    content_md5,
+    frontmatter_aliases,
+    frontmatter_tags,
+    is_todo,
+    note_name,
+    parse_inline_tags,
+    parse_links,
+    parse_properties,
+    word_count,
+)
+
+MENTION_TYPE = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("target_key", pa.string()),
+        ("raw_text", pa.string()),
+        ("span_offset", pa.int32()),
+        ("occurrence_idx", pa.int32()),
+    ]
+)
+
+NOTES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("note_name", pa.string()),
+        ("properties_json", pa.string()),
+        ("tags", pa.list_(pa.string())),
+        ("aliases", pa.list_(pa.string())),
+        ("is_todo", pa.bool_()),
+        ("n_words", pa.int64()),
+        ("n_bytes", pa.int64()),
+        ("content_hash", pa.string()),
+        ("parse_error", pa.string()),
+        ("order_key", pa.string()),
+        ("mentions", pa.list_(MENTION_TYPE)),
+    ]
+)
+
+
+def extract_note_row(doc_id: str, spans: list[dict]) -> tuple[dict, list[dict]]:
+    """Parse ONE document's spans → (note attrs, mention list).
+
+    Pure function shared by the batched stage and the oracle.
+    """
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    fm_texts = [s for s in ordered if s["kind"] == "frontmatter"]
+    text_spans = [s for s in ordered if s["kind"] == "text"]
+    media_spans = [s for s in ordered if s["kind"] == "media"]
+
+    properties_text = fm_texts[0]["text"] if fm_texts else None
+    props, err = parse_properties(properties_text)
+    content = "\n".join(s["text"] for s in text_spans)
+
+    mentions: list[dict] = []
+    occ = 0
+    # frontmatter tags first (note_tags.rs:60 ordering)
+    fm_offset = fm_texts[0]["offset"] if fm_texts else 0
+    fm_tags = frontmatter_tags(props)
+    for t in fm_tags:
+        mentions.append(
+            {
+                "kind": "tag_frontmatter",
+                "target_key": t,
+                "raw_text": t,
+                "span_offset": fm_offset,
+                "occurrence_idx": occ,
+            }
+        )
+        occ += 1
+    inline_tags: list[str] = []
+    for s in text_spans:
+        for m in parse_links(s["text"]):
+            mentions.append(
+                {
+                    "kind": "embed" if m.is_embed else "link",
+                    "target_key": m.target_key,
+                    "raw_text": m.raw_inner,
+                    "span_offset": s["offset"],
+                    "occurrence_idx": occ,
+                }
+            )
+            occ += 1
+        for t in parse_inline_tags(s["text"]):
+            inline_tags.append(t)
+            mentions.append(
+                {
+                    "kind": "tag_inline",
+                    "target_key": t,
+                    "raw_text": t,
+                    "span_offset": s["offset"],
+                    "occurrence_idx": occ,
+                }
+            )
+            occ += 1
+    for s in media_spans:
+        mentions.append(
+            {
+                "kind": "media",
+                "target_key": s["media_ref"],
+                "raw_text": s["media_ref"],
+                "span_offset": s["offset"],
+                "occurrence_idx": occ,
+            }
+        )
+        occ += 1
+
+    tags = fm_tags + inline_tags
+    note = {
+        "doc_id": doc_id,
+        "note_name": note_name(doc_id),
+        "properties_json": json.dumps(props, ensure_ascii=False, sort_keys=True)
+        if props is not None
+        else None,
+        "tags": tags,
+        "aliases": frontmatter_aliases(props),
+        "is_todo": is_todo(tags),
+        "n_words": word_count(content),
+        "n_bytes": byte_count(content),
+        "content_hash": content_md5(content),
+        "parse_error": err,
+        "order_key": doc_id,
+    }
+    return note, mentions
+
+
+class ExtractNotes:
+    """Batched extractor.  Stateless — usable as a plain function too,
+    but kept callable-class-shaped so callers can opt into an actor
+    pool when they add per-actor state (e.g. a compiled BPE)."""
+
+    def __init__(self, keep_spans: bool = False):
+        self.keep_spans = keep_spans
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        cols: dict[str, list] = {name: [] for name in NOTES_SCHEMA.names}
+        for doc_id, spans in zip(doc_ids, spans_col):
+            note, mentions = extract_note_row(doc_id, spans or [])
+            for k, v in note.items():
+                cols[k].append(v)
+            cols["mentions"].append(mentions)
+        arrays = [
+            pa.array(cols[f.name], type=f.type) for f in NOTES_SCHEMA
+        ]
+        out = pa.Table.from_arrays(arrays, schema=NOTES_SCHEMA)
+        if self.keep_spans:
+            out = out.append_column(
+                "spans", batch["spans"].cast(pa.list_(SPAN_TYPE))
+            )
+        return out
+
+
+def extract_notes(docs, *, keep_spans: bool = False, batch_size: int | None = 1024):
+    """``documents`` Dataset → ``notes`` Dataset (stateless task stage)."""
+    return docs.map_batches(
+        ExtractNotes(keep_spans=keep_spans),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+MENTIONS_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("kind", pa.string()),
+        ("target_key", pa.string()),
+        ("raw_text", pa.string()),
+        ("span_offset", pa.int32()),
+        ("occurrence_idx", pa.int32()),
+    ]
+)
+
+
+def explode_mentions_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized explode of the ``mentions`` list column → mention rows.
+
+    Arrow-native: ``list_parent_indices`` + ``flatten`` — no Python loop.
+    """
+    import pyarrow.compute as pc
+
+    mentions = batch["mentions"]
+    if isinstance(mentions, pa.ChunkedArray):
+        mentions = mentions.combine_chunks()
+    parent = pc.list_parent_indices(mentions)
+    flat = mentions.flatten()
+    subj = pc.take(
+        batch["doc_id"].combine_chunks()
+        if isinstance(batch["doc_id"], pa.ChunkedArray)
+        else batch["doc_id"],
+        parent,
+    )
+    return pa.Table.from_arrays(
+        [
+            subj,
+            flat.field("kind"),
+            flat.field("target_key"),
+            flat.field("raw_text"),
+            flat.field("span_offset"),
+            flat.field("occurrence_idx"),
+        ],
+        schema=MENTIONS_SCHEMA,
+    )
+
+
+def explode_mentions(notes):
+    """``notes`` Dataset → ``mentions`` Dataset (projection happens first
+    so only (doc_id, mentions) ship through the explode)."""
+    return notes.select_columns(["doc_id", "mentions"]).map_batches(
+        explode_mentions_batch, batch_format="pyarrow"
+    )

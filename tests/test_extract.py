@@ -1,0 +1,127 @@
+"""Extract stage: batched semantics + span-sequence invariant."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from obsidian_parser_ray.corpus import (
+    make_span,
+    raw_from_spans,
+    span_signature,
+    spans_from_raw,
+    spans_table,
+)
+from obsidian_parser_ray.stages.extract import (
+    ExtractNotes,
+    explode_mentions_batch,
+    extract_note_row,
+)
+
+
+def test_extract_note_row_full():
+    spans = spans_from_raw("---\ntags:\n- t1\naliases:\n- al\n---\nHello [[main]] #x ![[img]]")
+    note, mentions = extract_note_row("data/main", spans)
+    assert note["note_name"] == "main"
+    assert note["tags"] == ["t1", "x"]
+    assert note["aliases"] == ["al"]
+    assert note["is_todo"] is False
+    assert note["parse_error"] is None
+    assert note["order_key"] == "data/main"
+    kinds = [m["kind"] for m in mentions]
+    assert kinds == ["tag_frontmatter", "link", "embed", "tag_inline"]
+    # occurrence indices are strictly increasing
+    occs = [m["occurrence_idx"] for m in mentions]
+    assert occs == sorted(occs) == list(range(len(mentions)))
+
+
+def test_media_span_mention():
+    # FIXTURES.md Fixture 6
+    spans = [
+        make_span("text", "see ![[diagram]]", offset=0),
+        make_span("media", media_ref="assets/diagram.png", offset=1),
+        make_span("text", "and [[main]]", offset=2),
+    ]
+    note, mentions = extract_note_row("media_note", spans)
+    assert [(m["kind"], m["target_key"]) for m in mentions] == [
+        ("embed", "diagram"),
+        ("link", "main"),
+        ("media", "assets/diagram.png"),
+    ]
+
+
+def test_multi_text_span_content_joined():
+    spans = [
+        make_span("text", "one two", offset=0),
+        make_span("text", "three", offset=1),
+    ]
+    note, _ = extract_note_row("x", spans)
+    assert note["n_words"] == 3
+    assert note["n_bytes"] == len("one two\nthree")
+
+
+def test_span_order_respected_not_physical_order():
+    spans = [
+        make_span("text", "second", offset=5),
+        make_span("text", "first", offset=1),
+    ]
+    note, _ = extract_note_row("x", spans)
+    assert note["n_bytes"] == len("first\nsecond")
+
+
+def test_yaml_error_flows_to_parse_error_column():
+    spans = [make_span("frontmatter", ": : :"), make_span("text", "b", offset=1)]
+    note, _ = extract_note_row("x", spans)
+    assert note["parse_error"] is not None
+    assert note["tags"] == []  # properties unusable → no frontmatter tags
+
+
+def test_batched_extractor_and_span_invariant():
+    rows = [
+        ("main", spans_from_raw("---\ntopic: work\n---\nOther [[data/main|main]]")),
+        ("data/main", spans_from_raw("New main. [[link]]")),
+    ]
+    t = spans_table(rows)
+    out = ExtractNotes(keep_spans=True)(t)
+    assert out.num_rows == 2
+    # per-row span-sequence invariant (kind, text, media_ref, order)
+    assert span_signature(out["spans"]) == span_signature(t["spans"])
+    names = out["note_name"].to_pylist()
+    assert names == ["main", "main"]
+
+
+def test_explode_mentions_vectorized():
+    rows = [
+        ("a", spans_from_raw("[[x]] [[y]]")),
+        ("b", spans_from_raw("no links")),
+        ("c", spans_from_raw("[[z]]")),
+    ]
+    notes = ExtractNotes()(spans_table(rows))
+    m = explode_mentions_batch(notes)
+    assert m["subj"].to_pylist() == ["a", "a", "c"]
+    assert m["target_key"].to_pylist() == ["x", "y", "z"]
+
+
+def test_raw_roundtrip():
+    raw = "---\nk: v\n---\nbody [[x]]"
+    assert raw_from_spans(spans_from_raw(raw)) == raw
+
+
+def test_unclosed_frontmatter_raises_at_corpus_build():
+    from obsidian_parser_ray.parser import NotFoundCloser
+
+    with pytest.raises(NotFoundCloser):
+        spans_from_raw("---\n")
+
+
+def test_empty_spans_row():
+    note, mentions = extract_note_row("empty", [])
+    assert note["n_words"] == 0 and mentions == []
+
+
+def test_schema_stability():
+    out = ExtractNotes()(spans_table([("a", spans_from_raw("x"))]))
+    from obsidian_parser_ray.stages.extract import NOTES_SCHEMA
+
+    assert out.schema == NOTES_SCHEMA
+    assert out["n_words"].type == pa.int64()

@@ -1,0 +1,209 @@
+"""End-to-end graph construction semantics (reference vault fixture +
+linking/canonicalization behavior).  Needs the Ray session fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from obsidian_parser_ray.corpus import make_span, spans_from_raw, spans_table
+from obsidian_parser_ray.pipelines.graph import (
+    build_graph,
+    duplicates_by_content,
+    duplicates_by_name,
+)
+from obsidian_parser_ray.stages.linking import LinkDictionary
+
+
+def _vault_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(spans_table(rows))
+
+
+# The reference's 3-file vault (vault_test.rs:13-36): expected 3 nodes,
+# 3 edges for both directed and undirected builds
+# (vault_petgraph/mod.rs:152-188).
+GOLDEN_VAULT = [
+    (
+        "main",
+        spans_from_raw(
+            "---\ntopic: work\ncreated: 15-04-2006\n---\nMain data. Other [[data/main|main]]"
+        ),
+    ),
+    ("link", spans_from_raw("---\ntopic: kinl\ncreated: 15-04-2006\n---\n[[main]]")),
+    ("data/main", spans_from_raw("New main. [[link]]")),
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGoldenVault:
+    def _triples(self, **kw):
+        g = build_graph(
+            _vault_ds(GOLDEN_VAULT),
+            include_child_of=False,
+            include_tags=False,
+            linker_concurrency=1,
+            **kw,
+        )
+        rows = g.triples.to_pandas()
+        return g, {
+            (r.subj, r.pred, r.obj): r.weight for r in rows.itertuples()
+        }
+
+    def test_directed_counts_and_edges(self):
+        g, triples = self._triples()
+        assert g.node_count() == 3
+        assert sum(triples.values()) == 3  # reference asserts edge_count == 3
+        # [[data/main|main]] resolves via the FULL-path map;
+        # [[main]] short-name first-wins → min order_key among stems
+        # 'main' = {'data/main', 'main'} → 'data/main' (FIXTURES.md §1)
+        assert triples == {
+            ("main", "links_to", "data/main"): 1,
+            ("link", "links_to", "data/main"): 1,
+            ("data/main", "links_to", "link"): 1,
+        }
+
+    def test_undirected(self):
+        g, triples = self._triples(directed=False)
+        assert sum(triples.values()) == 3
+        for s, p, o in triples:
+            assert s <= o
+
+    def test_matches_pure_python_oracle(self):
+        from obsidian_parser_ray.oracle import oracle_graph, precision_recall
+
+        g, triples = self._triples()
+        _, exp = oracle_graph(
+            GOLDEN_VAULT, include_child_of=False, include_tags=False
+        )
+        pr = precision_recall(triples, exp)
+        assert pr["precision"] == 1.0 and pr["recall"] == 1.0
+        assert pr["weighted_exact"] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinkingSemantics:
+    def test_unresolved_dropped_by_default(self):
+        rows = [("a", spans_from_raw("[[missing]] [[b]]")), ("b", spans_from_raw("x"))]
+        g = build_graph(_vault_ds(rows), include_tags=False, linker_concurrency=1)
+        t = g.triples.to_pandas()
+        assert len(t) == 1 and t.iloc[0]["obj"] == "b"
+
+    def test_unresolved_kept_when_flagged(self):
+        rows = [("a", spans_from_raw("[[missing]]"))]
+        g = build_graph(
+            _vault_ds(rows),
+            include_tags=False,
+            drop_unresolved=False,
+            linker_concurrency=1,
+        )
+        e = g.edges.to_pandas()
+        assert len(e) == 1 and not e.iloc[0]["resolved"]
+
+    def test_parallel_edges_weighted(self):
+        rows = [("a", spans_from_raw("[[b]] [[b]] [[b]]")), ("b", spans_from_raw("x"))]
+        g = build_graph(_vault_ds(rows), include_tags=False, linker_concurrency=1)
+        t = g.triples.to_pandas()
+        assert len(t) == 1 and int(t.iloc[0]["weight"]) == 3
+
+    def test_alias_resolution(self):
+        # BASELINE.json north_star extension: aliases resolve
+        rows = [
+            ("a", spans_from_raw("[[The Alias]]")),
+            ("b", spans_from_raw("---\naliases:\n- The Alias\n---\nx")),
+        ]
+        g = build_graph(_vault_ds(rows), include_tags=False, linker_concurrency=1)
+        t = g.triples.to_pandas()
+        assert {(r.subj, r.obj) for r in t.itertuples()} == {("a", "b")}
+
+    def test_short_name_beats_alias(self):
+        # documented precedence: stem map consulted before alias map
+        rows = [
+            ("a", spans_from_raw("[[target]]")),
+            ("target", spans_from_raw("the real one")),
+            ("z", spans_from_raw("---\naliases:\n- target\n---\nimpostor")),
+        ]
+        g = build_graph(_vault_ds(rows), include_tags=False, linker_concurrency=1)
+        t = g.triples.to_pandas()
+        assert {(r.subj, r.obj) for r in t.itertuples()} == {("a", "target")}
+
+    def test_tag_and_media_and_child_of_predicates(self):
+        rows = [
+            (
+                "folder/doc",
+                [
+                    make_span("frontmatter", "tags:\n- fm_tag", offset=0),
+                    make_span("text", "body #inline ![[img]]", offset=1),
+                    make_span("media", media_ref="assets/x.png", offset=2),
+                ],
+            ),
+            ("img", spans_from_raw("an image note")),
+        ]
+        g = build_graph(_vault_ds(rows), linker_concurrency=1)
+        t = {
+            (r.subj, r.pred, r.obj) for r in g.triples.to_pandas().itertuples()
+        }
+        assert ("folder/doc", "tagged", "fm_tag") in t
+        assert ("folder/doc", "tagged", "inline") in t
+        assert ("folder/doc", "embeds", "img") in t
+        assert ("folder/doc", "embeds", "assets/x.png") in t
+        assert ("folder/doc", "child_of", "folder") in t
+
+    def test_dictionary_unit(self):
+        d = LinkDictionary()
+        d.fold_batch(["b/n", "a/n"], ["n", "n"], [[], ["al"]])
+        assert d.resolve("n") == "a/n"  # min order_key wins regardless of fold order
+        assert d.resolve("a/n") == "a/n"
+        assert d.resolve("b/n") == "b/n"
+        assert d.resolve("al") == "a/n"
+        assert d.resolve("nope") is None
+        assert d.resolve("no/pe") is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDuplicates:
+    def test_by_name_and_content(self):
+        # vault_duplicates.rs:119-143: `file` and `folder/file`, same text
+        rows = [
+            ("file", spans_from_raw("same text")),
+            ("folder/file", spans_from_raw("same text")),
+            ("unique", spans_from_raw("other text")),
+        ]
+        g = build_graph(_vault_ds(rows), linker_concurrency=1)
+        dn = duplicates_by_name(g.notes).to_pandas()
+        assert len(dn) == 1
+        assert dn.iloc[0]["note_name"] == "file"
+        assert dn.iloc[0]["keeper"] == "file"  # min order_key
+        assert int(dn.iloc[0]["n_docs"]) == 2
+        dc = duplicates_by_content(g.notes).to_pandas()
+        assert len(dc) == 1 and int(dc.iloc[0]["n_docs"]) == 2
+
+    def test_no_duplicates(self):
+        rows = [("a", spans_from_raw("x")), ("b", spans_from_raw("y"))]
+        g = build_graph(_vault_ds(rows), linker_concurrency=1)
+        assert duplicates_by_name(g.notes).count() == 0
+        assert duplicates_by_content(g.notes).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserExtension:
+    def test_user_filter_drops_todos(self):
+        # examples/analyzer.rs:49 — filter !is_todo before graph build
+        import pyarrow.compute as pc
+
+        rows = [
+            ("a", spans_from_raw("---\ntags:\n- todo\n---\n[[b]]")),
+            ("b", spans_from_raw("[[a]]")),
+        ]
+        g = build_graph(
+            _vault_ds(rows),
+            include_tags=False,
+            linker_concurrency=1,
+            user_filter=lambda t: t.filter(pc.equal(t["is_todo"], False)),
+        )
+        t = g.triples.to_pandas()
+        # note a dropped → only b remains; its link targets the now-absent
+        # 'a'... which still resolves? No: dictionary is built AFTER the
+        # filter, so [[a]] is unresolved and dropped.
+        assert g.node_count() == 1
+        assert len(t) == 0

@@ -1,0 +1,201 @@
+"""Golden parser-parity tests (reference test matrix, SURVEY.md §5).
+
+Every case is an inline constant lifted from the reference's own tests
+(/root/reference/src/note/parser.rs:78-169, note_read.rs:75-91,
+note_tags.rs:72-83, note_aliases.rs:102-103, note_is_todo.rs:41-42).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from obsidian_parser_ray.parser import (
+    NotFoundCloser,
+    all_tags,
+    byte_count,
+    frontmatter_aliases,
+    is_todo,
+    note_name,
+    parent_of,
+    parse_inline_tags,
+    parse_links,
+    parse_note,
+    parse_properties,
+    render_note,
+    word_count,
+)
+
+
+class TestParseNote:
+    def test_body_contains_delimiter(self):
+        # note_read.rs:75-81 — closing `---` is a substring search; later
+        # `---` stays in the body.
+        p = parse_note(
+            "---\ntopic: life\ncreated: 2025-03-16\n---\nTest data\n---\nTwo test data"
+        )
+        assert p.properties == "topic: life\ncreated: 2025-03-16"
+        assert p.content == "Test data\n---\nTwo test data"
+
+    def test_without_frontmatter_verbatim(self):
+        # note_read.rs:109-118
+        assert parse_note("TEST_DATA") == ("TEST_DATA", None)
+
+    def test_unclosed_raises(self):
+        # parser.rs:119-125
+        with pytest.raises(NotFoundCloser):
+            parse_note("---\n")
+        with pytest.raises(NotFoundCloser):
+            parse_note("---")
+
+    def test_space_prefixed_open_is_not_frontmatter(self):
+        # parser.rs:138-143 — first line trim_END only
+        p = parse_note("  ---\ntest: test-data\n---\n")
+        assert p.properties is None
+
+    def test_crlf_and_trailing_whitespace(self):
+        # parser.rs:145-158
+        p = parse_note("---\r\nproperties data\r\n---\r   \ntest data")
+        assert p.properties == "properties data"
+        assert p.content == "test data"
+
+    @pytest.mark.parametrize("raw", ["test_data---", "---properties data"])
+    def test_inline_dashes_not_frontmatter(self, raw):
+        # parser.rs:106-117,127-134
+        assert parse_note(raw).properties is None
+
+    def test_unicode(self):
+        # note_read.rs:89,142-152
+        p = parse_note("---\ndata: 💩\n---\nSuper data 💩💩💩")
+        assert p.properties == "data: 💩"
+        assert p.content == "Super data 💩💩💩"
+
+    def test_empty_frontmatter(self):
+        p = parse_note("---\n---\nbody")
+        assert p.properties == ""
+        assert p.content == "body"
+
+
+class TestParseLinks:
+    def test_link_format_matrix(self):
+        # parser.rs:160-169 — all five formats resolve to "Note"
+        text = (
+            "[[Note]] [[Note|Alias]] [[Note^block]] "
+            "[[Note#Heading|Alias]] [[Note^block|Alias]]"
+        )
+        ms = parse_links(text)
+        assert [m.target_key for m in ms] == ["Note"] * 5
+        # occurrence order preserved
+        assert [m.start for m in ms] == sorted(m.start for m in ms)
+
+    def test_doc_example(self):
+        # parser.rs:14-20
+        ms = parse_links("[[Physics]] and [[Math|Mathematics]]")
+        assert [m.target_key for m in ms] == ["Physics", "Math"]
+
+    def test_overlapping(self):
+        # match_indices overlap behavior (SURVEY.md §7.5)
+        ms = parse_links("[[a [[b]]")
+        assert [m.target_key for m in ms] == ["a [[b", "b"]
+
+    def test_unmatched_dropped(self):
+        assert parse_links("[[x") == []
+        assert parse_links("x ]] y") == []
+
+    def test_embed_flag(self):
+        ms = parse_links("![[Embed]] then [[plain]]")
+        assert [(m.target_key, m.is_embed) for m in ms] == [
+            ("Embed", True),
+            ("plain", False),
+        ]
+
+    def test_duplicates_kept(self):
+        ms = parse_links("[[A]] [[A]]")
+        assert [m.target_key for m in ms] == ["A", "A"]
+
+    def test_inner_trimmed(self):
+        assert parse_links("[[  Note  ]]")[0].target_key == "Note"
+
+
+class TestTags:
+    def test_golden_vector(self):
+        # note_tags.rs:72-83
+        content = (
+            "SameData #super_tag ##no_tag and #warning_tag! #two-tag "
+            "#kek;d #dfds# #all, #татар #d😭"
+        )
+        assert parse_inline_tags(content) == [
+            "super_tag",
+            "warning_tag",
+            "two-tag",
+            "kek",
+            "dfds",
+            "all",
+            "татар",
+            "d😭",
+        ]
+
+    def test_frontmatter_first_then_content_order(self):
+        # note_tags.rs:60
+        props, err = parse_properties("tags:\n- my_tag")
+        assert err is None
+        assert all_tags(props, "SameData #super_tag") == ["my_tag", "super_tag"]
+
+    def test_lone_hash_dropped(self):
+        assert parse_inline_tags("# #") == []
+
+    def test_no_tags(self):
+        assert parse_inline_tags("plain text") == []
+
+
+class TestPropertiesAliasesTodo:
+    def test_aliases_present_absent(self):
+        # note_aliases.rs:102-103
+        assert frontmatter_aliases(parse_properties("aliases:\n- my_alias")[0]) == [
+            "my_alias"
+        ]
+        assert frontmatter_aliases(parse_properties("tags:\n- todo")[0]) == []
+        assert frontmatter_aliases(None) == []
+
+    def test_todo(self):
+        # note_is_todo.rs:41-42
+        assert is_todo(["todo"]) is True
+        assert is_todo(["not_todo"]) is False
+
+    def test_broken_yaml_reports_error(self):
+        # note_read.rs:83-87
+        props, err = parse_properties("    asdfv:--fs\n    sfsf\n    ---\n    TestData")
+        assert props is None and err is not None
+
+    def test_non_mapping_rejected(self):
+        props, err = parse_properties("- a\n- b")
+        assert props is None and err is not None
+
+    def test_empty_frontmatter_is_empty_mapping(self):
+        props, err = parse_properties("")
+        assert props == {} and err is None
+
+
+class TestScalars:
+    def test_word_count(self):
+        # mod.rs:100-103
+        assert word_count("a  b\tc\n d") == 4
+        assert word_count("") == 0
+
+    def test_byte_count_not_chars(self):
+        # mod.rs:119-122 — bytes
+        assert byte_count("💩") == 4
+        assert byte_count("abc") == 3
+
+    def test_note_name_and_parent(self):
+        assert note_name("data/main") == "main"
+        assert note_name("main") == "main"
+        assert parent_of("a/b/c") == "a/b"
+        assert parent_of("solo") is None
+
+    def test_render_roundtrip(self):
+        # note_write.rs:81-90
+        raw = render_note("body", "k: v")
+        assert raw == "---\nk: v\n---\nbody"
+        p = parse_note(raw)
+        assert p == ("body", "k: v")
+        assert render_note("body", None) == "body"
