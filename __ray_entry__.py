@@ -101,6 +101,107 @@ def _q_kg_dup_content(sf_dir: str):
     return duplicates_by_content(_graph(sf_dir).notes)
 
 
+# --- training-data ops over the driver tables --------------------------------
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _q_doc_dedup_exact(sf_dir: str):
+    from obsidian_parser_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_doc_profile(sf_dir: str):
+    from obsidian_parser_ray.stages.text import text_profile
+
+    return text_profile(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_lang_stats(sf_dir: str):
+    from obsidian_parser_ray.stages.text import lang_stats
+
+    return lang_stats(_read(sf_dir, "documents", ["lang", "text"]))
+
+
+def _q_doc_langid(sf_dir: str):  # rows-only (heuristic model, non-SQL)
+    from obsidian_parser_ray.stages.text import lang_id
+
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_doc_minhash_neardup(sf_dir: str):  # rows-only (LSH, non-SQL)
+    from obsidian_parser_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.4,
+        concurrency=2,
+    )
+
+
+def _q_doc_simhash_neardup(sf_dir: str):  # rows-only (LSH, non-SQL)
+    from obsidian_parser_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_emb_knn(sf_dir: str):
+    from obsidian_parser_ray.stages.similarity import knn_bruteforce, load_queries
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_bruteforce(ds, load_queries(ds, n_queries=10), k=5, concurrency=2)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def _q_emb_knn_ivf(sf_dir: str):  # rows-only (approximate, non-SQL)
+    from obsidian_parser_ray.stages.similarity import knn_ivf, load_queries
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(ds, load_queries(ds, n_queries=10), k=5, n_centroids=16, nprobe=4)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def _q_emb_neardup(sf_dir: str):  # rows-only (LSH, non-SQL)
+    from obsidian_parser_ray.stages.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.8
+    )
+
+
+def _q_events_hourly(sf_dir: str):
+    from obsidian_parser_ray.stages.events import hourly_counts
+
+    return hourly_counts(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+def _q_events_sessions(sf_dir: str):
+    from obsidian_parser_ray.stages.events import sessionize
+
+    return sessionize(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+def _q_events_type_stats(sf_dir: str):
+    from obsidian_parser_ray.stages.events import type_stats
+
+    return type_stats(_read(sf_dir, "events", ["event_type", "value"]))
+
+
+def _q_media_features(sf_dir: str):  # rows-only (stubbed decoder, non-SQL)
+    from obsidian_parser_ray import synth_vault
+    from obsidian_parser_ray.stages.multimodal import decode_media, media_from_vault
+
+    feats = decode_media(media_from_vault(synth_vault(sf_dir)), concurrency=1)
+    return feats.select_columns(
+        ["asset_id", "media_type", "n_bytes", "width", "height", "duration_ms", "phash"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -109,6 +210,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree": _q_kg_degree,
         "kg_dup_name": _q_kg_dup_name,
         "kg_dup_content": _q_kg_dup_content,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_profile": _q_doc_profile,
+        "lang_stats": _q_lang_stats,
+        "doc_langid": _q_doc_langid,
+        "doc_minhash_neardup": _q_doc_minhash_neardup,
+        "doc_simhash_neardup": _q_doc_simhash_neardup,
+        "emb_knn": _q_emb_knn,
+        "emb_knn_ivf": _q_emb_knn_ivf,
+        "emb_neardup": _q_emb_neardup,
+        "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "events_type_stats": _q_events_type_stats,
+        "media_features": _q_media_features,
     }
 
 
@@ -143,4 +257,71 @@ UNION ALL SELECT 'tag_inline', count(*)::BIGINT FROM m
         "kg_dup_content": cte
         + "\nSELECT content_hash, count(*)::BIGINT AS n_docs, min(doc_key) AS keeper"
         " FROM exp_notes GROUP BY content_hash HAVING count(*) > 1",
+        "doc_dedup_exact": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keeper,"
+            " count(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)"
+        ),
+        "doc_profile": r"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       strlen(text)::BIGINT AS n_bytes,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+         AS n_words,
+       length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct,
+       len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+           x -> x IN ('the','and','of','to','a','in','is','that','it','for')))::BIGINT
+         AS n_stop_en,
+       len(list_filter(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ÿЀ-ӿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÿЀ-ӿ0-9]+|\s+'),
+           x -> NOT regexp_matches(x, '^\s+$')))::BIGINT AS n_bpe_tokens,
+       md5(text) AS fingerprint
+FROM documents
+""",
+        "lang_stats": r"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+         AS total_words
+FROM documents GROUP BY lang
+""",
+        "emb_knn": """
+SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[])
+                  DESC, n.vec_id
+       )::BIGINT AS rank
+FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+WHERE q.vec_id < 10
+QUALIFY rank <= 5
+""",
+        "events_hourly": (
+            "SELECT user_id, epoch_us(ts)//3600000000 AS hour_epoch,"
+            " count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "events_sessions": """
+WITH s AS (SELECT user_id, epoch_us(ts)//1000000 AS sec FROM events),
+x AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+),
+y AS (
+  SELECT user_id, sec,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM x
+)
+SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+       min(sec)::BIGINT AS start_s, max(sec)::BIGINT AS end_s
+FROM y GROUP BY 1, 2
+""",
+        "events_type_stats": (
+            "SELECT event_type, count(*)::BIGINT AS n_events,"
+            " min(value) AS min_value, max(value) AS max_value"
+            " FROM events GROUP BY event_type"
+        ),
     }

@@ -1,0 +1,469 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators follow the same scale discipline as the KG pipeline:
+vectorized per-batch kernels, pre-aggregation before any shuffle, and
+groupby-based candidate generation instead of all-pairs comparison.
+
+* :func:`exact_dedup` — hash-partition + per-group first (the
+  distributed version of the reference's content-digest dedup,
+  /root/reference/src/vault/vault_duplicates.rs:62-95).
+* :func:`minhash_lsh_pairs` — shingle → MinHash → band → bucket
+  groupby → verified Jaccard pairs (classic MinHash-LSH as in
+  Broder 1997 / MMDS ch.3).
+* :func:`simhash_pairs` — Charikar SimHash with block-permutation
+  candidate buckets, verified by Hamming distance.
+* :func:`embedding_neardup_pairs` — random-hyperplane LSH buckets over
+  an embedding column, verified by exact cosine.
+
+Pair outputs are canonical ``id_a < id_b``, deduplicated, deterministic
+(seeded hash families), and never materialize the full dataset on the
+driver: candidate buckets go through ``groupby().map_groups`` so only
+same-bucket rows co-locate.  Hub-sized buckets are truncated with an
+explicit ``max_bucket`` guard (logged in the output as a flag column
+would be overkill — the guard bounds worst-case O(b²) verify work).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(s: str, seed: int = 0) -> int:
+    h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact-duplicate groups: ``(keeper, n_copies)`` per distinct text.
+
+    map_batches(md5) → per-block partial (min id, count) per hash →
+    small groupby over partials.  Keeper = min(id) (first-wins parity
+    with the reference's scan-order keeper, vault_duplicates.rs:69-89).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def hash_and_combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "content_hash": [
+                    hashlib.md5(x.encode("utf-8")).hexdigest()
+                    for x in t[text_col].to_pylist()
+                ],
+                id_col: t[id_col].to_pandas(),
+            }
+        )
+        g = df.groupby("content_hash", as_index=False).agg(
+            _min_id=(id_col, "min"), _n=(id_col, "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(hash_and_combine, batch_format="pyarrow")
+    return partials.groupby("content_hash").aggregate(
+        Min("_min_id", alias_name="keeper"), Sum("_n", alias_name="n_copies")
+    )
+
+
+def drop_exact_duplicates(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep one row (min id) per distinct text — groupby + per-group head."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "content_hash",
+            pa.array(
+                [
+                    hashlib.md5(x.encode("utf-8")).hexdigest()
+                    for x in t[text_col].to_pylist()
+                ],
+                pa.string(),
+            ),
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(first, batch_format="pandas")
+        .drop_columns(["content_hash"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash-LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: str, k: int = 3) -> set[str]:
+    """Word k-shingles (n-gram Jaccard's universe)."""
+    words = text.split()
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+class MinHasher:
+    """Seeded universal-hash MinHash family (held once per actor)."""
+
+    def __init__(self, num_hashes: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+        self.num_hashes = num_hashes
+
+    def signature(self, shingles: set[str]) -> np.ndarray:
+        if not shingles:
+            return np.full(self.num_hashes, _MERSENNE, dtype=np.int64)
+        base = np.fromiter(
+            (_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in shingles),
+            dtype=np.int64,
+            count=len(shingles),
+        )
+        # (a*x + b) mod p for every (hash, shingle) pair, min over shingles
+        prod = (self.a[:, None] * (base[None, :] % _MERSENNE)) % _MERSENNE
+        return ((prod + self.b[:, None]) % _MERSENNE).min(axis=1)
+
+
+class _MinHashBands:
+    """Actor-pool stage: doc → (band_id, band_hash, doc_id, sig) rows."""
+
+    def __init__(self, num_hashes: int, bands: int, shingle_k: int, seed: int,
+                 text_col: str, id_col: str):
+        self.mh = MinHasher(num_hashes, seed)
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_pylist()
+        texts = t[self.text_col].to_pylist()
+        band_ids, band_hashes, out_ids, sigs = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            sig = self.mh.signature(word_shingles(text, self.k))
+            sig_bytes = sig.tobytes()
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                band_ids.append(b)
+                band_hashes.append(
+                    _hash64(chunk.tobytes().hex(), seed=b) & 0x7FFFFFFFFFFFFFFF
+                )
+                out_ids.append(doc_id)
+                sigs.append(sig_bytes)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 200,
+    concurrency=(1, 8),
+):
+    """Near-duplicate pairs with estimated-Jaccard verification.
+
+    Stages: actor-pool MinHash signatures → band explode →
+    ``groupby(band_id, band_hash)`` (the only shuffle; band rows are
+    ~(8+sig) bytes/doc) → per-bucket pairing with signature-estimated
+    Jaccard ≥ threshold → global pair dedup (a pair can surface from
+    multiple bands).  ``max_bucket`` caps degenerate buckets (hub
+    skew guard): buckets larger than it are truncated after sorting by
+    doc_id (deterministic).
+
+    Output: ``(id_a, id_b, est_jaccard)`` with id_a < id_b.
+    Probabilistic recall by LSH design → verified in tests against a
+    planted-duplicates oracle, exposed to the driver as a rows-only
+    query.
+    """
+    from ray.data.aggregate import Max
+
+    sig_words = num_hashes
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
+            )
+        g = g.sort_values("doc_id").head(max_bucket)
+        ids = g["doc_id"].to_numpy()
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.int64, count=sig_words) for s in g["sig"]]
+        )
+        ia, ib, est = [], [], []
+        n = len(ids)
+        for i in range(n - 1):
+            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            hit = np.nonzero(eq >= threshold)[0]
+            for j in hit:
+                ia.append(int(ids[i]))
+                ib.append(int(ids[i + 1 + j]))
+                est.append(float(eq[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est})
+
+    bands_ds = ds.map_batches(
+        _MinHashBands,
+        fn_constructor_kwargs={
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "seed": seed,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    import ray.data as rd
+
+    # same pair may emerge from several bands → dedup, keep max estimate
+    return _dedup_pairs(
+        pairs,
+        _empty_pairs("est_jaccard", pa.float64()),
+        Max("est_jaccard", alias_name="est_jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(ds, candidate_pairs, *, text_col="text", id_col="doc_id",
+                        shingle_k: int = 3, threshold: float = 0.5):
+    """EXACT n-gram Jaccard verification of candidate pairs.
+
+    ``candidate_pairs`` is a small pandas DataFrame (id_a, id_b) — the
+    LSH output.  Texts for the (small) candidate id set are fetched via
+    a broadcast-filter ``map_batches`` pass, then scored on the driver.
+    For huge candidate sets, shard the pair list and run this per shard.
+    """
+    import ray
+
+    wanted = set(candidate_pairs["id_a"]) | set(candidate_pairs["id_b"])
+    ref = ray.put(wanted)
+
+    class FilterTexts:
+        def __init__(self, wanted_ref):
+            self.wanted = ray.get(wanted_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([i in self.wanted for i in t[id_col].to_pylist()])
+            return t.select([id_col, text_col]).filter(mask)
+
+    texts = {}
+    for b in (
+        ds.map_batches(
+            FilterTexts, fn_constructor_kwargs={"wanted_ref": ref},
+            batch_format="pyarrow", concurrency=(1, 4),
+        )
+    ).iter_batches(batch_format="pyarrow"):
+        texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+
+    rows = []
+    for a, b_ in zip(candidate_pairs["id_a"], candidate_pairs["id_b"]):
+        j = jaccard(
+            word_shingles(texts[a], shingle_k), word_shingles(texts[b_], shingle_k)
+        )
+        if j >= threshold:
+            rows.append((int(a), int(b_), j))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
+def simhash64(text: str) -> int:
+    """Charikar SimHash over whitespace tokens (64-bit)."""
+    acc = np.zeros(64, dtype=np.int64)
+    one = np.uint64(1)
+    for tok in text.split():
+        h = np.uint64(_hash64(tok))
+        bits = ((h >> _BIT_IDX) & one).astype(np.int64)
+        acc += bits * 2 - 1
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= one << _BIT_IDX[i]
+    return int(out)
+
+
+def _empty_pairs(value_col: str, value_type) -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            value_col: pa.array([], value_type),
+        }
+    )
+
+
+def _dedup_pairs(pairs, seed: pa.Table, agg):
+    """Global (id_a, id_b) dedup with an empty-result guard.
+
+    Candidate pairs are orders of magnitude smaller than the corpus, so
+    materializing them before the tiny dedup groupby is cheap and lets
+    us short-circuit the empty case (Ray's groupby-aggregate loses the
+    schema entirely when its input has zero rows, which breaks
+    ``to_pandas`` downstream)."""
+    import ray.data as rd
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(seed)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(agg)
+
+
+def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
+                  max_bucket: int = 500):
+    """Near-dup pairs by SimHash within Hamming ≤ max_hamming.
+
+    Block-permutation trick: split the 64-bit hash into 4 16-bit
+    blocks; two hashes within Hamming ≤ 3 are GUARANTEED to share at
+    least one exact block (pigeonhole) → bucket groupby per block,
+    verify Hamming inside buckets.  ``max_hamming`` above 3 lowers the
+    recall guarantee (pairs must still collide on some block).
+    """
+
+    def add_simhash(t: pa.Table) -> pa.Table:
+        hs = [simhash64(x) for x in t[text_col].to_pylist()]
+        rows_id, rows_block, rows_key, rows_hash = [], [], [], []
+        for doc_id, h in zip(t[id_col].to_pylist(), hs):
+            for blk in range(4):
+                rows_id.append(doc_id)
+                rows_block.append(blk)
+                rows_key.append((h >> (16 * blk)) & 0xFFFF)
+                rows_hash.append(h - (1 << 63))  # store as signed int64
+        return pa.table(
+            {
+                id_col: pa.array(rows_id, pa.int64()),
+                "block": pa.array(rows_block, pa.int32()),
+                "block_key": pa.array(rows_key, pa.int32()),
+                "simhash": pa.array(rows_hash, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+            )
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        hs = (g["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+        ia, ib, hd = [], [], []
+        for i in range(len(ids) - 1):
+            x = hs[i + 1 :] ^ hs[i]
+            dist = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.nonzero(dist <= max_hamming)[0]:
+                ia.append(int(ids[i]))
+                ib.append(int(ids[i + 1 + j]))
+                hd.append(int(dist[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hd})
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        ds.map_batches(add_simhash, batch_format="pyarrow")
+        .groupby(["block", "block_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    import ray.data as rd
+
+    return _dedup_pairs(
+        pairs, _empty_pairs("hamming", pa.int64()), Min("hamming", alias_name="hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
+                            threshold: float = 0.9, num_planes: int = 12,
+                            seed: int = 42, max_bucket: int = 1000):
+    """Cosine near-duplicate pairs via random-hyperplane LSH buckets.
+
+    Sign-pattern of ``num_planes`` seeded hyperplanes buckets vectors;
+    exact cosine verifies within buckets.  Recall is probabilistic
+    (1 bucket table) — raise recall by lowering num_planes or adding
+    tables; exposed as a rows-only query, verified in tests on planted
+    duplicates.
+    """
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        dim = vecs.shape[1]
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((dim, num_planes))
+        signs = (vecs @ planes) > 0
+        keys = (signs.astype(np.int64) << np.arange(num_planes)).sum(axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "bucket": pa.array(keys, pa.int64()),
+                vec_col: t[vec_col],
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sim = unit @ unit.T
+        ia, ib, cs = [], [], []
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sim[iu, ju] >= threshold
+        for i, j in zip(iu[hit], ju[hit]):
+            ia.append(int(ids[i]))
+            ib.append(int(ids[j]))
+            cs.append(float(sim[i, j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )

@@ -1,0 +1,186 @@
+"""Multimodal (image/audio) plumbing: opaque binary payload columns with
+typed metadata, decoded/featurized by actor-pool stages.
+
+The media table schema::
+
+    asset_id: string, media_type: string ('image'|'audio'),
+    payload: binary, meta_json: string
+
+Real decoders (PIL / torchaudio / ffmpeg) are NOT in this container, so
+the decode kernel is STUBBED behind :class:`MediaDecoder`:
+``strict=True`` raises ``NotImplementedError`` (the production hook —
+drop in a real library there), ``strict=False`` (default) runs a
+deterministic fake decode that derives plausible features from the
+payload bytes.  Everything AROUND the stub — schema, Arrow binary
+round-trip, small-batch actor-pool sizing, output layout — is real and
+tested; swapping in a real decoder touches only ``_decode_impl``.
+
+Scale notes: binary payloads make rows wide → the stage runs with a
+small ``batch_size`` (payload bytes × batch_size × concurrency must
+fit the worker heap) and ``batch_format='pyarrow'`` (binary columns do
+not round-trip pandas cleanly).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("asset_id", pa.string()),
+        ("media_type", pa.string()),
+        ("payload", pa.binary()),
+        ("meta_json", pa.string()),
+    ]
+)
+
+FEATURES_SCHEMA = pa.schema(
+    [
+        ("asset_id", pa.string()),
+        ("media_type", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("width", pa.int64()),
+        ("height", pa.int64()),
+        ("duration_ms", pa.int64()),
+        ("phash", pa.string()),
+        ("embedding", pa.list_(pa.float32(), 8)),
+    ]
+)
+
+
+def synth_media_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic fake media table from asset-id strings (for tests
+    and the rows-only driver query): payload bytes are a seeded stream
+    derived from the id, metadata encodes the 'true' decode answer."""
+    ids = batch["asset_id"].to_pylist()
+    types, payloads, metas = [], [], []
+    for a in ids:
+        h = hashlib.blake2b(a.encode(), digest_size=16).digest()
+        is_img = h[0] % 2 == 0
+        size = 256 + h[1] * 8
+        rng = np.random.RandomState(int.from_bytes(h[2:6], "little"))
+        payloads.append(rng.bytes(size))
+        if is_img:
+            types.append("image")
+            metas.append(json.dumps({"w": 16 + h[2] % 64, "h": 16 + h[3] % 64}))
+        else:
+            types.append("audio")
+            metas.append(json.dumps({"ms": 1000 + h[4] * 100}))
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array(types, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(metas, pa.string()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def media_from_vault(docs):
+    """Vault documents → media asset table (one row per distinct
+    media_ref, asset ids from the media spans)."""
+    def refs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        media_mask = pc.equal(flat.field("kind"), "media")
+        out = flat.field("media_ref").filter(media_mask)
+        return pa.table({"asset_id": out})
+
+    assets = docs.map_batches(refs, batch_format="pyarrow").unique("asset_id")
+    import ray.data as rd
+
+    ds = rd.from_items([{"asset_id": a} for a in sorted(assets)])
+    return ds.map_batches(synth_media_batch, batch_format="pyarrow")
+
+
+class MediaDecoder:
+    """Actor-pool decode/featurize stage (stub — see module docstring).
+
+    ``__init__`` is where a real implementation loads its model/codec
+    ONCE per actor; the fake path "loads" a seeded projection matrix to
+    exercise the same lifecycle.
+    """
+
+    def __init__(self, strict: bool = False, embed_dim: int = 8, seed: int = 42):
+        self.strict = strict
+        rng = np.random.RandomState(seed)
+        self.proj = rng.standard_normal((256, embed_dim)).astype(np.float32)
+        self.embed_dim = embed_dim
+
+    def _decode_impl(self, media_type: str, payload: bytes, meta: dict):
+        if self.strict:
+            raise NotImplementedError(
+                "real image/audio decoding requires PIL/torchaudio — "
+                "not available in this container; run with strict=False "
+                "for the deterministic fake decoder"
+            )
+        # deterministic fake: byte-histogram "embedding" + meta passthrough
+        hist = np.bincount(
+            np.frombuffer(payload, dtype=np.uint8), minlength=256
+        ).astype(np.float32)
+        emb = hist @ self.proj
+        norm = float(np.linalg.norm(emb)) or 1.0
+        emb = emb / norm
+        if media_type == "image":
+            w, h = int(meta.get("w", 0)), int(meta.get("h", 0))
+            dur = 0
+        else:
+            w = h = 0
+            dur = int(meta.get("ms", 0))
+        phash = hashlib.md5(payload).hexdigest()[:16]
+        return w, h, dur, phash, emb
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["asset_id"].to_pylist()
+        types = t["media_type"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        metas = [json.loads(m) for m in t["meta_json"].to_pylist()]
+        ws, hs, ds_, phs, embs, nb = [], [], [], [], [], []
+        for mt, p, m in zip(types, payloads, metas):
+            w, h, dur, ph, emb = self._decode_impl(mt, p, m)
+            ws.append(w)
+            hs.append(h)
+            ds_.append(dur)
+            phs.append(ph)
+            embs.append(emb)
+            nb.append(len(p))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.string()),
+                pa.array(types, pa.string()),
+                pa.array(nb, pa.int64()),
+                pa.array(ws, pa.int64()),
+                pa.array(hs, pa.int64()),
+                pa.array(ds_, pa.int64()),
+                pa.array(phs, pa.string()),
+                pa.array(
+                    [e.tolist() for e in embs], pa.list_(pa.float32(), self.embed_dim)
+                ),
+            ],
+            schema=FEATURES_SCHEMA,
+        )
+
+
+def decode_media(media, *, strict: bool = False, batch_size: int = 64,
+                 concurrency=(1, 4)):
+    """Media table → features table via the actor-pool decoder.
+
+    Small ``batch_size`` on purpose: payload × batch × concurrency
+    bounds worker heap for wide binary rows.
+    """
+    return media.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,201 @@
+"""Text-analysis operators: language ID, quality signals, token
+counting, fingerprinting.
+
+Definitions are chosen to be (a) vectorizable per batch and (b) exactly
+reproducible by a DuckDB oracle where one exists — integer counts over
+whitespace tokenization, md5 fingerprints — so the driver can
+hash-compare them.  The language-ID heuristic is model-free (stopword +
+character-class evidence) and deterministic; it is a rows-only query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Exact stopword lists shared with the oracle SQL (keep sorted + tiny;
+# the oracle embeds the same literals).
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "por", "para", "que"),
+}
+
+PUNCT = ".,!?;:"
+
+# GPT2-ish BPE pre-tokenizer (public regex shape): contractions, words,
+# numbers, punctuation runs, whitespace runs.
+BPE_SPLIT = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ÿЀ-ӿ]+| ?\d+| ?[^\sA-Za-zÀ-ÿЀ-ӿ\d]+|\s+"
+)
+
+
+def count_punct(text: str) -> int:
+    return sum(text.count(c) for c in PUNCT)
+
+
+def count_stopwords(text: str, lang: str = "en") -> int:
+    stops = set(STOPWORDS.get(lang, STOPWORDS["en"]))
+    return sum(1 for w in text.lower().split() if w in stops)
+
+
+def bpe_token_count(text: str) -> int:
+    """Count of BPE-ish pre-tokens (excluding pure-whitespace tokens)."""
+    return sum(1 for t in BPE_SPLIT.findall(text) if not t.isspace())
+
+
+def rolling_fingerprint(text: str, *, window: int = 4, keep: int = 8) -> int:
+    """Winnowing-style document fingerprint: polynomial rolling hash
+    over word windows, xor of the ``keep`` smallest window hashes.
+    Deterministic, order-sensitive, 63-bit."""
+    words = text.split()
+    if not words:
+        return 0
+    hs = []
+    for i in range(max(1, len(words) - window + 1)):
+        h = 1469598103934665603
+        for w in words[i : i + window]:
+            for b in w.encode("utf-8"):
+                h = ((h ^ b) * 1099511628211) & 0x7FFFFFFFFFFFFFFF
+        hs.append(h)
+    out = 0
+    for h in sorted(hs)[:keep]:
+        out ^= h
+    return out
+
+
+def text_profile(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document integer quality/token profile (oracle-checkable).
+
+    Columns: n_chars (unicode chars), n_bytes, n_words (whitespace),
+    n_punct (chars in ``.,!?;:``), n_stop_en (exact lowercase matches
+    of the English stopword list), n_bpe_tokens, fingerprint (md5 hex).
+    """
+
+    def profile(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+                "n_bytes": pa.array(
+                    [len(x.encode("utf-8")) for x in texts], pa.int64()
+                ),
+                "n_words": pa.array([len(x.split()) for x in texts], pa.int64()),
+                "n_punct": pa.array([count_punct(x) for x in texts], pa.int64()),
+                "n_stop_en": pa.array(
+                    [count_stopwords(x, "en") for x in texts], pa.int64()
+                ),
+                "n_bpe_tokens": pa.array(
+                    [bpe_token_count(x) for x in texts], pa.int64()
+                ),
+                "fingerprint": pa.array(
+                    [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(profile, batch_format="pyarrow")
+
+
+def quality_score_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Heuristic quality score in [0,1]: balanced length, moderate
+    punctuation, presence of stopwords (Gopher-style signals)."""
+    texts = t[text_col].to_pylist()
+    scores = []
+    for x in texts:
+        n_words = len(x.split()) or 1
+        len_score = min(1.0, n_words / 50.0) * (1.0 if n_words < 2000 else 0.5)
+        punct_ratio = count_punct(x) / max(1, len(x))
+        punct_score = 1.0 if punct_ratio < 0.1 else 0.5
+        stop_ratio = count_stopwords(x) / n_words
+        stop_score = min(1.0, stop_ratio * 5)
+        scores.append(round((len_score + punct_score + stop_score) / 3, 6))
+    return t.append_column("quality", pa.array(scores, pa.float64()))
+
+
+class LangId:
+    """Actor-pool language identifier (stopword + char-class evidence).
+
+    State (compiled evidence tables) built once per actor.  Scores each
+    language by stopword hits; char-class overrides for scripts
+    (CJK → zh, Cyrillic → ru).  Deterministic tie-break by language
+    code.  Returns 'und' when no evidence.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tables = {
+            lang: frozenset(words) for lang, words in STOPWORDS.items()
+        }
+        self.cjk = re.compile(r"[一-鿿]")
+        self.cyr = re.compile(r"[Ѐ-ӿ]")
+
+    def predict(self, text: str) -> str:
+        if self.cjk.search(text):
+            return "zh"
+        if self.cyr.search(text):
+            return "ru"
+        words = text.lower().split()
+        best, best_score = "und", 0
+        for lang in sorted(self.tables):
+            score = sum(1 for w in words if w in self.tables[lang])
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "pred_lang": pa.array([self.predict(x) for x in texts], pa.string()),
+            }
+        )
+
+
+def lang_id(ds, *, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 4)):
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def lang_stats(ds, *, lang_col: str = "lang", text_col: str = "text"):
+    """Per-language corpus stats (oracle-checkable integers).
+
+    Pre-aggregated per batch (pandas groupby) before the tiny global
+    groupby — the standard partial-aggregate pattern.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                lang_col: t[lang_col].to_pandas(),
+                "_n": 1,
+                "_chars": [len(x) for x in t[text_col].to_pylist()],
+                "_words": [len(x.split()) for x in t[text_col].to_pylist()],
+            }
+        )
+        g = df.groupby(lang_col, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(lang_col)
+        .aggregate(
+            Sum("_n", alias_name="n_docs"),
+            Sum("_chars", alias_name="total_chars"),
+            Sum("_words", alias_name="total_words"),
+        )
+    )

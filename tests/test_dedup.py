@@ -1,0 +1,146 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, embedding cosine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from obsidian_parser_ray.stages.dedup import (
+    MinHasher,
+    drop_exact_duplicates,
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+    word_shingles,
+)
+
+
+def _docs_ds(texts):
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit → high Jaccard
+FAR = "completely different content about ray data pipelines and arrow batches"
+
+
+class TestPureKernels:
+    def test_shingles_and_jaccard(self):
+        a = word_shingles("a b c d", 3)
+        assert a == {"a b c", "b c d"}
+        assert jaccard(a, a) == 1.0
+        assert jaccard(a, set()) == 0.0
+        assert jaccard(set(), set()) == 1.0
+        assert word_shingles("a", 3) == {"a"}
+        assert word_shingles("", 3) == set()
+
+    def test_minhash_estimates_jaccard(self):
+        mh = MinHasher(128)
+        sa, sb = mh.signature(word_shingles(BASE)), mh.signature(word_shingles(NEAR))
+        est = (sa == sb).mean()
+        true = jaccard(word_shingles(BASE), word_shingles(NEAR))
+        assert abs(est - true) < 0.2
+        sf = mh.signature(word_shingles(FAR))
+        assert (sa == sf).mean() < 0.2
+
+    def test_minhash_deterministic(self):
+        s1 = MinHasher(32, seed=7).signature({"x", "y"})
+        s2 = MinHasher(32, seed=7).signature({"x", "y"})
+        assert (s1 == s2).all()
+
+    def test_simhash_near_and_far(self):
+        a, b, f = simhash64(BASE), simhash64(NEAR), simhash64(FAR)
+        ham = lambda x, y: bin(x ^ y).count("1")
+        assert ham(a, b) < ham(a, f)
+        assert simhash64(BASE) == a  # deterministic
+        assert 0 <= a < 2**64
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactDedup:
+    def test_groups_and_keeper(self):
+        ds = _docs_ds(["same", "same", "other", "same"])
+        out = exact_dedup(ds).to_pandas()
+        assert len(out) == 2
+        g = out.set_index("keeper")["n_copies"].to_dict()
+        assert g == {0: 3, 2: 1}
+
+    def test_drop_duplicates(self):
+        ds = _docs_ds(["same", "same", "other"])
+        out = drop_exact_duplicates(ds).to_pandas().sort_values("doc_id")
+        assert list(out["doc_id"]) == [0, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinHashLSH:
+    def test_planted_near_duplicates_found(self):
+        texts = [BASE, NEAR, FAR, "unrelated words entirely " * 5]
+        out = minhash_lsh_pairs(
+            _docs_ds(texts), threshold=0.5, concurrency=1
+        ).to_pandas()
+        pairs = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    def test_exact_verification(self):
+        texts = [BASE, NEAR, FAR]
+        cand = pd.DataFrame({"id_a": [0, 0], "id_b": [1, 2]})
+        out = ngram_jaccard_pairs(_docs_ds(texts), cand, threshold=0.5)
+        assert list(out["id_a"]) == [0] and list(out["id_b"]) == [1]
+        true = jaccard(word_shingles(BASE), word_shingles(NEAR))
+        assert out["jaccard"].iloc[0] == pytest.approx(true)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimHash:
+    def test_exact_dup_found_far_not(self):
+        # recall guarantee holds for hamming <= 3; an identical text is
+        # hamming 0 and must always surface, FAR must not
+        texts = [BASE, BASE, FAR]
+        out = simhash_pairs(_docs_ds(texts), max_hamming=3).to_pandas()
+        pairs = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+        assert int(out.set_index(["id_a", "id_b"]).loc[(0, 1), "hamming"]) == 0
+
+    def test_no_pairs_keeps_schema(self):
+        out = simhash_pairs(_docs_ds([BASE, FAR]), max_hamming=3)
+        assert out.count() == 0
+        # NB: ray 2.49 to_pandas() drops columns on any 0-row dataset;
+        # the Dataset-level schema is the contract
+        assert out.schema().names == ["id_a", "id_b", "hamming"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingNearDup:
+    def test_planted_pair(self):
+        import ray.data as rd
+
+        rng = np.random.RandomState(0)
+        base = rng.standard_normal(32)
+        near = base + rng.standard_normal(32) * 0.01
+        far = rng.standard_normal(32)
+        df = pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [base.tolist(), near.tolist(), far.tolist()],
+            }
+        )
+        out = embedding_neardup_pairs(
+            rd.from_pandas(df), threshold=0.95
+        ).to_pandas()
+        pairs = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+        assert pairs == {(0, 1)}
+        assert out["cosine"].iloc[0] > 0.99
