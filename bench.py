@@ -1,0 +1,220 @@
+"""bench.py — headline-pipeline benchmark for the driver.
+
+Default mode: run the flagship pipelines over ``$GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) in ONE Ray session with
+``num_cpus=$RAY_GRAFT_CPUS`` (default 32) and print a single JSON line::
+
+    {"metric": "total_pipeline_sec", "value": <sum sec>, "unit": "sec",
+     "queries": {"kg_build": sec, ...}, "sf": "...", "num_cpus": N,
+     "kg_docs_per_sec": ...}
+
+``--scaling``: run the identical KG-construction job twice in FRESH
+subprocesses at two parallelism levels (the sandbox stand-in for the
+north_rule's N vs 4N cluster sizes — see BASELINE.md) and report both
+throughputs plus scaling efficiency.
+
+This script OWNS its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Scaling workload: reference-bench-shaped corpus (benchmarks.rs:15-70
+# shape), sized so the 8-cpu run takes tens of seconds.
+SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "12000"))
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def _consume(ds) -> int:
+    """Stream a Dataset to completion without driver materialization."""
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n += b.num_rows
+    return n
+
+
+def _kg_build(sf_dir: str, num_cpus: int) -> int:
+    """Flagship: interleaved vault → extract → link → canonicalize →
+    sorted triples, consumed as a stream."""
+    from obsidian_parser_ray import build_graph, synth_vault
+    from obsidian_parser_ray.stages.canonicalize import sorted_triples
+
+    g = build_graph(
+        synth_vault(sf_dir, override_num_blocks=num_cpus * 2),
+        linker_concurrency=(2, max(4, num_cpus // 2)),
+    )
+    return _consume(sorted_triples(g.triples))
+
+
+def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
+    import ray.data as rd
+
+    def read(table, columns):
+        return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+    def q_kg_build():
+        return _kg_build(sf_dir, num_cpus)
+
+    def q_doc_profile():
+        from obsidian_parser_ray.stages.text import text_profile
+
+        return _consume(text_profile(read("documents", ["doc_id", "text"])))
+
+    def q_doc_minhash():
+        from obsidian_parser_ray.stages.dedup import minhash_lsh_pairs
+
+        return _consume(
+            minhash_lsh_pairs(
+                read("documents", ["doc_id", "text"]),
+                threshold=0.4,
+                concurrency=max(2, num_cpus // 4),
+            )
+        )
+
+    def q_emb_knn():
+        from obsidian_parser_ray.stages.similarity import knn_bruteforce, load_queries
+
+        ds = read("embeddings", ["vec_id", "embedding"])
+        return _consume(
+            knn_bruteforce(
+                ds,
+                load_queries(ds, n_queries=64),
+                k=10,
+                concurrency=max(2, num_cpus // 4),
+            )
+        )
+
+    def q_events_sessions():
+        from obsidian_parser_ray.stages.events import sessionize
+
+        return _consume(sessionize(read("events", ["user_id", "ts"])))
+
+    out: dict[str, float] = {}
+    for name, fn in [
+        ("kg_build", q_kg_build),
+        ("doc_profile", q_doc_profile),
+        ("doc_minhash", q_doc_minhash),
+        ("emb_knn", q_emb_knn),
+        ("events_sessions", q_events_sessions),
+    ]:
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+# --- scaling mode ------------------------------------------------------------
+
+
+def _scaling_child(num_cpus: int) -> None:
+    """Fresh-process child: identical KG job over the seeded bench
+    corpus; prints one JSON line with pipeline wall time."""
+    _init_ray(num_cpus)
+    from obsidian_parser_ray import bench_corpus, build_graph
+    from obsidian_parser_ray.stages.canonicalize import sorted_triples
+
+    docs = bench_corpus(SCALE_DOCS, override_num_blocks=num_cpus * 4)
+    t0 = time.perf_counter()
+    g = build_graph(
+        docs,
+        linker_concurrency=(2, max(4, num_cpus // 2)),
+        include_child_of=False,
+    )
+    n = _consume(sorted_triples(g.triples))
+    sec = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "num_cpus": num_cpus,
+                "docs": SCALE_DOCS,
+                "triples": n,
+                "sec": round(sec, 3),
+                "docs_per_sec": round(SCALE_DOCS / sec, 1),
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+def run_scaling() -> dict:
+    runs = {}
+    for cpus in (SCALE_LO, SCALE_HI):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        runs[cpus] = json.loads(line)
+    lo, hi = runs[SCALE_LO], runs[SCALE_HI]
+    speedup = lo["sec"] / hi["sec"]
+    efficiency = speedup / (SCALE_HI / SCALE_LO)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "workload": f"kg_build bench_corpus({SCALE_DOCS} docs)",
+        "runs": [lo, hi],
+        "speedup": round(speedup, 2),
+        "criterion": "efficiency >= 0.8 between N and 4N cpus",
+    }
+
+
+def main() -> None:
+    if "--scaling-child" in sys.argv:
+        _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+        return
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+
+    _init_ray(NUM_CPUS)
+    queries = bench_queries(SF_DIR, NUM_CPUS)
+    kg_sec = queries["kg_build"]
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    print(
+        json.dumps(
+            {
+                "metric": "total_pipeline_sec",
+                "value": round(sum(queries.values()), 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "kg_docs_per_sec": round(n_docs / kg_sec, 1) if kg_sec else None,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
