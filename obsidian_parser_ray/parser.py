@@ -30,6 +30,7 @@ Exact semantics mirrored (file:line cites into /root/reference):
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import NamedTuple
 
 YAML_IMPORT_ERROR: Exception | None = None
@@ -171,14 +172,16 @@ def parse_inline_tags(content: str) -> list[str]:
     ``#two-tag`` → two-tag, ``#kek;d`` → kek, ``#dfds#`` → dfds,
     ``#all,`` → all, ``#татар`` → татар, ``#d😭`` → d😭.
     """
+    if "#" not in content:
+        return []
     tags: list[str] = []
-    for word in content.split():
-        if not word.startswith("#"):
-            continue
+    # regex-prefiltered equivalent of `content.split()` + startswith('#'):
+    # (?<!\S)#(\S*) yields exactly the split_whitespace words that start
+    # with '#' (verified property-equivalent incl. exotic whitespace).
+    for rest in _TAG_WORD_RE.findall(content):
         # note_tags.rs:46 compares the second BYTE to b'#'
-        if word.encode("utf-8")[1:2] == b"#":
+        if rest[:1] == "#":
             continue
-        rest = word[1:]
         end = len(rest)
         for i, c in enumerate(rest):
             if not _tag_char_ok(c):
@@ -187,6 +190,9 @@ def parse_inline_tags(content: str) -> list[str]:
         if end > 0:
             tags.append(rest[:end])
     return tags
+
+
+_TAG_WORD_RE = re.compile(r"(?<!\S)#(\S*)")
 
 
 def parse_properties(properties_text: str | None) -> tuple[dict | None, str | None]:

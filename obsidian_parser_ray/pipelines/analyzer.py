@@ -1,0 +1,66 @@
+"""Analyzer job — the reference's end-to-end CLI example recomposed.
+
+Mirrors /root/reference/examples/analyzer.rs:26-96 as one Ray Data
+job: parse-error filter → empty-content filter → !is_todo filter →
+vault stats (note count, duplicate reports, word count) → graph →
+most-connected hub + connected components.
+
+Each stage is the engine's own operator; this module only composes
+them — the same way the reference example composes iterator
+combinators (README.md:49-53).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.canonicalize import degree_top_k
+from .components import connected_components_local
+from .graph import build_graph, duplicates_by_content, duplicates_by_name
+
+
+def analyzer_filter(batch: pa.Table) -> pa.Table:
+    """analyzer.rs:38-49: drop parse errors, empty content, todos."""
+    ok = pc.is_null(batch["parse_error"])
+    nonempty = pc.greater(batch["n_bytes"], 0)
+    not_todo = pc.invert(batch["is_todo"])
+    return batch.filter(pc.and_(pc.and_(ok, nonempty), not_todo))
+
+
+def analyze(docs, *, linker_concurrency=(2, 8)) -> dict:
+    """documents Dataset → analyzer report dict.
+
+    Aggregates are tiny (driver-side scalars); the heavy lifting stays
+    in the distributed stages.  Components use the union-find oracle
+    (node count fits the driver at analyzer scale — same regime the
+    reference's petgraph call assumes).
+    """
+    from ray.data.aggregate import Sum
+
+    g = build_graph(
+        docs,
+        user_filter=analyzer_filter,
+        linker_concurrency=linker_concurrency,
+        include_child_of=False,
+    )
+    n_notes = g.notes.count()
+    word_row = g.notes.aggregate(Sum("n_words", alias_name="w"))
+    total_words = int(word_row["w"] or 0) if word_row else 0
+    dup_name = duplicates_by_name(g.notes).count()
+    dup_content = duplicates_by_content(g.notes).count()
+
+    # components over note↔note wikilink edges ('embeds' may carry
+    # media-asset objects — our extension — which are not graph nodes)
+    link_edges = g.triples.filter(expr="pred == 'links_to'")
+    hubs = degree_top_k(g.triples, pred="links_to", by="obj", k=1).take_all()
+    comp = connected_components_local(link_edges, g.notes)
+    return {
+        "n_notes": n_notes,
+        "total_words": total_words,
+        "dup_name_groups": dup_name,
+        "dup_content_groups": dup_content,
+        "n_components": len(set(comp.values())),
+        "top_hub": hubs[0]["obj"] if hubs else None,
+        "top_hub_degree": int(hubs[0]["degree"]) if hubs else 0,
+    }

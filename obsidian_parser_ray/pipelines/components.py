@@ -1,0 +1,149 @@
+"""Connected components (SURVEY.md §2.5 A7).
+
+The reference delegates to ``petgraph::algo::connected_components``
+(/root/reference/examples/analyzer.rs:4,86-88) — a single-machine graph
+walk.  Two Ray-Data-native equivalents:
+
+* :func:`connected_components` — distributed min-label propagation:
+  every node starts labeled with itself; each round, every node takes
+  the min label over itself and its neighbors (hash-join of the edge
+  list against the label table + groupby-min).  Converges in
+  O(component diameter) rounds; each round materializes a label table
+  bounded by node count, never the full edge × label product.  This is
+  the 10^12-scale path — all state lives in Datasets, rounds are
+  joins + groupbys with explicit ``num_partitions``.
+* :func:`connected_components_local` — exact streaming union-find on
+  the driver (O(nodes) driver memory, edges streamed once).  This is
+  the analyzer-parity oracle and the right tool whenever the NODE
+  count (not edge count) fits one machine — same regime where the
+  reference itself applies.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _norm_edges(edges):
+    """Edge Dataset → undirected (src, dst) message pairs, both ways."""
+
+    def fwd(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["obj"], "dst": t["subj"]})
+
+    e = edges.select_columns(["subj", "obj"])
+    return e.map_batches(fwd, batch_format="pyarrow").union(
+        e.map_batches(rev, batch_format="pyarrow")
+    )
+
+
+def connected_components(edges, nodes, *, max_iters: int = 30,
+                         num_partitions: int = 16):
+    """Distributed label propagation → Dataset ``(node, component)``.
+
+    ``edges``: Dataset with string columns (subj, obj) — treated
+    undirected.  ``nodes``: Dataset with ``doc_id`` (isolated nodes get
+    their own component).  ``component`` = min node id in the
+    component (deterministic canonical representative).
+    """
+    from ray.data.aggregate import Count, Min
+
+    msgs = _norm_edges(edges).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["doc_id"], "label": t["doc_id"]})
+
+    labels = nodes.select_columns(["doc_id"]).map_batches(
+        init_labels, batch_format="pyarrow"
+    ).materialize()
+
+    for _ in range(max_iters):
+        # neighbor labels: msg (src,dst) ⋈ labels(node=src) → (dst, label)
+        joined = msgs.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        ).select_columns(["dst", "label"])
+
+        def as_node(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["dst"], "label": t["label"]})
+
+        candidates = joined.map_batches(as_node, batch_format="pyarrow").union(
+            labels
+        )
+        new_labels = (
+            candidates.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # converged iff no node's label changed — tiny anti-join check
+        changed = (
+            new_labels.join(
+                labels.map_batches(
+                    lambda t: pa.table({"node": t["node"], "old": t["label"]}),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("node",),
+            )
+            .filter(expr="label != old")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "component": t["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def n_components(labels) -> int:
+    """Count distinct components from a (node, component) Dataset."""
+    return labels.groupby("component").count().count()
+
+
+def connected_components_local(edges, nodes) -> dict[str, str]:
+    """Streaming union-find on the driver → {node: component-root}.
+
+    Exact parity oracle for petgraph ``connected_components``.  Edges
+    stream through once (no driver materialization of the edge list);
+    state is O(nodes).
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        # path compression
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # canonical representative = min id (deterministic)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for batch in nodes.select_columns(["doc_id"]).iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        for n in batch["doc_id"].to_pylist():
+            parent.setdefault(n, n)
+    for batch in edges.select_columns(["subj", "obj"]).iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        for a, b in zip(batch["subj"].to_pylist(), batch["obj"].to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            union(a, b)
+    return {n: find(n) for n in parent}

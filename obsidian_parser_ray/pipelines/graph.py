@@ -66,9 +66,10 @@ def build_graph(
     include_tags: bool = True,
     checkpoint_dir: str | None = None,
     linker_concurrency=(2, 8),
-    linker_batch_size: int | None = 4096,
-    extract_batch_size: int | None = 1024,
+    linker_batch_size: int | None = None,
+    extract_batch_size: int | None = None,
     user_filter=None,
+    materialize_notes: bool = True,
 ):
     """documents Dataset → :class:`GraphResult`.
 
@@ -87,10 +88,25 @@ def build_graph(
         notes = checkpoint_dataset(
             notes, checkpoint_dir + "/notes", lineage="extract_notes"
         )
-    else:
+        dictionary = build_dictionary(notes)
+    elif materialize_notes:
         notes = notes.materialize()
+        dictionary = build_dictionary(notes)
+    else:
+        # streaming mode: dictionary from a cheap frontmatter-only
+        # sweep (Phase A), so the main extract→link→canonicalize
+        # pipeline runs with NO materialization barrier.  notes stays
+        # lazy (re-executes extract if consumed — callers wanting the
+        # notes table should materialize/checkpoint it themselves).
+        if user_filter is not None:
+            # the slim sweep can't see user filters on extracted
+            # columns — fall back to the barrier for correctness
+            notes = notes.materialize()
+            dictionary = build_dictionary(notes)
+        else:
+            from ..stages.linking import build_dictionary_from_docs
 
-    dictionary = build_dictionary(notes)
+            dictionary = build_dictionary_from_docs(docs)
 
     mentions = explode_mentions(notes)
     link_input = mentions

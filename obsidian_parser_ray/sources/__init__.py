@@ -82,10 +82,51 @@ def filter_depth(docs, *, min_depth: int = 1, max_depth: int | None = None):
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+def render_markdown(docs):
+    """Documents (span rows) → ``(doc_id, raw_text)`` markdown file
+    texts — the reference's note→file serialization
+    (/root/reference/src/note/note_write.rs:77-95:
+    ``---\\n{yaml}\\n---\\n{content}``; P13 SURVEY.md §2.2).
+
+    Vectorizable only per row (string assembly), so it's a stateless
+    ``map_batches`` over the span column — the inverse of the corpus
+    normalization (:func:`obsidian_parser_ray.corpus.spans_from_raw`).
+    """
+    import pyarrow as pa
+
+    from ..corpus import raw_from_spans
+
+    def render(batch: pa.Table) -> pa.Table:
+        spans_col = batch["spans"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "raw_text": pa.array(
+                    [raw_from_spans(s or []) for s in spans_col], pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(render, batch_format="pyarrow")
+
+
+def write_markdown(docs, out_dir: str) -> dict:
+    """Markdown round-trip sink (S7): rendered file texts as
+    partitioned parquet + manifest (resumable, same layout contract as
+    the triple sink)."""
+    from ..state import write_partitioned_output
+
+    return write_partitioned_output(
+        render_markdown(docs), out_dir, lineage="render_markdown"
+    )
+
+
 __all__ = [
     "DOCUMENTS_SCHEMA",
     "filter_depth",
     "filter_hidden",
     "from_markdown_items",
     "read_documents",
+    "render_markdown",
+    "write_markdown",
 ]

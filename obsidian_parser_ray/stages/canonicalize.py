@@ -58,24 +58,66 @@ def _undirect_batch(batch: pa.Table) -> pa.Table:
     return batch.set_column(batch.schema.get_field_index("obj"), "obj", hi)
 
 
-def canonicalize(edges, *, directed: bool = True, batch_size: int | None = 8192):
+def _add_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Deterministic hash partition id of the triple key.
+
+    crc32 over the null-joined key — the explicit partitioning the
+    north_rule asks for.  Hub keys are ALREADY split across blocks by
+    the phase-1 combiner (block id = implicit salt), so a hot triple
+    contributes at most one row per block to its partition."""
+    import pandas as pd
+
+    keys = pc.binary_join_element_wise(
+        batch["subj"], batch["pred"], batch["obj"], "\x00"
+    )
+    # pd.util.hash_array: vectorized siphash with a fixed key —
+    # deterministic across worker processes (the same property dask
+    # relies on for shuffle partitioning).
+    h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
+    part = pa.array((h % num_partitions).astype("int32"), pa.int32())
+    return batch.append_column("part", part)
+
+
+def _collapse_partition(part: pa.Table) -> pa.Table:
+    """Phase-2 merge of one hash partition (vectorized Arrow group_by)."""
+    out = (
+        part.select(TRIPLES_KEYS + ["weight"])
+        .group_by(TRIPLES_KEYS)
+        .aggregate([("weight", "sum")])
+    )
+    return out.rename_columns(TRIPLES_KEYS + ["weight"])
+
+
+def canonicalize(edges, *, directed: bool = True, batch_size: int | None = None,
+                 num_partitions: int = 64):
     """edges Dataset → canonical triples Dataset (subj, pred, obj, weight).
 
-    The only all-to-all exchange of the KG pipeline.  Shuffle volume is
-    bounded by (distinct triples per block × blocks), not by raw edge
-    count, thanks to the per-block combiner.
-    """
-    from ray.data.aggregate import Sum
+    The only all-to-all exchange of the KG pipeline, done as an explicit
+    two-phase salted aggregation (SURVEY.md §2.5 A8):
 
+    1. per-block Arrow ``group_by`` combine (phase 1 — block id acts as
+       the salt, splitting hub keys),
+    2. hash-partition on a small int key + per-partition vectorized
+       merge (phase 2).  Grouping by the int partition id instead of
+       the 3 string columns keeps the shuffle sort cheap; the real
+       string grouping happens vectorized inside each partition task.
+
+    Shuffle volume is bounded by (distinct triples per block × blocks),
+    not raw edge count.  ``num_partitions`` sizes phase-2 parallelism —
+    at cluster scale set it ≈ 2× total cores.
+    """
     if not directed:
         edges = edges.map_batches(_undirect_batch, batch_format="pyarrow")
     partials = edges.map_batches(
         _combine_batch, batch_format="pyarrow", batch_size=batch_size
+    ).map_batches(
+        _add_partition,
+        fn_kwargs={"num_partitions": num_partitions},
+        batch_format="pyarrow",
     )
-    out = partials.groupby(TRIPLES_KEYS).aggregate(
-        Sum("weight", alias_name="weight")
+    return partials.groupby("part").map_groups(
+        _collapse_partition, batch_format="pyarrow"
     )
-    return out
 
 
 def sorted_triples(triples):

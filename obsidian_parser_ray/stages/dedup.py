@@ -68,7 +68,7 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(hash_and_combine, batch_format="pyarrow")
+    partials = ds.map_batches(hash_and_combine, batch_format="pyarrow", batch_size=2048)
     return partials.groupby("content_hash").aggregate(
         Min("_min_id", alias_name="keeper"), Sum("_n", alias_name="n_copies")
     )
@@ -191,6 +191,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int = 200,
     concurrency=(1, 8),
+    batch_size: int | None = 512,
 ):
     """Near-duplicate pairs with estimated-Jaccard verification.
 
@@ -243,6 +244,7 @@ def minhash_lsh_pairs(
             "id_col": id_col,
         },
         batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency,
     )
     pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
@@ -349,7 +351,7 @@ def _dedup_pairs(pairs, seed: pa.Table, agg):
 
 
 def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
-                  max_bucket: int = 500):
+                  max_bucket: int = 500, batch_size: int | None = 512):
     """Near-dup pairs by SimHash within Hamming ≤ max_hamming.
 
     Block-permutation trick: split the 64-bit hash into 4 16-bit
@@ -398,7 +400,7 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
     from ray.data.aggregate import Min
 
     pairs = (
-        ds.map_batches(add_simhash, batch_format="pyarrow")
+        ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=batch_size)
         .groupby(["block", "block_key"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -416,7 +418,8 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
 
 def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
                             threshold: float = 0.9, num_planes: int = 12,
-                            seed: int = 42, max_bucket: int = 1000):
+                            seed: int = 42, max_bucket: int = 1000,
+                            batch_size: int | None = 1024):
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets.
 
     Sign-pattern of ``num_planes`` seeded hyperplanes buckets vectors;
@@ -463,7 +466,7 @@ def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
 
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=batch_size)
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )

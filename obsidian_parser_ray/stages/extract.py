@@ -33,15 +33,13 @@ block-parallel tasks with no state.
 
 from __future__ import annotations
 
+import hashlib
 import json
 
 import pyarrow as pa
 
 from ..corpus import SPAN_TYPE
 from ..parser import (
-    all_tags,
-    byte_count,
-    content_md5,
     frontmatter_aliases,
     frontmatter_tags,
     is_todo,
@@ -148,6 +146,9 @@ def extract_note_row(doc_id: str, spans: list[dict]) -> tuple[dict, list[dict]]:
         occ += 1
 
     tags = fm_tags + inline_tags
+    # single UTF-8 encode serves both byte_count and content_md5
+    # (semantics identical to the standalone kernels in ..parser)
+    encoded = content.encode("utf-8")
     note = {
         "doc_id": doc_id,
         "note_name": note_name(doc_id),
@@ -158,8 +159,8 @@ def extract_note_row(doc_id: str, spans: list[dict]) -> tuple[dict, list[dict]]:
         "aliases": frontmatter_aliases(props),
         "is_todo": is_todo(tags),
         "n_words": word_count(content),
-        "n_bytes": byte_count(content),
-        "content_hash": content_md5(content),
+        "n_bytes": len(encoded),
+        "content_hash": hashlib.md5(encoded).hexdigest(),
         "parse_error": err,
         "order_key": doc_id,
     }
@@ -194,8 +195,15 @@ class ExtractNotes:
         return out
 
 
-def extract_notes(docs, *, keep_spans: bool = False, batch_size: int | None = 1024):
-    """``documents`` Dataset → ``notes`` Dataset (stateless task stage)."""
+def extract_notes(docs, *, keep_spans: bool = False, batch_size: int | None = None):
+    """``documents`` Dataset → ``notes`` Dataset (stateless task stage).
+
+    ``batch_size=None`` (default) processes one input block per task —
+    a larger batch_size makes Ray Data *bundle* upstream blocks to fill
+    batches, which silently caps task parallelism (e.g. 32 blocks ×
+    375 rows with batch_size=1024 → only 11 tasks).  Parallelism is
+    controlled upstream via ``override_num_blocks`` on the read.
+    """
     return docs.map_batches(
         ExtractNotes(keep_spans=keep_spans),
         batch_format="pyarrow",

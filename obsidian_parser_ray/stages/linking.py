@@ -81,24 +81,189 @@ class LinkDictionary:
     def __len__(self) -> int:
         return len(self.full) + len(self.short) + len(self.alias)
 
-
-def build_dictionary(notes) -> LinkDictionary:
-    """Streaming driver-side fold over the 3 small columns.
-
-    Only ``(doc_id, note_name, aliases)`` leave the cluster — at 10^12
-    docs this becomes the shuffle-join fallback instead (see module
-    docstring); at benchmark scale the fold is O(notes) driver work
-    over ~40 B/row.
-    """
-    d = LinkDictionary()
-    proj = notes.select_columns(["doc_id", "note_name", "aliases"])
-    for batch in proj.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        d.fold_batch(
-            batch["doc_id"].to_pylist(),
-            batch["note_name"].to_pylist(),
-            batch["aliases"].to_pylist(),
+    def to_arrow(self) -> "ArrowLinkDictionary":
+        return ArrowLinkDictionary(
+            full_keys=pa.array(sorted(self.full), pa.string()),
+            short_keys=pa.array(list(self.short.keys()), pa.string()),
+            short_vals=pa.array(list(self.short.values()), pa.string()),
+            alias_keys=pa.array(list(self.alias.keys()), pa.string()),
+            alias_vals=pa.array(list(self.alias.values()), pa.string()),
         )
-    return d
+
+
+class ArrowLinkDictionary:
+    """Broadcast form of the dictionary: five Arrow arrays.
+
+    Arrow arrays pickle as raw buffers (no per-entry Python objects),
+    so ``ray.put`` + per-actor fetch is near zero-copy, and lookups in
+    the linker are vectorized hash joins (``pc.index_in`` /
+    ``pc.is_in``) instead of a per-row Python dict loop."""
+
+    __slots__ = ("full_keys", "short_keys", "short_vals", "alias_keys", "alias_vals")
+
+    def __init__(self, full_keys, short_keys, short_vals, alias_keys, alias_vals):
+        self.full_keys = full_keys
+        self.short_keys = short_keys
+        self.short_vals = short_vals
+        self.alias_keys = alias_keys
+        self.alias_vals = alias_vals
+
+    def __len__(self) -> int:
+        return len(self.full_keys) + len(self.short_keys) + len(self.alias_keys)
+
+    def resolve(self, key: str) -> str | None:
+        """Scalar parity helper (tests); hot path is the batched linker."""
+        import pyarrow.compute as pc
+
+        target = pa.array([key], pa.string())
+        if "/" in key:
+            return key if pc.is_in(target, value_set=self.full_keys)[0].as_py() else None
+        idx = pc.index_in(target, self.short_keys)[0].as_py()
+        if idx is not None:
+            return self.short_vals[idx].as_py()
+        idx = pc.index_in(target, self.alias_keys)[0].as_py()
+        if idx is not None:
+            return self.alias_vals[idx].as_py()
+        return None
+
+
+def _dict_partial_batch(t: pa.Table) -> pa.Table:
+    """Per-block partial of the dictionary: (kind, key, val) rows,
+    min-reduced per key — vectorized Arrow, runs on workers."""
+    import pyarrow.compute as pc
+
+    ids = t["doc_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    names = t["note_name"]
+    if isinstance(names, pa.ChunkedArray):
+        names = names.combine_chunks()
+    aliases = t["aliases"]
+    if isinstance(aliases, pa.ChunkedArray):
+        aliases = aliases.combine_chunks()
+    n = len(ids)
+    flat_alias = aliases.flatten()
+    alias_ids = pc.take(ids, pc.list_parent_indices(aliases))
+    rows = pa.table(
+        {
+            "kind": pa.concat_arrays(
+                [
+                    pa.array(["full"] * n, pa.string()),
+                    pa.array(["short"] * n, pa.string()),
+                    pa.array(["alias"] * len(flat_alias), pa.string()),
+                ]
+            ),
+            "key": pa.concat_arrays(
+                [ids.cast(pa.string()), names.cast(pa.string()), flat_alias]
+            ),
+            "val": pa.concat_arrays(
+                [ids.cast(pa.string()), ids.cast(pa.string()), alias_ids]
+            ),
+        }
+    )
+    out = rows.group_by(["kind", "key"]).aggregate([("val", "min")])
+    return out.rename_columns(["kind", "key", "val"])
+
+
+def _slim_dict_batch(t: pa.Table) -> pa.Table:
+    """documents (span rows) → dictionary partials DIRECTLY.
+
+    Parses only the frontmatter span per doc (for aliases) — skips
+    content join, link/tag scan, hashing.  Lets the dictionary pass run
+    as a cheap first sweep so the main extract→link→canonicalize
+    pipeline can stream with NO materialization barrier."""
+    from ..parser import frontmatter_aliases, note_name, parse_properties
+
+    ids = t["doc_id"].to_pylist()
+    spans_col = t["spans"].to_pylist()
+    aliases: list[list[str]] = []
+    for spans in spans_col:
+        fm = None
+        best = None
+        for s in spans or ():
+            if s["kind"] == "frontmatter" and (best is None or s["offset"] < best):
+                fm, best = s["text"], s["offset"]
+        props, _ = parse_properties(fm)
+        aliases.append(frontmatter_aliases(props))
+    slim = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "note_name": pa.array([note_name(i) for i in ids], pa.string()),
+            "aliases": pa.array(aliases, pa.list_(pa.string())),
+        }
+    )
+    return _dict_partial_batch(slim)
+
+
+def build_dictionary_from_docs(docs, *, batch_size: int | None = None) -> "ArrowLinkDictionary":
+    """Dictionary via a slim frontmatter-only sweep over the documents
+    table (Phase A without the full parse).  Equivalent result to
+    ``build_dictionary(extract_notes(docs))`` — used when the caller
+    wants the main pipeline to stream without a notes barrier."""
+    partials = docs.map_batches(
+        _slim_dict_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    return _merge_dict_partials(partials)
+
+
+def build_dictionary(notes) -> "ArrowLinkDictionary":
+    """Distributed partial fold + tiny driver merge → Arrow broadcast form.
+
+    Workers min-reduce ``(kind, key, doc_id)`` per block (vectorized
+    Arrow ``group_by``); the driver only merges the pre-reduced
+    partials — first-wins = global ``min(order_key)``, deterministic
+    under unordered block arrival.  All vectorized — no per-entry
+    Python objects anywhere.  At 10^12 docs this becomes the
+    shuffle-join fallback instead (see module docstring + J1).
+    """
+    partials = notes.select_columns(["doc_id", "note_name", "aliases"]).map_batches(
+        _dict_partial_batch, batch_format="pyarrow"
+    )
+    return _merge_dict_partials(partials)
+
+
+def _merge_dict_partials(partials) -> "ArrowLinkDictionary":
+    """Global first-wins merge of per-block dictionary partials.
+
+    Partials are already min-reduced per block, so the driver-side
+    Arrow ``group_by`` runs over ~one row per key — a single vectorized
+    C++ pass (measured faster than a Ray groupby shuffle until the
+    dictionary itself stops fitting the driver, which is also when the
+    J1 shuffle-join path takes over entirely)."""
+    import pyarrow.compute as pc
+
+    tables = [
+        b
+        for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    empty = pa.array([], pa.string())
+    if not tables:
+        return ArrowLinkDictionary(empty, empty, empty, empty, empty)
+    merged = (
+        pa.concat_tables(tables)
+        .group_by(["kind", "key"])
+        .aggregate([("val", "min")])
+    )
+
+    def split(kind: str) -> pa.Table:
+        return merged.filter(pc.equal(merged["kind"], kind)).combine_chunks()
+
+    full = split("full")
+    short = split("short")
+    alias = split("alias")
+
+    def col(t: pa.Table, name: str) -> pa.Array:
+        c = t[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    return ArrowLinkDictionary(
+        full_keys=col(full, "key"),
+        short_keys=col(short, "key"),
+        short_vals=col(short, "val_min"),
+        alias_keys=col(alias, "key"),
+        alias_vals=col(alias, "val_min"),
+    )
 
 
 EDGES_SCHEMA = pa.schema(
@@ -113,74 +278,105 @@ EDGES_SCHEMA = pa.schema(
 )
 
 
+def _arr(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+_KIND_KEYS = pa.array(list(PRED_FOR_KIND.keys()), pa.string())
+_PRED_VALS = pa.array(list(PRED_FOR_KIND.values()), pa.string())
+_LITERAL_ARR = pa.array(sorted(_LITERAL_KINDS), pa.string())
+
+
+def link_batch(batch: pa.Table, d: "ArrowLinkDictionary") -> pa.Table:
+    """Vectorized resolution of one mentions batch against a dictionary.
+
+    Shared by the broadcast actor pool (:class:`EntityLinker`) and the
+    shuffle-join fallback (:func:`link_mentions_shuffle`) — identical
+    semantics by construction.
+    """
+    import pyarrow.compute as pc
+
+    kinds = _arr(batch["kind"])
+    targets = _arr(batch["target_key"])
+
+    pred = pc.take(_PRED_VALS, pc.index_in(kinds, _KIND_KEYS))
+    literal = pc.is_in(kinds, value_set=_LITERAL_ARR)
+
+    short_val = pc.take(d.short_vals, pc.index_in(targets, d.short_keys))
+    alias_val = pc.take(d.alias_vals, pc.index_in(targets, d.alias_keys))
+    in_full = pc.is_in(targets, value_set=d.full_keys)
+    has_slash = pc.match_substring(targets, "/")
+
+    # index.rs:21-27: '/' keys resolve via full-path only; others
+    # short-name first, then alias (our north_star extension).
+    name_val = (
+        pc.if_else(pc.is_valid(short_val), short_val, alias_val)
+        if len(d.alias_keys)
+        else short_val
+    )
+    full_val = pc.if_else(in_full, targets, pa.nulls(len(targets), pa.string()))
+    lookup_val = pc.if_else(has_slash, full_val, name_val)
+
+    resolved = pc.or_(literal, pc.is_valid(lookup_val))
+    obj = pc.if_else(
+        literal, targets, pc.if_else(pc.is_valid(lookup_val), lookup_val, targets)
+    )
+    return pa.Table.from_arrays(
+        [
+            _arr(batch["subj"]),
+            pred,
+            obj,
+            resolved,
+            _arr(batch["span_offset"]),
+            _arr(batch["occurrence_idx"]),
+        ],
+        schema=EDGES_SCHEMA,
+    )
+
+
 class EntityLinker:
     """Actor-pool linking stage: ``map_batches(EntityLinker, ...)``.
 
     ``__init__`` runs once per actor (dictionary fetched from the
-    object store once); ``__call__`` is a per-batch loop over the
-    minimum state — comparable to the reference's per-chunk rayon
-    closure (graph_builder.rs:149-166) but with no downstream mutex.
+    object store once — Arrow buffers, near zero-copy); ``__call__`` is
+    fully vectorized: kind→pred mapping and all three dictionary
+    lookups are ``pc.index_in``/``pc.is_in`` hash probes, the
+    resolution precedence (full-path / short / alias, miss kept
+    unresolved) is an ``if_else``/``coalesce`` cascade.  Compare the
+    reference's per-chunk rayon closure (graph_builder.rs:149-166) —
+    same semantics, no downstream mutex, no per-row interpreter work.
     """
 
-    def __init__(self, dict_ref=None, dictionary: LinkDictionary | None = None):
+    def __init__(self, dict_ref=None, dictionary: ArrowLinkDictionary | None = None):
         if dictionary is not None:
             self.d = dictionary
         else:
             import ray
 
             self.d = ray.get(dict_ref)
+        if isinstance(self.d, LinkDictionary):
+            self.d = self.d.to_arrow()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds = batch["kind"].to_pylist()
-        targets = batch["target_key"].to_pylist()
-        resolve = self.d.resolve
-        objs: list[str | None] = []
-        resolved_flags: list[bool] = []
-        preds: list[str] = []
-        for kind, target in zip(kinds, targets):
-            preds.append(PRED_FOR_KIND[kind])
-            if kind in _LITERAL_KINDS:
-                objs.append(target)
-                resolved_flags.append(True)
-            else:
-                hit = resolve(target)
-                if hit is None:
-                    objs.append(target)
-                    resolved_flags.append(False)
-                else:
-                    objs.append(hit)
-                    resolved_flags.append(True)
-        return pa.Table.from_arrays(
-            [
-                batch["subj"].combine_chunks()
-                if isinstance(batch["subj"], pa.ChunkedArray)
-                else batch["subj"],
-                pa.array(preds, pa.string()),
-                pa.array(objs, pa.string()),
-                pa.array(resolved_flags, pa.bool_()),
-                batch["span_offset"].combine_chunks()
-                if isinstance(batch["span_offset"], pa.ChunkedArray)
-                else batch["span_offset"],
-                batch["occurrence_idx"].combine_chunks()
-                if isinstance(batch["occurrence_idx"], pa.ChunkedArray)
-                else batch["occurrence_idx"],
-            ],
-            schema=EDGES_SCHEMA,
-        )
+        return link_batch(batch, self.d)
 
 
-def link_mentions(mentions, dictionary: LinkDictionary, *,
-                  concurrency=(2, 8), batch_size: int | None = 4096,
+def link_mentions(mentions, dictionary, *,
+                  concurrency=(2, 8), batch_size: int | None = None,
                   drop_unresolved: bool = True):
     """mentions Dataset → edges Dataset via the actor-pool linker.
 
-    ``drop_unresolved=True`` matches the reference's inner-join
-    semantics (unresolvable mentions discarded, graph_builder.rs:214);
-    ``False`` keeps them flagged for metrics.
+    ``dictionary``: :class:`ArrowLinkDictionary` (or a test-built
+    :class:`LinkDictionary`, converted here).  Broadcast once via
+    ``ray.put``.  ``drop_unresolved=True`` matches the reference's
+    inner-join semantics (unresolvable mentions discarded,
+    graph_builder.rs:214); ``False`` keeps them flagged for metrics.
     """
     import pyarrow.compute as pc
     import ray
 
+    if isinstance(dictionary, LinkDictionary):
+        dictionary = dictionary.to_arrow()
     ref = ray.put(dictionary)
     edges = mentions.map_batches(
         EntityLinker,
@@ -228,3 +424,138 @@ def child_of_edges(notes):
     return notes.select_columns(["doc_id"]).map_batches(
         derive, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# J1 shuffle-join fallback (SURVEY.md §2.4): when the dictionary
+# exceeds broadcast size (≳10^8 notes), co-locate mentions and
+# dictionary entries by key hash and resolve per partition.
+# ---------------------------------------------------------------------------
+
+
+def link_mentions_shuffle(mentions, docs, *, num_partitions: int = 64,
+                          drop_unresolved: bool = True,
+                          batch_size: int | None = None):
+    """Shuffle-join linking: no driver-side dictionary, no broadcast.
+
+    Both sides are hash-partitioned on the lookup key (mentions on
+    ``target_key``; dictionary entries on ``key``), so every partition
+    holds ALL dictionary entries for its keys — global first-wins
+    (min order_key) is preserved because the per-partition merge sees
+    every partial for a key.  Within a partition, resolution reuses the
+    SAME vectorized kernel as the broadcast path
+    (:func:`link_batch`), so the two paths are semantics-identical.
+
+    ``docs`` is the documents Dataset (the dictionary side is derived
+    via the slim frontmatter sweep).  Literal-kind mentions (tags,
+    media) never need the dictionary, so they bypass the shuffle
+    entirely and are linked in-place with an empty dictionary.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    lit_list = sorted(_LITERAL_KINDS)
+    lit_arr = pa.array(lit_list, pa.string())
+    empty = pa.array([], pa.string())
+    empty_dict = ArrowLinkDictionary(empty, empty, empty, empty, empty)
+
+    def part_of(keys: pa.Array) -> pa.Array:
+        h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
+        return pa.array((h % num_partitions).astype("int32"), pa.int32())
+
+    # literal mentions bypass: resolved verbatim, no shuffle
+    def literal_edges(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(_arr(t["kind"]), value_set=lit_arr)
+        return link_batch(t.filter(mask), empty_dict)
+
+    literals = mentions.map_batches(
+        literal_edges, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    # lookup mentions → tagged rows (part, is_dict=0, payload)
+    def mention_rows(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(_arr(t["kind"]), value_set=lit_arr))
+        t = t.filter(mask)
+        key = _arr(t["target_key"])
+        return pa.table(
+            {
+                "part": part_of(key),
+                "is_dict": pa.array([False] * len(key), pa.bool_()),
+                "kind": _arr(t["kind"]),
+                "key": key,
+                "val": pa.nulls(len(key), pa.string()),
+                "subj": _arr(t["subj"]),
+                "span_offset": _arr(t["span_offset"]),
+                "occurrence_idx": _arr(t["occurrence_idx"]),
+            }
+        )
+
+    # dictionary partials → tagged rows (part, is_dict=1, kind/key/val)
+    def dict_rows(t: pa.Table) -> pa.Table:
+        p = _slim_dict_batch(t)  # (kind, key, val) pre-reduced per block
+        key = _arr(p["key"])
+        n = len(key)
+        return pa.table(
+            {
+                "part": part_of(key),
+                "is_dict": pa.array([True] * n, pa.bool_()),
+                "kind": _arr(p["kind"]),
+                "key": key,
+                "val": _arr(p["val"]),
+                "subj": pa.nulls(n, pa.string()),
+                "span_offset": pa.nulls(n, pa.int32()),
+                "occurrence_idx": pa.nulls(n, pa.int32()),
+            }
+        )
+
+    tagged = mentions.map_batches(
+        mention_rows, batch_format="pyarrow", batch_size=batch_size
+    ).union(docs.map_batches(dict_rows, batch_format="pyarrow", batch_size=batch_size))
+
+    def resolve_partition(g: pa.Table) -> pa.Table:
+        is_dict = _arr(g["is_dict"])
+        dict_side = g.filter(is_dict)
+        mention_side = g.filter(pc.invert(is_dict))
+        if mention_side.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], t.type) for t in EDGES_SCHEMA.types],
+                schema=EDGES_SCHEMA,
+            )
+        # global first-wins merge of this partition's dict partials
+        merged = (
+            dict_side.select(["kind", "key", "val"])
+            .group_by(["kind", "key"])
+            .aggregate([("val", "min")])
+        )
+
+        def split(kind: str) -> pa.Table:
+            return merged.filter(pc.equal(merged["kind"], kind)).combine_chunks()
+
+        full, short, alias = split("full"), split("short"), split("alias")
+        d = ArrowLinkDictionary(
+            full_keys=_arr(full["key"]),
+            short_keys=_arr(short["key"]),
+            short_vals=_arr(short["val_min"]),
+            alias_keys=_arr(alias["key"]),
+            alias_vals=_arr(alias["val_min"]),
+        )
+        batch = pa.table(
+            {
+                "kind": _arr(mention_side["kind"]),
+                "target_key": _arr(mention_side["key"]),
+                "subj": _arr(mention_side["subj"]),
+                "span_offset": _arr(mention_side["span_offset"]),
+                "occurrence_idx": _arr(mention_side["occurrence_idx"]),
+            }
+        )
+        return link_batch(batch, d)
+
+    edges = tagged.groupby("part").map_groups(
+        resolve_partition, batch_format="pyarrow"
+    ).union(literals)
+    if drop_unresolved:
+        edges = edges.map_batches(
+            lambda t: t.filter(pc.equal(t["resolved"], True)),
+            batch_format="pyarrow",
+        )
+    return edges

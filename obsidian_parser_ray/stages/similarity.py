@@ -89,7 +89,7 @@ def _merge_topk(k: int):
 
 def knn_bruteforce(ds, query_ids_and_vecs, *, k: int = 5, vec_col: str = "embedding",
                    id_col: str = "vec_id", exclude_self: bool = True,
-                   concurrency=(1, 8)):
+                   concurrency=(1, 8), batch_size: int | None = 1024):
     """Exact cosine top-k for a small query set against the full dataset.
 
     ``query_ids_and_vecs`` = (ids: int list, vectors: 2D float array).
@@ -111,6 +111,7 @@ def knn_bruteforce(ds, query_ids_and_vecs, *, k: int = 5, vec_col: str = "embedd
             "exclude_self": exclude_self,
         },
         batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency,
     )
     return partials.groupby("query_id").map_groups(
@@ -208,7 +209,7 @@ def knn_ivf(ds, query_ids_and_vecs, *, k: int = 5, n_centroids: int = 16,
             )
 
     partials = ds.map_batches(AssignAndScore, batch_format="pyarrow",
-                              concurrency=(1, 8))
+                              batch_size=1024, concurrency=(1, 8))
     return partials.groupby("query_id").map_groups(
         _merge_topk(k), batch_format="pandas"
     )

@@ -69,7 +69,8 @@ def rolling_fingerprint(text: str, *, window: int = 4, keep: int = 8) -> int:
     return out
 
 
-def text_profile(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+def text_profile(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 batch_size: int | None = 512):
     """Per-document integer quality/token profile (oracle-checkable).
 
     Columns: n_chars (unicode chars), n_bytes, n_words (whitespace),
@@ -101,7 +102,7 @@ def text_profile(ds, *, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
-    return ds.map_batches(profile, batch_format="pyarrow")
+    return ds.map_batches(profile, batch_format="pyarrow", batch_size=batch_size)
 
 
 def quality_score_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
@@ -161,11 +162,13 @@ class LangId:
         )
 
 
-def lang_id(ds, *, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 4)):
+def lang_id(ds, *, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 4),
+            batch_size: int | None = 512):
     return ds.map_batches(
         LangId,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency,
     )
 
@@ -191,7 +194,7 @@ def lang_stats(ds, *, lang_col: str = "lang", text_col: str = "text"):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
         .groupby(lang_col)
         .aggregate(
             Sum("_n", alias_name="n_docs"),

@@ -207,3 +207,82 @@ class TestUserExtension:
         # filter, so [[a]] is unresolved and dropped.
         assert g.node_count() == 1
         assert len(t) == 0
+
+
+class TestMarkdownRoundTrip:
+    """S7/P13: documents → render_markdown → re-parse == original."""
+
+    def test_render_roundtrip(self):
+        from obsidian_parser_ray.sources import from_markdown_items, render_markdown
+
+        items = [
+            ("with_fm", "---\nid: 1\ntags:\n- a\n---\nBody [[x]] text."),
+            ("plain", "No frontmatter here. #tag"),
+        ]
+        docs = from_markdown_items(items)
+        rendered = {
+            r["doc_id"]: r["raw_text"] for r in render_markdown(docs).take_all()
+        }
+        # frontmatter docs re-render to the normalized ---\nyaml\n---\nbody
+        assert rendered["with_fm"] == "---\nid: 1\ntags:\n- a\n---\nBody [[x]] text."
+        assert rendered["plain"] == "No frontmatter here. #tag"
+
+    def test_write_markdown_manifest(self, tmp_path):
+        from obsidian_parser_ray.sources import from_markdown_items, write_markdown
+
+        docs = from_markdown_items([("a", "hello"), ("b", "---\nx: 1\n---\nworld")])
+        m = write_markdown(docs, str(tmp_path / "md_out"))
+        assert m["rows"] == 2
+        assert m["lineage"] == "render_markdown"
+
+
+class TestShuffleJoinLinking:
+    """J1 fallback: shuffle-join linking must produce the identical
+    canonical triple set as the broadcast path."""
+
+    def test_matches_broadcast(self):
+        from collections import Counter
+
+        import ray.data as rd
+
+        from obsidian_parser_ray.corpus import derive_vault_batch
+        from obsidian_parser_ray.stages.canonicalize import canonicalize
+        from obsidian_parser_ray.stages.extract import (
+            explode_mentions,
+            extract_notes,
+        )
+        from obsidian_parser_ray.stages.linking import (
+            build_dictionary,
+            link_mentions,
+            link_mentions_shuffle,
+        )
+
+        import pyarrow as pa
+
+        n = 60
+        base = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(n)), pa.int64()),
+                    "lang": pa.array(["en"] * n, pa.string()),
+                }
+            )
+        )
+        docs = base.map_batches(
+            derive_vault_batch, fn_kwargs={"n_docs": n}, batch_format="pyarrow"
+        ).materialize()
+        notes = extract_notes(docs).materialize()
+        mentions = explode_mentions(notes)
+
+        d = build_dictionary(notes)
+        bcast = canonicalize(link_mentions(mentions, d, concurrency=2))
+        shuf = canonicalize(
+            link_mentions_shuffle(mentions, docs, num_partitions=4)
+        )
+
+        def as_counter(ds):
+            return Counter(
+                {(r["subj"], r["pred"], r["obj"]): r["weight"] for r in ds.take_all()}
+            )
+
+        assert as_counter(bcast) == as_counter(shuf)
