@@ -30,9 +30,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Scaling workload: reference-bench-shaped corpus (benchmarks.rs:15-70
 # shape), sized so parallel compute dominates fixed overhead at the
 # low-parallelism run.
-SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "60000"))
-SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "8"))
-SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "1920000"))
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "6"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "24"))
 SCALE_CORPUS = os.environ.get(
     "GRAFT_SCALE_CORPUS", f"/tmp/graft_scale_corpus_{SCALE_DOCS}"
 )
@@ -71,7 +71,7 @@ def _kg_build(sf_dir: str, num_cpus: int) -> int:
 
     g = build_graph(
         synth_vault(sf_dir, override_num_blocks=num_cpus * 2),
-        linker_concurrency=max(2, num_cpus // 2),
+        linker_concurrency=(2, max(4, num_cpus // 2)),
     )
     return _consume(sorted_triples(g.triples))
 

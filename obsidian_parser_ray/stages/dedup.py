@@ -175,6 +175,13 @@ class _MinHashBands:
                 "band_hash": pa.array(band_hashes, pa.int64()),
                 "doc_id": pa.array(out_ids, pa.int64()),
                 "sig": pa.array(sigs, pa.binary()),
+                # shuffle on a bounded partition key: same-bucket rows
+                # stay co-located (band_hash is uniform), but the Ray
+                # shuffle only handles ~num_parts groups instead of one
+                # Ray task per (mostly singleton) bucket
+                "part": pa.array(
+                    [h % 64 for h in band_hashes], pa.int32()
+                ),
             }
         )
 
@@ -213,25 +220,29 @@ def minhash_lsh_pairs(
     sig_words = num_hashes
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
-            )
-        g = g.sort_values("doc_id").head(max_bucket)
-        ids = g["doc_id"].to_numpy()
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.int64, count=sig_words) for s in g["sig"]]
-        )
+        """Pairs within ONE partition: pandas-groupby over the real
+        bucket key — cheap C-level iteration instead of one Ray task
+        per (mostly singleton) bucket."""
         ia, ib, est = [], [], []
-        n = len(ids)
-        for i in range(n - 1):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.nonzero(eq >= threshold)[0]
-            for j in hit:
-                ia.append(int(ids[i]))
-                ib.append(int(ids[i + 1 + j]))
-                est.append(float(eq[j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est})
+        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values("doc_id").head(max_bucket)
+            ids = sub["doc_id"].to_numpy()
+            sigs = np.stack(
+                [np.frombuffer(s, dtype=np.int64, count=sig_words) for s in sub["sig"]]
+            )
+            n = len(ids)
+            for i in range(n - 1):
+                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                hit = np.nonzero(eq >= threshold)[0]
+                for j in hit:
+                    ia.append(int(ids[i]))
+                    ib.append(int(ids[i + 1 + j]))
+                    est.append(float(eq[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est}).astype(
+            {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
+        )
 
     bands_ds = ds.map_batches(
         _MinHashBands,
@@ -247,7 +258,7 @@ def minhash_lsh_pairs(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = bands_ds.groupby("part").map_groups(
         bucket_pairs, batch_format="pandas"
     )
     import ray.data as rd
@@ -363,45 +374,53 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
 
     def add_simhash(t: pa.Table) -> pa.Table:
         hs = [simhash64(x) for x in t[text_col].to_pylist()]
-        rows_id, rows_block, rows_key, rows_hash = [], [], [], []
+        rows_id, rows_block, rows_key, rows_hash, rows_part = [], [], [], [], []
         for doc_id, h in zip(t[id_col].to_pylist(), hs):
             for blk in range(4):
+                key = (h >> (16 * blk)) & 0xFFFF
                 rows_id.append(doc_id)
                 rows_block.append(blk)
-                rows_key.append((h >> (16 * blk)) & 0xFFFF)
+                rows_key.append(key)
                 rows_hash.append(h - (1 << 63))  # store as signed int64
+                # bounded shuffle key (see minhash): scramble the
+                # 16-bit block value so partition sizes stay uniform
+                rows_part.append(((key * 2654435761 + blk) & 0xFFFFFFFF) % 64)
         return pa.table(
             {
                 id_col: pa.array(rows_id, pa.int64()),
                 "block": pa.array(rows_block, pa.int32()),
                 "block_key": pa.array(rows_key, pa.int32()),
                 "simhash": pa.array(rows_hash, pa.int64()),
+                "part": pa.array(rows_part, pa.int32()),
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
-            )
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        hs = (g["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
         ia, ib, hd = [], [], []
-        for i in range(len(ids) - 1):
-            x = hs[i + 1 :] ^ hs[i]
-            dist = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(dist <= max_hamming)[0]:
-                ia.append(int(ids[i]))
-                ib.append(int(ids[i + 1 + j]))
-                hd.append(int(dist[j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hd})
+        for _, sub in g.groupby(["block", "block_key"], sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values(id_col).head(max_bucket)
+            ids = sub[id_col].to_numpy()
+            hs = (sub["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(
+                np.uint64
+            )
+            for i in range(len(ids) - 1):
+                x = hs[i + 1 :] ^ hs[i]
+                dist = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(dist <= max_hamming)[0]:
+                    ia.append(int(ids[i]))
+                    ib.append(int(ids[i + 1 + j]))
+                    hd.append(int(dist[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hd}).astype(
+            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+        )
 
     from ray.data.aggregate import Min
 
     pairs = (
         ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=batch_size)
-        .groupby(["block", "block_key"])
+        .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     import ray.data as rd
@@ -440,33 +459,37 @@ def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
             {
                 id_col: t[id_col],
                 "bucket": pa.array(keys, pa.int64()),
+                "part": pa.array(
+                    ((keys * 2654435761) & 0xFFFFFFFF) % 64, pa.int32()
+                ),
                 vec_col: t[vec_col],
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        sim = unit @ unit.T
         ia, ib, cs = [], [], []
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = sim[iu, ju] >= threshold
-        for i, j in zip(iu[hit], ju[hit]):
-            ia.append(int(ids[i]))
-            ib.append(int(ids[j]))
-            cs.append(float(sim[i, j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+        for _, sub in g.groupby("bucket", sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values(id_col).head(max_bucket)
+            ids = sub[id_col].to_numpy()
+            vecs = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms[:, None]
+            sim = unit @ unit.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sim[iu, ju] >= threshold
+            for i, j in zip(iu[hit], ju[hit]):
+                ia.append(int(ids[i]))
+                ib.append(int(ids[j]))
+                cs.append(float(sim[i, j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow", batch_size=batch_size)
-        .groupby("bucket")
+        .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )

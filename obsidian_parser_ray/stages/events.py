@@ -76,20 +76,41 @@ def sessionize(events, *, key_col: str = "user_id", ts_col: str = "ts",
     """
     gap_s = gap_minutes * 60
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        secs = _epoch_seconds(g[ts_col]).to_numpy()
-        brk = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            brk[1:] = (secs[1:] - secs[:-1] > gap_s).astype(np.int64)
-        sess = brk.cumsum()
-        out = pd.DataFrame(
-            {key_col: g[key_col].to_numpy(), "session_idx": sess, "_s": secs}
-        )
-        agg = out.groupby([key_col, "session_idx"], as_index=False).agg(
-            n_events=("_s", "size"), start_s=("_s", "min"), end_s=("_s", "max")
-        )
-        return agg.astype(
+    def add_part(t: pa.Table) -> pa.Table:
+        # bounded shuffle key: one Ray task per partition, per-key
+        # session logic runs in a pandas groupby inside the task
+        keys = np.asarray(t[key_col])
+        part = ((keys.astype(np.int64) * 2654435761) & 0xFFFFFFFF) % 64
+        return t.append_column("part", pa.array(part.astype("int32"), pa.int32()))
+
+    def sessions_partition(p: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in p.groupby(key_col, sort=False):
+            g = g.sort_values(ts_col, kind="stable")
+            secs = _epoch_seconds(g[ts_col]).to_numpy()
+            brk = np.ones(len(g), dtype=np.int64)
+            if len(g) > 1:
+                brk[1:] = (secs[1:] - secs[:-1] > gap_s).astype(np.int64)
+            sess = brk.cumsum()
+            out = pd.DataFrame(
+                {key_col: g[key_col].to_numpy(), "session_idx": sess, "_s": secs}
+            )
+            frames.append(
+                out.groupby([key_col, "session_idx"], as_index=False).agg(
+                    n_events=("_s", "size"), start_s=("_s", "min"), end_s=("_s", "max")
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "session_idx": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "start_s": pd.Series([], dtype="int64"),
+                    "end_s": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True).astype(
             {
                 "session_idx": "int64",
                 "n_events": "int64",
@@ -98,6 +119,9 @@ def sessionize(events, *, key_col: str = "user_id", ts_col: str = "ts",
             }
         )
 
-    return events.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
-        sessions, batch_format="pandas"
+    return (
+        events.select_columns([key_col, ts_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions_partition, batch_format="pandas")
     )
