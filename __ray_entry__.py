@@ -146,6 +146,41 @@ def _q_doc_dedup_exact(sf_dir: str):
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_doc_dedup_drop(sf_dir: str):
+    """Exact-dedup row drop: keep min(doc_id) per distinct text."""
+    from obsidian_parser_ray.stages.dedup import drop_exact_duplicates
+
+    kept = drop_exact_duplicates(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return kept.select_columns(["doc_id"])
+
+
+def _q_doc_quality(sf_dir: str):  # rows-only (heuristic score, non-SQL)
+    from obsidian_parser_ray.stages.text import quality_score_batch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(quality_score_batch, batch_format="pyarrow", batch_size=512)
+        .select_columns(["doc_id", "quality"])
+    )
+
+
+def _q_doc_ngram_jaccard(sf_dir: str):  # rows-only (LSH + exact verify)
+    """Exact n-gram Jaccard verification of the MinHash-LSH candidates."""
+    from obsidian_parser_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_lsh_pairs(ds, threshold=0.3, concurrency=2).to_pandas()
+    return ngram_jaccard_pairs(ds, cand, threshold=0.4)
+
+
+def _q_events_topk_users(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    g = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return g.sort(["n_events", "user_id"], descending=[True, False]).limit(20)
+
+
 def _q_doc_profile(sf_dir: str):
     from obsidian_parser_ray.stages.text import text_profile
 
@@ -244,7 +279,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_markdown": _q_kg_markdown,
         "kg_analyzer": _q_kg_analyzer,
         "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_dedup_drop": _q_doc_dedup_drop,
         "doc_profile": _q_doc_profile,
+        "doc_quality": _q_doc_quality,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "events_topk_users": _q_events_topk_users,
         "lang_stats": _q_lang_stats,
         "doc_langid": _q_doc_langid,
         "doc_minhash_neardup": _q_doc_minhash_neardup,
@@ -322,6 +361,13 @@ SELECT 'extra/note_'||d, 'Shadow body.' FROM m WHERE d % 10 = 0
         "doc_dedup_exact": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS keeper,"
             " count(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)"
+        ),
+        "doc_dedup_drop": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "events_topk_users": (
+            "SELECT user_id, count(*)::BIGINT AS n_events FROM events"
+            " GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20"
         ),
         "doc_profile": r"""
 SELECT doc_id,

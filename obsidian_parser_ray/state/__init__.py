@@ -57,14 +57,27 @@ def checkpoint_dataset(ds, path: str, *, lineage: str = "", resume: bool = True)
     os.makedirs(tmp, exist_ok=True)
     t0 = time.perf_counter()
     ds.write_parquet(tmp)
-    n_rows = rd.read_parquet(tmp, file_extensions=["parquet"]).count()
+    # per-partition metrics from parquet footers (no data re-read):
+    # each output file is one resumable partition — a downstream
+    # consumer can skip, retry, or audit partitions individually.
+    import pyarrow.parquet as pq
+
+    partitions = {}
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(tmp, f)).metadata
+            partitions[f] = {
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(os.path.join(tmp, f)),
+                "row_groups": md.num_row_groups,
+            }
+    n_rows = sum(p["rows"] for p in partitions.values())
     manifest = {
         "rows": n_rows,
         "lineage": lineage,
         "wall_sec": round(time.perf_counter() - t0, 3),
-        "files": sorted(
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
-        ),
+        "files": sorted(partitions),
+        "partitions": partitions,
         "written_at": time.time(),
     }
     with open(manifest_path(tmp), "w") as f:
