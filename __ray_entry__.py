@@ -111,6 +111,14 @@ def _q_kg_components(sf_dir: str):
     return connected_components(edges, g.notes, num_partitions=4)
 
 
+def _q_kg_resolution(sf_dir: str):
+    """Link-resolution metrics: (pred, resolved) → mention count."""
+    from obsidian_parser_ray.stages.linking import resolution_stats
+
+    g = _graph(sf_dir)
+    return resolution_stats(g.mentions, g.dictionary)
+
+
 def _q_kg_analyzer(sf_dir: str):  # rows-only (composition job, non-SQL)
     """End-to-end analyzer report (examples/analyzer.rs parity),
     rebuilt on the filtered vault — verified against the pure-Python
@@ -278,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_markdown": _q_kg_markdown,
         "kg_analyzer": _q_kg_analyzer,
+        "kg_resolution": _q_kg_resolution,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_drop": _q_doc_dedup_drop,
         "doc_profile": _q_doc_profile,
@@ -345,6 +354,22 @@ reach(node, lbl) AS (
   SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
 )
 SELECT node, min(lbl) AS component FROM reach GROUP BY node
+""",
+        # mention counts by (pred, resolved): all tag/media mentions
+        # are literal-resolved; links resolve except the dangling
+        # [[missing_d]] (d%9==0); embeds/alias links always resolve
+        "kg_resolution": cte
+        + """
+SELECT 'links_to' AS pred, TRUE AS resolved,
+       (2*count(*) + sum(CASE WHEN d % 5 = 1 THEN 1 ELSE 0 END))::BIGINT
+         AS n_mentions FROM m
+UNION ALL SELECT 'links_to', FALSE,
+       sum(CASE WHEN d % 9 = 0 THEN 1 ELSE 0 END)::BIGINT FROM m
+UNION ALL SELECT 'embeds', TRUE,
+       (sum(CASE WHEN d % 4 = 0 THEN 1 ELSE 0 END)
+        + sum(CASE WHEN d % 6 = 0 THEN 1 ELSE 0 END))::BIGINT FROM m
+UNION ALL SELECT 'tagged', TRUE,
+       (2*count(*) + sum(CASE WHEN d % 13 = 0 THEN 1 ELSE 0 END))::BIGINT FROM m
 """,
         "kg_markdown": cte
         + """

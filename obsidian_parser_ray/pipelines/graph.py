@@ -155,13 +155,17 @@ def duplicates_by_content(notes):
     return g.filter(expr="n_docs > 1")
 
 
-def write_graph(result: GraphResult, out_dir: str) -> dict:
+def write_graph(result: GraphResult, out_dir: str,
+                *, num_partitions: int | None = None) -> dict:
     """Sorted materialize of the canonical triples + node table
     (north_star final stage), partitioned parquet + manifests."""
     from ..state import write_partitioned_output
 
     m1 = write_partitioned_output(
-        sorted_triples(result.triples), out_dir + "/triples", lineage="triples"
+        sorted_triples(result.triples),
+        out_dir + "/triples",
+        lineage="triples",
+        num_partitions=num_partitions,
     )
     m2 = write_partitioned_output(
         result.notes.select_columns(

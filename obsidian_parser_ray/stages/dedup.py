@@ -44,21 +44,31 @@ def _hash64(s: str, seed: int = 0) -> int:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+def _digest_fn(name: str):
+    """Pluggable digest (reference: generic ``digest::Digest`` param,
+    vault_duplicates.rs:62-66).  md5 is the oracle-comparable default."""
+    if name not in ("md5", "sha256", "blake2b"):
+        raise ValueError(f"unsupported digest {name!r}")
+    return lambda b: hashlib.new(name, b).hexdigest()
+
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                digest: str = "md5"):
     """Exact-duplicate groups: ``(keeper, n_copies)`` per distinct text.
 
-    map_batches(md5) → per-block partial (min id, count) per hash →
+    map_batches(digest) → per-block partial (min id, count) per hash →
     small groupby over partials.  Keeper = min(id) (first-wins parity
     with the reference's scan-order keeper, vault_duplicates.rs:69-89).
     """
     from ray.data.aggregate import Min, Sum
 
+    h = _digest_fn(digest)
+
     def hash_and_combine(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
                 "content_hash": [
-                    hashlib.md5(x.encode("utf-8")).hexdigest()
-                    for x in t[text_col].to_pylist()
+                    h(x.encode("utf-8")) for x in t[text_col].to_pylist()
                 ],
                 id_col: t[id_col].to_pandas(),
             }
@@ -74,29 +84,35 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def drop_exact_duplicates(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep one row (min id) per distinct text — groupby + per-group head."""
+def drop_exact_duplicates(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                          digest: str = "md5", num_partitions: int = 64):
+    """Keep one row (min id) per distinct text.
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    Hash-partition on the digest (bounded shuffle key) + per-partition
+    pandas dedup — one Ray task per partition instead of one per
+    distinct text."""
+    h = _digest_fn(digest)
 
     def add_hash(t: pa.Table) -> pa.Table:
+        hashes = [h(x.encode("utf-8")) for x in t[text_col].to_pylist()]
+        t = t.append_column("content_hash", pa.array(hashes, pa.string()))
         return t.append_column(
-            "content_hash",
-            pa.array(
-                [
-                    hashlib.md5(x.encode("utf-8")).hexdigest()
-                    for x in t[text_col].to_pylist()
-                ],
-                pa.string(),
-            ),
+            "part",
+            pa.array([int(x[:8], 16) % num_partitions for x in hashes], pa.int32()),
         )
+
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.sort_values(id_col, kind="stable")
+            .groupby("content_hash", sort=False)
+            .head(1)
+        )
+        return out.drop(columns=["content_hash", "part"])
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["content_hash"])
+        .groupby("part")
+        .map_groups(first_per_hash, batch_format="pandas")
     )
 
 

@@ -260,3 +260,63 @@ def explode_mentions(notes):
     return notes.select_columns(["doc_id", "mentions"]).map_batches(
         explode_mentions_batch, batch_format="pyarrow"
     )
+
+
+def project_properties(notes, fields: dict, *, prefix: str = "prop_"):
+    """User-schema projection of the dynamic properties payload.
+
+    The reference lets callers substitute any serde struct for the
+    frontmatter type (``Note<P>``, /root/reference/src/note/mod.rs:54-59,
+    README.md:34-41) — schema-on-read over the dynamic YAML map.  Here
+    the user supplies ``{field_name: pyarrow.DataType}``; each declared
+    field becomes a typed ``prop_<name>`` column.  Missing fields are
+    null; a type-incompatible value is nulled and reported in a
+    ``projection_error`` column (the analog of serde's per-note
+    ``Error::Yaml`` — callers choose skip-vs-fail).
+
+    Supported types: int64/float64/bool/string and list<string>.
+    """
+
+    def coerce(value, typ: pa.DataType):
+        if value is None:
+            return None, None
+        try:
+            if pa.types.is_integer(typ):
+                if isinstance(value, bool) or not isinstance(value, (int, float)):
+                    raise TypeError
+                return int(value), None
+            if pa.types.is_floating(typ):
+                if isinstance(value, bool) or not isinstance(value, (int, float)):
+                    raise TypeError
+                return float(value), None
+            if pa.types.is_boolean(typ):
+                if not isinstance(value, bool):
+                    raise TypeError
+                return value, None
+            if pa.types.is_list(typ):
+                if not isinstance(value, list):
+                    raise TypeError
+                return [str(v) for v in value], None
+            return (value, None) if isinstance(value, str) else (str(value), None)
+        except TypeError:
+            return None, f"type mismatch: {type(value).__name__}"
+
+    def project(batch: pa.Table) -> pa.Table:
+        props_json = batch["properties_json"].to_pylist()
+        cols: dict[str, list] = {name: [] for name in fields}
+        errors: list[str | None] = []
+        for pj in props_json:
+            props = json.loads(pj) if pj else {}
+            row_errs = []
+            for name, typ in fields.items():
+                v, err = coerce(props.get(name), typ)
+                cols[name].append(v)
+                if err:
+                    row_errs.append(f"{name}: {err}")
+            errors.append("; ".join(row_errs) or None)
+        out = batch
+        for name, typ in fields.items():
+            out = out.append_column(prefix + name, pa.array(cols[name], type=typ))
+        return out.append_column("projection_error", pa.array(errors, pa.string()))
+
+    return notes.map_batches(project, batch_format="pyarrow")

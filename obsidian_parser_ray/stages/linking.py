@@ -559,3 +559,34 @@ def link_mentions_shuffle(mentions, docs, *, num_partitions: int = 64,
             batch_format="pyarrow",
         )
     return edges
+
+
+def resolution_stats(mentions, dictionary, *, batch_size: int | None = None):
+    """Link-resolution observability: (pred, resolved) → count.
+
+    Runs the linker with unresolved mentions KEPT, then a tiny
+    partial-combine + groupby — the pipeline-metrics view the
+    north_rule's lineage/metrics requirement calls for at the job
+    level (e.g. to alert on dictionary drift / dangling-link rates).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    edges = link_mentions(
+        mentions, dictionary, batch_size=batch_size, drop_unresolved=False
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(["pred", "resolved"])
+            .append_column("n", pa.array([1] * t.num_rows, pa.int64()))
+            .group_by(["pred", "resolved"])
+            .aggregate([("n", "sum")])
+        )
+        return out.rename_columns(["pred", "resolved", "n"])
+
+    return (
+        edges.map_batches(combine, batch_format="pyarrow")
+        .groupby(["pred", "resolved"])
+        .aggregate(Sum("n", alias_name="n_mentions"))
+    )

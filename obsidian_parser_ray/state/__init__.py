@@ -88,11 +88,19 @@ def checkpoint_dataset(ds, path: str, *, lineage: str = "", resume: bool = True)
     return rd.read_parquet(path, file_extensions=["parquet"])
 
 
-def write_partitioned_output(triples, out_dir: str, *, lineage: str = "") -> dict:
-    """Final sink: partitioned parquet + manifest (resumable output)."""
+def write_partitioned_output(triples, out_dir: str, *, lineage: str = "",
+                             num_partitions: int | None = None) -> dict:
+    """Final sink: partitioned parquet + manifest (resumable output).
+
+    ``num_partitions`` coalesces/splits output files (order-preserving
+    repartition — sorted runs stay sorted); size it so each partition
+    is a few hundred MB at scale.
+    """
     import ray.data as rd
 
     if load_manifest(out_dir) is not None:
         return load_manifest(out_dir)
+    if num_partitions is not None:
+        triples = triples.repartition(num_partitions)
     checkpoint_dataset(triples, out_dir, lineage=lineage, resume=False)
     return load_manifest(out_dir)

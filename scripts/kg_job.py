@@ -1,0 +1,76 @@
+"""KG-construction job entry point (`ray job submit` compatible).
+
+    ray job submit --working-dir . -- \
+        python scripts/kg_job.py --input vault.parquet --output /out/kg \
+        [--checkpoint-dir /ckpt] [--undirected] [--streaming] \
+        [--linker-concurrency N] [--num-blocks B]
+
+Runs the flagship pipeline (extract → entity-link → canonicalize →
+sorted materialize) and prints a one-line JSON job report (row counts,
+wall time, per-partition manifests).  Owns its Ray session when run
+standalone; inside `ray job submit` it attaches to the cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet/lance path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--undirected", action="store_true")
+    ap.add_argument("--no-tags", action="store_true")
+    ap.add_argument("--no-child-of", action="store_true")
+    ap.add_argument("--streaming", action="store_true",
+                    help="slim dictionary sweep, no notes barrier")
+    ap.add_argument("--linker-concurrency", type=int, default=8)
+    ap.add_argument("--num-blocks", type=int, default=None)
+    ap.add_argument("--output-partitions", type=int, default=None,
+                    help="coalesce output files (order-preserving)")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="auto" if "--address" in sys.argv else "local",
+                 include_dashboard=False, logging_level="ERROR")
+
+    from obsidian_parser_ray import build_graph, write_graph
+    from obsidian_parser_ray.sources import read_documents
+
+    t0 = time.perf_counter()
+    docs = read_documents(args.input, override_num_blocks=args.num_blocks)
+    g = build_graph(
+        docs,
+        directed=not args.undirected,
+        include_tags=not args.no_tags,
+        include_child_of=not args.no_child_of,
+        checkpoint_dir=args.checkpoint_dir,
+        linker_concurrency=args.linker_concurrency,
+        materialize_notes=not args.streaming,
+    )
+    manifests = write_graph(g, args.output, num_partitions=args.output_partitions)
+    report = {
+        "input": args.input,
+        "output": args.output,
+        "triples": manifests["triples"]["rows"],
+        "nodes": manifests["nodes"]["rows"],
+        "wall_sec": round(time.perf_counter() - t0, 3),
+        "partitions": {
+            k: len(m["files"]) for k, m in manifests.items()
+        },
+    }
+    print(json.dumps(report))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

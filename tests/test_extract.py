@@ -125,3 +125,50 @@ def test_schema_stability():
 
     assert out.schema == NOTES_SCHEMA
     assert out["n_words"].type == pa.int64()
+
+
+class TestProjectProperties:
+    """User-schema projection over dynamic frontmatter (the reference's
+    serde-generic Note<P> surface, note/mod.rs:54-59)."""
+
+    def _notes(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.corpus import spans_table, spans_from_raw
+        from obsidian_parser_ray.stages.extract import extract_notes
+
+        rows = [
+            ("a", spans_from_raw("---\nid: 7\nscore: 1.5\nflag: true\nname: x\nlist:\n- p\n- q\n---\nbody")),
+            ("b", spans_from_raw("---\nid: not_an_int\n---\nbody")),
+            ("c", spans_from_raw("no frontmatter")),
+        ]
+        return extract_notes(rd.from_arrow(spans_table(rows)))
+
+    def test_typed_projection(self, ray_session):
+        import pyarrow as pa
+
+        from obsidian_parser_ray.stages.extract import project_properties
+
+        out = project_properties(
+            self._notes(),
+            {
+                "id": pa.int64(),
+                "score": pa.float64(),
+                "flag": pa.bool_(),
+                "name": pa.string(),
+                "list": pa.list_(pa.string()),
+            },
+        )
+        rows = {r["doc_id"]: r for r in out.take_all()}
+        a = rows["a"]
+        assert a["prop_id"] == 7 and a["prop_score"] == 1.5
+        assert a["prop_flag"] is True and a["prop_name"] == "x"
+        assert a["prop_list"] == ["p", "q"]
+        assert a["projection_error"] is None
+        # serde-style error: wrong type reported per-row, value nulled
+        b = rows["b"]
+        assert b["prop_id"] is None
+        assert "id: type mismatch" in b["projection_error"]
+        # absent frontmatter → all null, no error
+        c = rows["c"]
+        assert c["prop_id"] is None and c["projection_error"] is None

@@ -286,3 +286,33 @@ class TestShuffleJoinLinking:
             )
 
         assert as_counter(bcast) == as_counter(shuf)
+
+
+class TestResolutionStats:
+    def test_counts(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.corpus import spans_table, spans_from_raw
+        from obsidian_parser_ray.stages.extract import explode_mentions, extract_notes
+        from obsidian_parser_ray.stages.linking import (
+            build_dictionary,
+            resolution_stats,
+        )
+
+        rows = [
+            ("a", spans_from_raw("[[b]] [[missing]] #t ![[b]]")),
+            ("b", spans_from_raw("[[a]]")),
+        ]
+        notes = extract_notes(rd.from_arrow(spans_table(rows))).materialize()
+        stats = {
+            (r["pred"], r["resolved"]): r["n_mentions"]
+            for r in resolution_stats(
+                explode_mentions(notes), build_dictionary(notes)
+            ).take_all()
+        }
+        assert stats == {
+            ("links_to", True): 2,
+            ("links_to", False): 1,
+            ("embeds", True): 1,
+            ("tagged", True): 1,
+        }
