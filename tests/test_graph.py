@@ -316,3 +316,36 @@ class TestResolutionStats:
             ("embeds", True): 1,
             ("tagged", True): 1,
         }
+
+
+class TestHubSkew:
+    """north_rule: hub-note skew handled by the salted two-phase
+    canonicalization — correctness under a pathological hub."""
+
+    def test_hub_weights_exact(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.corpus import spans_table, spans_from_raw
+        from obsidian_parser_ray.stages.canonicalize import degree_top_k
+
+        n = 400
+        rows = [("hub", spans_from_raw("the hub"))]
+        # every note links the hub 3 times (parallel edges kept as weight)
+        rows += [
+            (f"n{i}", spans_from_raw("[[hub]] mid [[hub]] end [[hub]]"))
+            for i in range(n)
+        ]
+        from obsidian_parser_ray import build_graph
+
+        g = build_graph(
+            rd.from_arrow(spans_table(rows)), include_child_of=False,
+            linker_concurrency=2,
+        )
+        hub_triples = {
+            (r["subj"], r["obj"]): r["weight"]
+            for r in g.triples.filter(expr="obj == 'hub'").take_all()
+        }
+        assert len(hub_triples) == n
+        assert all(w == 3 for w in hub_triples.values())
+        top = degree_top_k(g.triples, pred="links_to", by="obj", k=1).take_all()
+        assert top[0]["obj"] == "hub" and top[0]["degree"] == 3 * n
