@@ -77,3 +77,52 @@ def test_ivf_full_probe_is_exact(emb_ds):
         e = list(exact[exact["query_id"] == qid].sort_values("rank")["neighbor_id"])
         f = list(full[full["query_id"] == qid].sort_values("rank")["neighbor_id"])
         assert e == f
+
+
+class TestPersistedIVF:
+    def test_build_and_search(self, tmp_path, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.similarity import (
+            build_ivf_index,
+            knn_bruteforce,
+            search_ivf_index,
+        )
+
+        rng = np.random.RandomState(7)
+        n, dim = 400, 16
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+        idx_dir = str(tmp_path / "ivf")
+        man = build_ivf_index(ds, idx_dir, n_centroids=8)
+        assert man["n_centroids"] == 8
+        assert sum(man["list_rows"].values()) == n
+
+        q = ([0, 1, 2], vecs[:3].astype(np.float64))
+        exact = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_bruteforce(ds, q, k=5).take_all()
+        }
+        approx = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in search_ivf_index(idx_dir, q, k=5, nprobe=8).take_all()
+        }
+        # probing ALL lists == exact search
+        assert approx == exact
+        # probing fewer lists still returns k ranked rows per query
+        some = search_ivf_index(idx_dir, q, k=5, nprobe=2).take_all()
+        per_q = {}
+        for r in some:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
