@@ -158,7 +158,7 @@ def extract_note_row(doc_id: str, spans: list[dict]) -> tuple[dict, list[dict]]:
         "tags": tags,
         "aliases": frontmatter_aliases(props),
         "is_todo": is_todo(tags),
-        "n_words": word_count(content),
+        "n_words": word_count(content, encoded),
         "n_bytes": len(encoded),
         "content_hash": hashlib.md5(encoded).hexdigest(),
         "parse_error": err,

@@ -99,3 +99,20 @@ def test_emoji_table_spotchecks():
     assert _is_emoji("😭") and _is_emoji("⚡") and _is_emoji("*")
     assert not _is_emoji("a") and not _is_emoji("я")
     assert _tag_char_ok("😭") and not _tag_char_ok("#")
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT)
+def test_word_count_fast_path_matches_split(text):
+    from obsidian_parser_ray.parser import word_count
+
+    enc = text.encode("utf-8")
+    assert word_count(text, enc) == len(text.split())
+
+
+def test_word_count_ascii_control_whitespace():
+    from obsidian_parser_ray.parser import word_count
+
+    for s in ["a\x1cb", "a\x1db c", " \x1e ", "", "x", "  lead", "trail  ",
+              "\ta\vb\fc\rd\ne"]:
+        assert word_count(s, s.encode()) == len(s.split())
