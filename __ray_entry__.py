@@ -181,6 +181,14 @@ def _q_doc_ngram_jaccard(sf_dir: str):  # rows-only (LSH + exact verify)
     return ngram_jaccard_pairs(ds, cand, threshold=0.4)
 
 
+def _q_doc_chunks(sf_dir: str):
+    from obsidian_parser_ray.stages.chunking import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=200, overlap=50
+    )
+
+
 def _q_events_topk_users(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -291,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_drop": _q_doc_dedup_drop,
         "doc_profile": _q_doc_profile,
         "doc_quality": _q_doc_quality,
+        "doc_chunks": _q_doc_chunks,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "events_topk_users": _q_events_topk_users,
         "lang_stats": _q_lang_stats,
@@ -390,6 +399,30 @@ SELECT 'extra/note_'||d, 'Shadow body.' FROM m WHERE d % 10 = 0
         "doc_dedup_drop": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        # word-window chunking: window=200, stride=150; last window
+        # truncated; single-space-joined chunk text
+        "doc_chunks": r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (
+  SELECT doc_id, ws, array_length(ws) AS n,
+         CASE WHEN array_length(ws) <= 200 THEN 1
+              ELSE 1 + CAST(ceil((array_length(ws) - 200) / 150.0) AS INT)
+         END AS k
+  FROM w
+),
+x AS (
+  SELECT doc_id, ws, n, unnest(generate_series(1, k)) AS i FROM c
+)
+SELECT doc_id,
+       (i - 1)::BIGINT AS chunk_idx,
+       array_to_string(ws[(i-1)*150 + 1 : least((i-1)*150 + 200, n)], ' ')
+         AS chunk_text,
+       (least((i-1)*150 + 200, n) - (i-1)*150)::BIGINT AS n_tokens
+FROM x
+""",
         "events_topk_users": (
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events"
             " GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20"

@@ -1,0 +1,82 @@
+"""Training-data export operators: document chunking + shuffled shards.
+
+* :func:`chunk_documents` — split each document into overlapping
+  word-window chunks (``flat_map``-shaped explode done vectorized in
+  ``map_batches``).  Deterministic; chunk text joins words with single
+  spaces (whitespace-normalizing, documented) so the DuckDB oracle can
+  reproduce every chunk exactly.
+* :func:`export_training_shards` — deterministic ``random_shuffle``
+  (seeded) + fixed shard count + manifest: the standard "shuffle once,
+  shard for epoch reading" layout.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def chunk_rows(text: str, window: int, stride: int) -> list[tuple[int, str, int]]:
+    """One document → [(chunk_idx, chunk_text, n_tokens)].
+
+    Whitespace tokens; windows of ``window`` words advancing by
+    ``stride``; the final window is truncated, never padded; documents
+    with no tokens produce no chunks.
+    """
+    words = text.split()
+    n = len(words)
+    if n == 0:
+        return []
+    out = []
+    idx = 0
+    start = 0
+    while True:
+        end = min(start + window, n)
+        out.append((idx, " ".join(words[start:end]), end - start))
+        if end >= n:
+            break
+        idx += 1
+        start += stride
+    return out
+
+
+def chunk_documents(ds, *, window: int = 200, overlap: int = 50,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    batch_size: int | None = 512):
+    """documents → chunk rows ``(doc_id, chunk_idx, chunk_text, n_tokens)``."""
+    if not 0 <= overlap < window:
+        raise ValueError("require 0 <= overlap < window")
+    stride = window - overlap
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, texts, counts = [], [], [], []
+        for doc_id, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for idx, chunk, n_tok in chunk_rows(text or "", window, stride):
+                ids.append(doc_id)
+                idxs.append(idx)
+                texts.append(chunk)
+                counts.append(n_tok)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+                "n_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)
+
+
+def export_training_shards(ds, out_dir: str, *, num_shards: int = 16,
+                           seed: int = 42, lineage: str = "training_shards") -> dict:
+    """Deterministic shuffle + sharded parquet export + manifest.
+
+    ``random_shuffle(seed)`` is a full shuffle by design (that IS the
+    operator); shard count fixes the output layout so epoch readers
+    can assign shards to workers.  Returns the manifest (per-partition
+    rows/bytes from :func:`state.write_partitioned_output`).
+    """
+    from ..state import write_partitioned_output
+
+    shuffled = ds.random_shuffle(seed=seed).repartition(num_shards)
+    return write_partitioned_output(shuffled, out_dir, lineage=lineage)

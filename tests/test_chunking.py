@@ -1,0 +1,80 @@
+"""Chunking + shuffled shard export."""
+
+import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from obsidian_parser_ray.stages.chunking import (
+    chunk_documents,
+    chunk_rows,
+    export_training_shards,
+)
+
+
+class TestChunkRows:
+    def test_boundaries(self):
+        words = " ".join(f"w{i}" for i in range(350))
+        chunks = chunk_rows(words, 200, 150)
+        assert [c[0] for c in chunks] == [0, 1]
+        assert chunks[0][2] == 200 and chunks[1][2] == 200
+        assert chunks[1][1].split()[0] == "w150"
+        assert chunk_rows(" ".join(["x"] * 200), 200, 150) == [
+            (0, " ".join(["x"] * 200), 200)
+        ]
+        assert len(chunk_rows(" ".join(["x"] * 351), 200, 150)) == 3
+        assert chunk_rows("", 200, 150) == []
+        assert chunk_rows("   ", 200, 150) == []
+
+    def test_overlap_content(self):
+        chunks = chunk_rows("a b c d e", 3, 2)
+        assert chunks == [(0, "a b c", 3), (1, "c d e", 3)]
+
+
+class TestChunkDocuments:
+    def test_explode(self, ray_session):
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(
+                        [" ".join(f"w{i}" for i in range(250)), "short", ""],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        rows = chunk_documents(ds, window=100, overlap=20).take_all()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc[1]) == 3  # 250 words, stride 80: [0:100][80:180][160:250]
+        assert by_doc[1][2]["n_tokens"] == 90
+        assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 1
+        assert 3 not in by_doc
+
+
+class TestExportShards:
+    def test_deterministic_shards(self, tmp_path, ray_session):
+        ds = rd.range(1000).map_batches(
+            lambda t: pa.table({"id": t["column_0"] if "column_0" in t.column_names else t["id"]}),
+            batch_format="pyarrow",
+        )
+
+        def read_ids(d):
+            ids = []
+            for f in sorted(glob.glob(f"{d}/*.parquet")):
+                ids.append(pq.read_table(f)["id"].to_pylist())
+            return ids
+
+        m1 = export_training_shards(ds, str(tmp_path / "a"), num_shards=4, seed=7)
+        m2 = export_training_shards(ds, str(tmp_path / "b"), num_shards=4, seed=7)
+        assert m1["rows"] == m2["rows"] == 1000
+        a, b = read_ids(str(tmp_path / "a")), read_ids(str(tmp_path / "b"))
+        assert len(a) == 4
+        assert a == b  # same seed → identical shard layout
+        flat = [x for s in a for x in s]
+        assert sorted(flat) == list(range(1000))
+        assert flat != sorted(flat)  # actually shuffled
