@@ -183,3 +183,69 @@ def write_graph(result: GraphResult, out_dir: str,
         lineage="nodes",
     )
     return {"triples": m1, "nodes": m2}
+
+
+def _subj_bucket(col, num_buckets: int):
+    import pandas as pd
+    import pyarrow as pa
+
+    h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
+    return pa.array((h % num_buckets).astype("int32"), pa.int32())
+
+
+def write_adjacency(result: GraphResult, out_dir: str, *,
+                    num_buckets: int = 64) -> dict:
+    """Bucketed adjacency layout: canonical triples hash-partitioned on
+    ``subj`` (hive ``subj_bucket=`` dirs), sorted within buckets.
+
+    The storage-side half of "pick ONE partitioning key and reuse it":
+    per-subject adjacency reads prune to a single bucket directory —
+    at 10^12 triples a lookup touches 1/num_buckets of the table.
+    """
+    import json
+    import os
+
+    import pyarrow as pa
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        subj = t["subj"]
+        if isinstance(subj, pa.ChunkedArray):
+            subj = subj.combine_chunks()
+        return t.append_column("subj_bucket", _subj_bucket(subj, num_buckets))
+
+    tri = result.triples.map_batches(add_bucket, batch_format="pyarrow")
+    tri = tri.sort(["subj_bucket", "subj", "pred", "obj"])
+    data_dir = os.path.join(out_dir, "data")
+    tri.write_parquet(data_dir, partition_cols=["subj_bucket"])
+    manifest = {"num_buckets": num_buckets, "hash": "pd.util.hash_array"}
+    with open(os.path.join(out_dir, "_ADJ_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_adjacency(out_dir: str, subj: str):
+    """Partition-pruned adjacency lookup: triples of ONE subject."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "_ADJ_MANIFEST.json")) as f:
+        man = json.load(f)
+    # int() BEFORE the modulo: a np.uint64 scalar % python int promotes
+    # to float64 and silently corrupts the bucket id
+    bucket = int(pd.util.hash_array(np.asarray([subj], dtype=object))[0]) % man[
+        "num_buckets"
+    ]
+    path = os.path.join(out_dir, "data", f"subj_bucket={bucket}")
+    if not os.path.isdir(path):
+        import pyarrow as pa
+
+        return rd.from_arrow(
+            pa.table({"subj": [], "pred": [], "obj": [], "weight": []})
+        )
+    return rd.read_parquet(path, file_extensions=["parquet"]).filter(
+        expr=f"subj == {subj!r}"
+    )

@@ -349,3 +349,21 @@ class TestHubSkew:
         assert all(w == 3 for w in hub_triples.values())
         top = degree_top_k(g.triples, pred="links_to", by="obj", k=1).take_all()
         assert top[0]["obj"] == "hub" and top[0]["degree"] == 3 * n
+
+
+class TestAdjacencyLayout:
+    def test_bucketed_write_and_pruned_read(self, tmp_path):
+        from obsidian_parser_ray import build_graph
+        from obsidian_parser_ray.pipelines.graph import read_adjacency, write_adjacency
+        from obsidian_parser_ray.sources import from_markdown_items
+
+        docs = from_markdown_items(
+            [(f"n{i}", f"[[n{(i + 1) % 12}]] and [[n{(i + 2) % 12}]]") for i in range(12)]
+        )
+        g = build_graph(docs, include_child_of=False)
+        out = str(tmp_path / "adj")
+        man = write_adjacency(g, out, num_buckets=4)
+        assert man["num_buckets"] == 4
+        rows = read_adjacency(out, "n3").take_all()
+        assert {(r["subj"], r["obj"]) for r in rows} == {("n3", "n4"), ("n3", "n5")}
+        assert all(r["weight"] == 1 for r in rows)
