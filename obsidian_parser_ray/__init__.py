@@ -13,6 +13,8 @@ from .pipelines.graph import (
     build_graph,
     duplicates_by_content,
     duplicates_by_name,
+    read_adjacency,
+    write_adjacency,
     write_graph,
 )
 
@@ -24,8 +26,10 @@ __all__ = [
     "build_graph",
     "duplicates_by_content",
     "duplicates_by_name",
+    "read_adjacency",
     "spans_from_raw",
     "synth_vault",
+    "write_adjacency",
     "write_graph",
 ]
 

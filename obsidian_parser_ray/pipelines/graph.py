@@ -185,14 +185,6 @@ def write_graph(result: GraphResult, out_dir: str,
     return {"triples": m1, "nodes": m2}
 
 
-def _subj_bucket(col, num_buckets: int):
-    import pandas as pd
-    import pyarrow as pa
-
-    h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
-    return pa.array((h % num_buckets).astype("int32"), pa.int32())
-
-
 def write_adjacency(result: GraphResult, out_dir: str, *,
                     num_buckets: int = 64) -> dict:
     """Bucketed adjacency layout: canonical triples hash-partitioned on
@@ -211,15 +203,26 @@ def write_adjacency(result: GraphResult, out_dir: str, *,
         subj = t["subj"]
         if isinstance(subj, pa.ChunkedArray):
             subj = subj.combine_chunks()
-        return t.append_column("subj_bucket", _subj_bucket(subj, num_buckets))
+        from ..hashing import hash_bucket_array
 
+        return t.append_column("subj_bucket", hash_bucket_array(subj, num_buckets))
+
+    # atomic + idempotent (same contract as state.checkpoint_dataset):
+    # write into a tmp dir, rename into place — a rerun replaces the
+    # layout instead of APPENDing duplicate files into bucket dirs, and
+    # a crash never leaves a manifest over partial data.
+    import shutil
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     tri = result.triples.map_batches(add_bucket, batch_format="pyarrow")
     tri = tri.sort(["subj_bucket", "subj", "pred", "obj"])
-    data_dir = os.path.join(out_dir, "data")
-    tri.write_parquet(data_dir, partition_cols=["subj_bucket"])
+    tri.write_parquet(os.path.join(tmp, "data"), partition_cols=["subj_bucket"])
     manifest = {"num_buckets": num_buckets, "hash": "pd.util.hash_array"}
-    with open(os.path.join(out_dir, "_ADJ_MANIFEST.json"), "w") as f:
+    with open(os.path.join(tmp, "_ADJ_MANIFEST.json"), "w") as f:
         json.dump(manifest, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
     return manifest
 
 
@@ -228,23 +231,25 @@ def read_adjacency(out_dir: str, subj: str):
     import json
     import os
 
-    import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     import ray.data as rd
+
+    from ..hashing import hash_bucket_scalar
 
     with open(os.path.join(out_dir, "_ADJ_MANIFEST.json")) as f:
         man = json.load(f)
-    # int() BEFORE the modulo: a np.uint64 scalar % python int promotes
-    # to float64 and silently corrupts the bucket id
-    bucket = int(pd.util.hash_array(np.asarray([subj], dtype=object))[0]) % man[
-        "num_buckets"
-    ]
+    bucket = hash_bucket_scalar(subj, man["num_buckets"])
     path = os.path.join(out_dir, "data", f"subj_bucket={bucket}")
     if not os.path.isdir(path):
-        import pyarrow as pa
-
         return rd.from_arrow(
-            pa.table({"subj": [], "pred": [], "obj": [], "weight": []})
+            pa.table(
+                {
+                    "subj": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
         )
     return rd.read_parquet(path, file_extensions=["parquet"]).filter(
         expr=f"subj == {subj!r}"

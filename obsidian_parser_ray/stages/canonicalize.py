@@ -65,17 +65,12 @@ def _add_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
     north_rule asks for.  Hub keys are ALREADY split across blocks by
     the phase-1 combiner (block id = implicit salt), so a hot triple
     contributes at most one row per block to its partition."""
-    import pandas as pd
+    from ..hashing import hash_bucket_array
 
     keys = pc.binary_join_element_wise(
         batch["subj"], batch["pred"], batch["obj"], "\x00"
     )
-    # pd.util.hash_array: vectorized siphash with a fixed key —
-    # deterministic across worker processes (the same property dask
-    # relies on for shuffle partitioning).
-    h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
-    part = pa.array((h % num_partitions).astype("int32"), pa.int32())
-    return batch.append_column("part", part)
+    return batch.append_column("part", hash_bucket_array(keys, num_partitions))
 
 
 def _collapse_partition(part: pa.Table) -> pa.Table:

@@ -459,9 +459,10 @@ def link_mentions_shuffle(mentions, docs, *, num_partitions: int = 64,
     empty = pa.array([], pa.string())
     empty_dict = ArrowLinkDictionary(empty, empty, empty, empty, empty)
 
+    from ..hashing import hash_bucket_array
+
     def part_of(keys: pa.Array) -> pa.Array:
-        h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
-        return pa.array((h % num_partitions).astype("int32"), pa.int32())
+        return hash_bucket_array(keys, num_partitions)
 
     # literal mentions bypass: resolved verbatim, no shuffle
     def literal_edges(t: pa.Table) -> pa.Table:

@@ -367,3 +367,15 @@ class TestAdjacencyLayout:
         rows = read_adjacency(out, "n3").take_all()
         assert {(r["subj"], r["obj"]) for r in rows} == {("n3", "n4"), ("n3", "n5")}
         assert all(r["weight"] == 1 for r in rows)
+
+    def test_rewrite_is_idempotent(self, tmp_path):
+        from obsidian_parser_ray import build_graph, read_adjacency, write_adjacency
+        from obsidian_parser_ray.sources import from_markdown_items
+
+        docs = from_markdown_items([("a", "[[b]]"), ("b", "[[a]]")])
+        out = str(tmp_path / "adj2")
+        g = build_graph(docs, include_child_of=False)
+        write_adjacency(g, out, num_buckets=2)
+        write_adjacency(g, out, num_buckets=2)  # rerun must REPLACE, not append
+        rows = read_adjacency(out, "a").take_all()
+        assert len(rows) == 1 and rows[0]["obj"] == "b" and rows[0]["weight"] == 1
