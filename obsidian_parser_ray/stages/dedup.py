@@ -2,25 +2,28 @@
 
 All operators follow the same scale discipline as the KG pipeline:
 vectorized per-batch kernels, pre-aggregation before any shuffle, and
-groupby-based candidate generation instead of all-pairs comparison.
+bucketed candidate generation instead of all-pairs comparison.
 
 * :func:`exact_dedup` — hash-partition + per-group first (the
   distributed version of the reference's content-digest dedup,
   /root/reference/src/vault/vault_duplicates.rs:62-95).
 * :func:`minhash_lsh_pairs` — shingle → MinHash → band → bucket
-  groupby → verified Jaccard pairs (classic MinHash-LSH as in
-  Broder 1997 / MMDS ch.3).
+  groupby → signature-verified Jaccard pairs (classic MinHash-LSH as
+  in Broder 1997 / MMDS ch.3).  Signatures ship through the shuffle
+  ONCE per document (banded candidate generation carries only 16-byte
+  band rows; verification joins candidates back to the signature
+  table).
 * :func:`simhash_pairs` — Charikar SimHash with block-permutation
   candidate buckets, verified by Hamming distance.
 * :func:`embedding_neardup_pairs` — random-hyperplane LSH buckets over
   an embedding column, verified by exact cosine.
 
-Pair outputs are canonical ``id_a < id_b``, deduplicated, deterministic
-(seeded hash families), and never materialize the full dataset on the
-driver: candidate buckets go through ``groupby().map_groups`` so only
-same-bucket rows co-locate.  Hub-sized buckets are truncated with an
-explicit ``max_bucket`` guard (logged in the output as a flag column
-would be overkill — the guard bounds worst-case O(b²) verify work).
+Pair outputs are canonical ``id_a < id_b`` (ints or strings — the id
+column's type is preserved), deduplicated, deterministic (seeded hash
+families).  Bucket co-location uses the ONE shared partition hash
+(:mod:`obsidian_parser_ray.hashing`); hub-sized buckets are truncated
+with an explicit ``max_bucket`` guard bounding worst-case O(b²) verify
+work.
 """
 
 from __future__ import annotations
@@ -31,12 +34,22 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_MERSENNE = (1 << 61) - 1
+from ..hashing import hash_bucket_array
+
+# 31-bit Mersenne prime: (a*x + b) products stay < 2^62, EXACT in
+# int64 — a 61-bit prime would silently wrap int64 multiplication and
+# void the universal-hash guarantee.
+_MERSENNE31 = (1 << 31) - 1
 
 
 def _hash64(s: str, seed: int = 0) -> int:
     h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little"))
     return int.from_bytes(h.digest(), "little")
+
+
+def _id_type(ds, id_col: str) -> pa.DataType:
+    sch = ds.schema()
+    return dict(zip(sch.names, sch.types))[id_col]
 
 
 # ---------------------------------------------------------------------------
@@ -97,8 +110,7 @@ def drop_exact_duplicates(ds, *, text_col: str = "text", id_col: str = "doc_id",
         hashes = [h(x.encode("utf-8")) for x in t[text_col].to_pylist()]
         t = t.append_column("content_hash", pa.array(hashes, pa.string()))
         return t.append_column(
-            "part",
-            pa.array([int(x[:8], 16) % num_partitions for x in hashes], pa.int32()),
+            "part", hash_bucket_array(np.asarray(hashes, dtype=object), num_partitions)
         )
 
     def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
@@ -137,29 +149,39 @@ def jaccard(a: set, b: set) -> float:
 
 
 class MinHasher:
-    """Seeded universal-hash MinHash family (held once per actor)."""
+    """Seeded universal-hash MinHash family (held once per actor).
+
+    31-bit family: ``(a*x + b) mod (2^31 - 1)`` with a, b, x < 2^31 —
+    every intermediate fits int64 exactly (no silent wrap), signatures
+    store as int32.
+    """
 
     def __init__(self, num_hashes: int = 64, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-        self.b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+        self.a = rng.randint(1, _MERSENNE31, size=num_hashes, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE31, size=num_hashes, dtype=np.int64)
         self.num_hashes = num_hashes
 
     def signature(self, shingles: set[str]) -> np.ndarray:
         if not shingles:
-            return np.full(self.num_hashes, _MERSENNE, dtype=np.int64)
+            return np.full(self.num_hashes, _MERSENNE31, dtype=np.int32)
         base = np.fromiter(
-            (_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in shingles),
+            (_hash64(s) % _MERSENNE31 for s in shingles),
             dtype=np.int64,
             count=len(shingles),
         )
-        # (a*x + b) mod p for every (hash, shingle) pair, min over shingles
-        prod = (self.a[:, None] * (base[None, :] % _MERSENNE)) % _MERSENNE
-        return ((prod + self.b[:, None]) % _MERSENNE).min(axis=1)
+        # (a*x + b) mod p per (hash, shingle); min over shingles
+        prod = (self.a[:, None] * base[None, :]) % _MERSENNE31
+        return (
+            ((prod + self.b[:, None]) % _MERSENNE31).min(axis=1).astype(np.int32)
+        )
 
 
-class _MinHashBands:
-    """Actor-pool stage: doc → (band_id, band_hash, doc_id, sig) rows."""
+_SIG_DTYPE = np.int32
+
+
+class _MinHashDocs:
+    """Actor-pool stage: doc → ONE row (doc_id, sig, band_hashes)."""
 
     def __init__(self, num_hashes: int, bands: int, shingle_k: int, seed: int,
                  text_col: str, id_col: str):
@@ -171,33 +193,28 @@ class _MinHashBands:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t[self.id_col].to_pylist()
         texts = t[self.text_col].to_pylist()
-        band_ids, band_hashes, out_ids, sigs = [], [], [], []
-        for doc_id, text in zip(ids, texts):
+        sigs, band_lists = [], []
+        for text in texts:
             sig = self.mh.signature(word_shingles(text, self.k))
-            sig_bytes = sig.tobytes()
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                band_ids.append(b)
-                band_hashes.append(
-                    _hash64(chunk.tobytes().hex(), seed=b) & 0x7FFFFFFFFFFFFFFF
-                )
-                out_ids.append(doc_id)
-                sigs.append(sig_bytes)
+            sigs.append(sig.tobytes())
+            band_lists.append(
+                [
+                    _hash64(
+                        sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                        .tobytes()
+                        .hex(),
+                        seed=b,
+                    )
+                    & 0x7FFFFFFFFFFFFFFF
+                    for b in range(self.bands)
+                ]
+            )
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                "doc_id": pa.array(out_ids, pa.int64()),
+                "doc_id": t[self.id_col],
                 "sig": pa.array(sigs, pa.binary()),
-                # shuffle on a bounded partition key: same-bucket rows
-                # stay co-located (band_hash is uniform), but the Ray
-                # shuffle only handles ~num_parts groups instead of one
-                # Ray task per (mostly singleton) bucket
-                "part": pa.array(
-                    [h % 64 for h in band_hashes], pa.int32()
-                ),
+                "band_hashes": pa.array(band_lists, pa.list_(pa.int64())),
             }
         )
 
@@ -215,53 +232,35 @@ def minhash_lsh_pairs(
     max_bucket: int = 200,
     concurrency=(1, 8),
     batch_size: int | None = 512,
+    num_partitions: int = 64,
 ):
-    """Near-duplicate pairs with estimated-Jaccard verification.
+    """Near-duplicate pairs with signature-estimated-Jaccard verification.
 
-    Stages: actor-pool MinHash signatures → band explode →
-    ``groupby(band_id, band_hash)`` (the only shuffle; band rows are
-    ~(8+sig) bytes/doc) → per-bucket pairing with signature-estimated
-    Jaccard ≥ threshold → global pair dedup (a pair can surface from
-    multiple bands).  ``max_bucket`` caps degenerate buckets (hub
-    skew guard): buckets larger than it are truncated after sorting by
-    doc_id (deterministic).
+    Dataflow (signatures cross the cluster ONCE per doc):
 
-    Output: ``(id_a, id_b, est_jaccard)`` with id_a < id_b.
-    Probabilistic recall by LSH design → verified in tests against a
-    planted-duplicates oracle, exposed to the driver as a rows-only
-    query.
+    1. actor-pool MinHash → per-doc row ``(doc_id, sig, band_hashes)``
+       (pinned — consumed by both the candidate and the verify side);
+    2. band explode → 16-byte rows ``(part, band_id, band_hash, doc_id)``
+       → bounded ``groupby(part)`` → per-bucket candidate ``(id_a, id_b)``
+       pairs (ids only, deduped per partition);
+    3. signature fetch for the candidate id set (broadcast-filter
+       sweep) → vectorized component-equality estimate →
+       ``est_jaccard ≥ threshold`` filter → global pair dedup (a pair
+       can surface from several bands).
+
+    ``max_bucket`` caps degenerate buckets (hub-skew guard,
+    deterministic truncation by doc_id).  Output:
+    ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` — id column type
+    (int or string) is preserved.  Probabilistic recall by LSH design →
+    verified in tests against a planted-duplicates oracle.
     """
     from ray.data.aggregate import Max
 
+    id_t = _id_type(ds, id_col)
     sig_words = num_hashes
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Pairs within ONE partition: pandas-groupby over the real
-        bucket key — cheap C-level iteration instead of one Ray task
-        per (mostly singleton) bucket."""
-        ia, ib, est = [], [], []
-        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
-            if len(sub) < 2:
-                continue
-            sub = sub.sort_values("doc_id").head(max_bucket)
-            ids = sub["doc_id"].to_numpy()
-            sigs = np.stack(
-                [np.frombuffer(s, dtype=np.int64, count=sig_words) for s in sub["sig"]]
-            )
-            n = len(ids)
-            for i in range(n - 1):
-                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                hit = np.nonzero(eq >= threshold)[0]
-                for j in hit:
-                    ia.append(int(ids[i]))
-                    ib.append(int(ids[i + 1 + j]))
-                    est.append(float(eq[j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est}).astype(
-            {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
-        )
-
-    bands_ds = ds.map_batches(
-        _MinHashBands,
+    docs = ds.map_batches(
+        _MinHashDocs,
         fn_constructor_kwargs={
             "num_hashes": num_hashes,
             "bands": bands,
@@ -273,18 +272,121 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-    )
-    pairs = bands_ds.groupby("part").map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    ).materialize()
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bh = t["band_hashes"]
+        if isinstance(bh, pa.ChunkedArray):
+            bh = bh.combine_chunks()
+        flat = bh.flatten()
+        parent = pc.list_parent_indices(bh)
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n_docs = len(ids)
+        band_idx = pa.array(
+            np.tile(np.arange(bands, dtype=np.int32), n_docs), pa.int32()
+        )
+        return pa.table(
+            {
+                "band_id": band_idx,
+                "band_hash": flat,
+                "doc_id": pc.take(ids, parent),
+                "part": hash_bucket_array(flat, num_partitions),
+            }
+        )
+
+    def bucket_candidates(g: pd.DataFrame) -> pa.Table:
+        ia, ib = [], []
+        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub["doc_id"].sort_values(kind="stable").head(max_bucket).tolist()
+            for i in range(len(ids) - 1):
+                for j in range(i + 1, len(ids)):
+                    ia.append(ids[i])
+                    ib.append(ids[j])
+        t = pa.table({"id_a": pa.array(ia, id_t), "id_b": pa.array(ib, id_t)})
+        if t.num_rows == 0:
+            return t
+        return t.group_by(["id_a", "id_b"]).aggregate([])
+
+    candidates = (
+        docs.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_candidates, batch_format="pandas")
+    ).materialize()
+
     import ray.data as rd
 
-    # same pair may emerge from several bands → dedup, keep max estimate
-    return _dedup_pairs(
-        pairs,
-        _empty_pairs("est_jaccard", pa.float64()),
-        Max("est_jaccard", alias_name="est_jaccard"),
+    empty = pa.table(
+        {
+            "id_a": pa.array([], id_t),
+            "id_b": pa.array([], id_t),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
     )
+    if candidates.count() == 0:
+        return rd.from_arrow(empty)
+
+    # Verify: fetch signatures for exactly the candidate id set
+    # (broadcast-filter sweep over the pinned docs table — candidate
+    # count is already the size class we materialize/output, so the
+    # lookup table is O(candidates), not O(corpus)), then score each
+    # candidate batch vectorized against the broadcast sig dict.
+    import ray
+
+    wanted: set = set()
+    for b in candidates.iter_batches(batch_format="pyarrow"):
+        wanted.update(b["id_a"].to_pylist())
+        wanted.update(b["id_b"].to_pylist())
+    wanted_ref = ray.put(wanted)
+
+    class FilterSigs:
+        def __init__(self):
+            self.wanted = ray.get(wanted_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([i in self.wanted for i in t["doc_id"].to_pylist()])
+            return t.select(["doc_id", "sig"]).filter(mask)
+
+    sig_lookup: dict = {}
+    for b in docs.map_batches(
+        FilterSigs, batch_format="pyarrow", concurrency=(1, 4)
+    ).iter_batches(batch_format="pyarrow"):
+        sig_lookup.update(zip(b["doc_id"].to_pylist(), b["sig"].to_pylist()))
+    sig_ref = ray.put(sig_lookup)
+
+    class Estimate:
+        def __init__(self):
+            self.sigs = ray.get(sig_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            a = np.stack(
+                [np.frombuffer(self.sigs[i], dtype=_SIG_DTYPE, count=sig_words)
+                 for i in t["id_a"].to_pylist()]
+            )
+            b = np.stack(
+                [np.frombuffer(self.sigs[i], dtype=_SIG_DTYPE, count=sig_words)
+                 for i in t["id_b"].to_pylist()]
+            )
+            est = (a == b).mean(axis=1)
+            keep = est >= threshold
+            return pa.table(
+                {
+                    "id_a": t["id_a"].filter(pa.array(keep)),
+                    "id_b": t["id_b"].filter(pa.array(keep)),
+                    "est_jaccard": pa.array(est[keep], pa.float64()),
+                }
+            )
+
+    pairs = candidates.map_batches(Estimate, batch_format="pyarrow",
+                                   concurrency=(1, 4))
+    return _dedup_pairs(pairs, empty, Max("est_jaccard", alias_name="est_jaccard"))
 
 
 def ngram_jaccard_pairs(ds, candidate_pairs, *, text_col="text", id_col="doc_id",
@@ -293,8 +395,9 @@ def ngram_jaccard_pairs(ds, candidate_pairs, *, text_col="text", id_col="doc_id"
 
     ``candidate_pairs`` is a small pandas DataFrame (id_a, id_b) — the
     LSH output.  Texts for the (small) candidate id set are fetched via
-    a broadcast-filter ``map_batches`` pass, then scored on the driver.
-    For huge candidate sets, shard the pair list and run this per shard.
+    a broadcast-filter ``map_batches`` pass, then scored on the driver
+    (shingles computed once per unique doc).  For huge candidate sets,
+    shard the pair list and run this per shard.
     """
     import ray
 
@@ -318,13 +421,12 @@ def ngram_jaccard_pairs(ds, candidate_pairs, *, text_col="text", id_col="doc_id"
     ).iter_batches(batch_format="pyarrow"):
         texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
 
+    shingle_cache = {i: word_shingles(txt, shingle_k) for i, txt in texts.items()}
     rows = []
     for a, b_ in zip(candidate_pairs["id_a"], candidate_pairs["id_b"]):
-        j = jaccard(
-            word_shingles(texts[a], shingle_k), word_shingles(texts[b_], shingle_k)
-        )
+        j = jaccard(shingle_cache[a], shingle_cache[b_])
         if j >= threshold:
-            rows.append((int(a), int(b_), j))
+            rows.append((a, b_, j))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
 
@@ -351,11 +453,11 @@ def simhash64(text: str) -> int:
     return int(out)
 
 
-def _empty_pairs(value_col: str, value_type) -> pa.Table:
+def _empty_pairs(id_t: pa.DataType, value_col: str, value_type) -> pa.Table:
     return pa.table(
         {
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
+            "id_a": pa.array([], id_t),
+            "id_b": pa.array([], id_t),
             value_col: pa.array([], value_type),
         }
     )
@@ -378,7 +480,8 @@ def _dedup_pairs(pairs, seed: pa.Table, agg):
 
 
 def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
-                  max_bucket: int = 500, batch_size: int | None = 512):
+                  max_bucket: int = 500, batch_size: int | None = 512,
+                  num_partitions: int = 64):
     """Near-dup pairs by SimHash within Hamming ≤ max_hamming.
 
     Block-permutation trick: split the 64-bit hash into 4 16-bit
@@ -387,49 +490,55 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
     verify Hamming inside buckets.  ``max_hamming`` above 3 lowers the
     recall guarantee (pairs must still collide on some block).
     """
+    id_t = _id_type(ds, id_col)
 
     def add_simhash(t: pa.Table) -> pa.Table:
         hs = [simhash64(x) for x in t[text_col].to_pylist()]
-        rows_id, rows_block, rows_key, rows_hash, rows_part = [], [], [], [], []
-        for doc_id, h in zip(t[id_col].to_pylist(), hs):
+        ids = t[id_col].to_pylist()
+        rows_id, rows_block, rows_key, rows_hash = [], [], [], []
+        for doc_id, h in zip(ids, hs):
             for blk in range(4):
                 key = (h >> (16 * blk)) & 0xFFFF
                 rows_id.append(doc_id)
                 rows_block.append(blk)
-                rows_key.append(key)
+                rows_key.append(key * 4 + blk)  # disambiguated bucket key
                 rows_hash.append(h - (1 << 63))  # store as signed int64
-                # bounded shuffle key (see minhash): scramble the
-                # 16-bit block value so partition sizes stay uniform
-                rows_part.append(((key * 2654435761 + blk) & 0xFFFFFFFF) % 64)
         return pa.table(
             {
-                id_col: pa.array(rows_id, pa.int64()),
+                id_col: pa.array(rows_id, id_t),
                 "block": pa.array(rows_block, pa.int32()),
                 "block_key": pa.array(rows_key, pa.int32()),
                 "simhash": pa.array(rows_hash, pa.int64()),
-                "part": pa.array(rows_part, pa.int32()),
+                "part": hash_bucket_array(
+                    np.asarray(rows_key, dtype=np.int64), num_partitions
+                ),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         ia, ib, hd = [], [], []
-        for _, sub in g.groupby(["block", "block_key"], sort=False):
+        for _, sub in g.groupby("block_key", sort=False):
             if len(sub) < 2:
                 continue
-            sub = sub.sort_values(id_col).head(max_bucket)
-            ids = sub[id_col].to_numpy()
-            hs = (sub["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(
-                np.uint64
-            )
+            sub = sub.sort_values(id_col, kind="stable").head(max_bucket)
+            ids = sub[id_col].tolist()
+            # bit-reinterpret, NOT arithmetic + 2^63 (which promotes to
+            # float64 and corrupts the low bits); the consistent
+            # top-bit flip cancels in XOR
+            hs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
             for i in range(len(ids) - 1):
                 x = hs[i + 1 :] ^ hs[i]
                 dist = np.array([bin(int(v)).count("1") for v in x])
                 for j in np.nonzero(dist <= max_hamming)[0]:
-                    ia.append(int(ids[i]))
-                    ib.append(int(ids[i + 1 + j]))
+                    ia.append(ids[i])
+                    ib.append(ids[i + 1 + j])
                     hd.append(int(dist[j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hd}).astype(
-            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+        return pa.table(
+            {
+                "id_a": pa.array(ia, id_t),
+                "id_b": pa.array(ib, id_t),
+                "hamming": pa.array(hd, pa.int64()),
+            }
         )
 
     from ray.data.aggregate import Min
@@ -439,10 +548,10 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    import ray.data as rd
-
     return _dedup_pairs(
-        pairs, _empty_pairs("hamming", pa.int64()), Min("hamming", alias_name="hamming")
+        pairs,
+        _empty_pairs(id_t, "hamming", pa.int64()),
+        Min("hamming", alias_name="hamming"),
     )
 
 
@@ -454,7 +563,8 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
 def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
                             threshold: float = 0.9, num_planes: int = 12,
                             seed: int = 42, max_bucket: int = 1000,
-                            batch_size: int | None = 1024):
+                            batch_size: int | None = 1024,
+                            num_partitions: int = 64):
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets.
 
     Sign-pattern of ``num_planes`` seeded hyperplanes buckets vectors;
@@ -463,6 +573,7 @@ def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
     tables; exposed as a rows-only query, verified in tests on planted
     duplicates.
     """
+    id_t = _id_type(ds, id_col)
 
     def bucketize(t: pa.Table) -> pa.Table:
         vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
@@ -475,20 +586,18 @@ def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
             {
                 id_col: t[id_col],
                 "bucket": pa.array(keys, pa.int64()),
-                "part": pa.array(
-                    ((keys * 2654435761) & 0xFFFFFFFF) % 64, pa.int32()
-                ),
+                "part": hash_bucket_array(keys, num_partitions),
                 vec_col: t[vec_col],
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         ia, ib, cs = [], [], []
         for _, sub in g.groupby("bucket", sort=False):
             if len(sub) < 2:
                 continue
-            sub = sub.sort_values(id_col).head(max_bucket)
-            ids = sub[id_col].to_numpy()
+            sub = sub.sort_values(id_col, kind="stable").head(max_bucket)
+            ids = sub[id_col].tolist()
             vecs = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(vecs, axis=1)
             norms[norms == 0] = 1.0
@@ -497,11 +606,15 @@ def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
             iu, ju = np.triu_indices(len(ids), k=1)
             hit = sim[iu, ju] >= threshold
             for i, j in zip(iu[hit], ju[hit]):
-                ia.append(int(ids[i]))
-                ib.append(int(ids[j]))
+                ia.append(ids[i])
+                ib.append(ids[j])
                 cs.append(float(sim[i, j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs}).astype(
-            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        return pa.table(
+            {
+                "id_a": pa.array(ia, id_t),
+                "id_b": pa.array(ib, id_t),
+                "cosine": pa.array(cs, pa.float64()),
+            }
         )
 
     return (

@@ -451,7 +451,6 @@ def link_mentions_shuffle(mentions, docs, *, num_partitions: int = 64,
     media) never need the dictionary, so they bypass the shuffle
     entirely and are linked in-place with an empty dictionary.
     """
-    import pandas as pd
     import pyarrow.compute as pc
 
     lit_list = sorted(_LITERAL_KINDS)
@@ -519,7 +518,7 @@ def link_mentions_shuffle(mentions, docs, *, num_partitions: int = 64,
         mention_side = g.filter(pc.invert(is_dict))
         if mention_side.num_rows == 0:
             return pa.Table.from_arrays(
-                [pa.array([], t.type) for t in EDGES_SCHEMA.types],
+                [pa.array([], t) for t in EDGES_SCHEMA.types],
                 schema=EDGES_SCHEMA,
             )
         # global first-wins merge of this partition's dict partials

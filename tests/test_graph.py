@@ -379,3 +379,24 @@ class TestAdjacencyLayout:
         write_adjacency(g, out, num_buckets=2)  # rerun must REPLACE, not append
         rows = read_adjacency(out, "a").take_all()
         assert len(rows) == 1 and rows[0]["obj"] == "b" and rows[0]["weight"] == 1
+
+
+class TestShuffleJoinEmptyPartitions:
+    def test_dict_only_partitions_do_not_crash(self):
+        """num_partitions >> mentions → most partitions hold only
+        dictionary rows; the empty-mention branch must return a typed
+        empty edges table, not crash."""
+        import ray.data as rd
+
+        from obsidian_parser_ray.corpus import spans_from_raw, spans_table
+        from obsidian_parser_ray.stages.extract import explode_mentions, extract_notes
+        from obsidian_parser_ray.stages.linking import link_mentions_shuffle
+
+        docs = rd.from_arrow(
+            spans_table([("a", spans_from_raw("[[b]]")), ("b", spans_from_raw("x"))])
+        ).materialize()
+        notes = extract_notes(docs).materialize()
+        edges = link_mentions_shuffle(
+            explode_mentions(notes), docs, num_partitions=32
+        ).take_all()
+        assert [(e["subj"], e["obj"]) for e in edges] == [("a", "b")]
