@@ -431,8 +431,7 @@ FROM x
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
        strlen(text)::BIGINT AS n_bytes,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT
          AS n_words,
        length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct,
        len(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -447,8 +446,7 @@ FROM documents
         "lang_stats": r"""
 SELECT lang, count(*)::BIGINT AS n_docs,
        sum(length(text))::BIGINT AS total_chars,
-       sum(CASE WHEN trim(text) = '' THEN 0
-                ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+       sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')))::BIGINT
          AS total_words
 FROM documents GROUP BY lang
 """,

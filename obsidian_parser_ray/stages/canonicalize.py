@@ -46,7 +46,11 @@ def _combine_batch(batch: pa.Table) -> pa.Table:
     out = batch.select(TRIPLES_KEYS + ["weight"]).group_by(TRIPLES_KEYS).aggregate(
         [("weight", "sum")]
     )
-    return out.rename_columns(TRIPLES_KEYS + ["weight"])
+    # name-based rename: aggregate output column ORDER is not a
+    # documented pyarrow guarantee across versions
+    return out.rename_columns(
+        ["weight" if c == "weight_sum" else c for c in out.column_names]
+    ).select(TRIPLES_KEYS + ["weight"])
 
 
 def _undirect_batch(batch: pa.Table) -> pa.Table:
@@ -80,7 +84,9 @@ def _collapse_partition(part: pa.Table) -> pa.Table:
         .group_by(TRIPLES_KEYS)
         .aggregate([("weight", "sum")])
     )
-    return out.rename_columns(TRIPLES_KEYS + ["weight"])
+    return out.rename_columns(
+        ["weight" if c == "weight_sum" else c for c in out.column_names]
+    ).select(TRIPLES_KEYS + ["weight"])
 
 
 def canonicalize(edges, *, directed: bool = True, batch_size: int | None = None,

@@ -77,11 +77,12 @@ def sessionize(events, *, key_col: str = "user_id", ts_col: str = "ts",
     gap_s = gap_minutes * 60
 
     def add_part(t: pa.Table) -> pa.Table:
-        # bounded shuffle key: one Ray task per partition, per-key
+        # bounded shuffle key (shared deterministic hash — works for
+        # int AND string keys): one Ray task per partition, per-key
         # session logic runs in a pandas groupby inside the task
-        keys = np.asarray(t[key_col])
-        part = ((keys.astype(np.int64) * 2654435761) & 0xFFFFFFFF) % 64
-        return t.append_column("part", pa.array(part.astype("int32"), pa.int32()))
+        from ..hashing import hash_bucket_array
+
+        return t.append_column("part", hash_bucket_array(t[key_col], 64))
 
     def sessions_partition(p: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -103,7 +104,7 @@ def sessionize(events, *, key_col: str = "user_id", ts_col: str = "ts",
         if not frames:
             return pd.DataFrame(
                 {
-                    key_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype=p[key_col].dtype),
                     "session_idx": pd.Series([], dtype="int64"),
                     "n_events": pd.Series([], dtype="int64"),
                     "start_s": pd.Series([], dtype="int64"),

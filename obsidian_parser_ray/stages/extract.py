@@ -284,6 +284,9 @@ def project_properties(notes, fields: dict, *, prefix: str = "prop_"):
             if pa.types.is_integer(typ):
                 if isinstance(value, bool) or not isinstance(value, (int, float)):
                     raise TypeError
+                if isinstance(value, float) and not value.is_integer():
+                    # serde would fail deserializing 3.7 / inf / nan as i64
+                    raise TypeError
                 return int(value), None
             if pa.types.is_floating(typ):
                 if isinstance(value, bool) or not isinstance(value, (int, float)):
@@ -298,7 +301,7 @@ def project_properties(notes, fields: dict, *, prefix: str = "prop_"):
                     raise TypeError
                 return [str(v) for v in value], None
             return (value, None) if isinstance(value, str) else (str(value), None)
-        except TypeError:
+        except (TypeError, ValueError, OverflowError):
             return None, f"type mismatch: {type(value).__name__}"
 
     def project(batch: pa.Table) -> pa.Table:

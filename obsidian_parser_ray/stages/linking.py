@@ -162,7 +162,9 @@ def _dict_partial_batch(t: pa.Table) -> pa.Table:
         }
     )
     out = rows.group_by(["kind", "key"]).aggregate([("val", "min")])
-    return out.rename_columns(["kind", "key", "val"])
+    return out.rename_columns(
+        ["val" if c == "val_min" else c for c in out.column_names]
+    ).select(["kind", "key", "val"])
 
 
 def _slim_dict_batch(t: pa.Table) -> pa.Table:

@@ -29,6 +29,9 @@ def _as_matrix(col) -> np.ndarray:
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
+    if m.size == 0:
+        # empty batch/query set: preserve 2-D shape for downstream matmul
+        return m.reshape(0, m.shape[1]) if m.ndim == 2 else m.reshape(0, 0)
     n = np.linalg.norm(m, axis=1)
     n[n == 0] = 1.0
     return m / n[:, None]
@@ -50,6 +53,14 @@ class _PartialTopK:
         self.exclude_self = exclude_self
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         ids = np.asarray(t[self.id_col].to_pylist(), dtype=np.int64)
         unit = _unit(_as_matrix(t[self.vec_col]))
         sim = self.q_unit @ unit.T  # (n_queries, batch)
@@ -123,6 +134,10 @@ def load_queries(ds, *, n_queries: int, vec_col: str = "embedding",
                  id_col: str = "vec_id"):
     """Deterministic query set: the ``n_queries`` smallest ids."""
     rows = ds.filter(expr=f"{id_col} < {n_queries}").take_all()
+    if not rows:
+        raise ValueError(
+            f"no query vectors: no rows with {id_col} < {n_queries}"
+        )
     rows.sort(key=lambda r: r[id_col])
     ids = [r[id_col] for r in rows]
     vecs = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
@@ -148,21 +163,7 @@ def knn_ivf(ds, query_ids_and_vecs, *, k: int = 5, n_centroids: int = 16,
     """
     import ray
 
-    # deterministic centroid sample: smallest n_centroids hashed ids
-    sample = ds.map_batches(
-        lambda t: pa.table(
-            {
-                id_col: t[id_col],
-                vec_col: t[vec_col],
-                "_h": pa.array(
-                    [hash((seed, int(i))) & 0x7FFFFFFF for i in t[id_col].to_pylist()],
-                    pa.int64(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).sort("_h").limit(n_centroids).take_all()
-    centroids = _unit(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    centroids = _sample_centroids(ds, n_centroids, seed, vec_col, id_col)
 
     q_ids = np.asarray(query_ids_and_vecs[0], dtype=np.int64)
     q_unit = _unit(np.asarray(query_ids_and_vecs[1], dtype=np.float64))
@@ -271,9 +272,17 @@ def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16, seed: int = 42
                 }
             )
 
+    # atomic + idempotent: build under a tmp dir, rename into place —
+    # a rebuild REPLACES the index (write_parquet appends uniquely-named
+    # files, so writing into a live dir would double-count vectors) and
+    # a crash never leaves a manifest over partial data.
+    import shutil
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     assigned = ds.map_batches(Assign, batch_format="pyarrow", batch_size=1024,
                               concurrency=(1, 8))
-    data_dir = os.path.join(index_dir, "data")
+    data_dir = os.path.join(tmp, "data")
     assigned.write_parquet(data_dir, partition_cols=["list_id"])
 
     counts = {}
@@ -296,8 +305,10 @@ def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16, seed: int = 42
         "id_col": id_col,
         "seed": seed,
     }
-    with open(os.path.join(index_dir, "_IVF_MANIFEST.json"), "w") as f:
+    with open(os.path.join(tmp, "_IVF_MANIFEST.json"), "w") as f:
         json.dump(manifest, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
     return manifest
 
 

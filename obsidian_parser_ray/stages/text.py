@@ -29,19 +29,37 @@ STOPWORDS = {
 PUNCT = ".,!?;:"
 
 # GPT2-ish BPE pre-tokenizer (public regex shape): contractions, words,
-# numbers, punctuation runs, whitespace runs.
+# numbers, punctuation runs, whitespace runs.  re.ASCII pins \d and \s
+# to the ASCII classes (RE2 semantics) so the DuckDB oracle reproduces
+# token counts exactly even on NBSP / non-ASCII digits.
 BPE_SPLIT = re.compile(
-    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ÿЀ-ӿ]+| ?\d+| ?[^\sA-Za-zÀ-ÿЀ-ӿ\d]+|\s+"
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ÿЀ-ӿ]+| ?\d+| ?[^\sA-Za-zÀ-ÿЀ-ӿ\d]+|\s+",
+    re.ASCII,
 )
+
+# ASCII word splitter (RE2 \S+ semantics) for oracle-checkable word
+# counts; Python str.split() is Unicode-aware and would diverge on
+# NBSP / ideographic space.
+_ASCII_WORD = re.compile(r"\S+", re.ASCII)
+
 
 
 def count_punct(text: str) -> int:
     return sum(text.count(c) for c in PUNCT)
 
 
+_STOP_SETS = {lang: frozenset(words) for lang, words in STOPWORDS.items()}
+
+
 def count_stopwords(text: str, lang: str = "en") -> int:
-    stops = set(STOPWORDS.get(lang, STOPWORDS["en"]))
-    return sum(1 for w in text.lower().split() if w in stops)
+    stops = _STOP_SETS.get(lang, _STOP_SETS["en"])
+    return sum(1 for w in _ASCII_WORD.findall(text.lower()) if w in stops)
+
+
+def ascii_word_count(text: str) -> int:
+    """ASCII-whitespace word count (== the DuckDB oracle's RE2 \s+
+    split with empties filtered)."""
+    return sum(1 for _ in _ASCII_WORD.finditer(text))
 
 
 def bpe_token_count(text: str) -> int:
@@ -87,7 +105,9 @@ def text_profile(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 "n_bytes": pa.array(
                     [len(x.encode("utf-8")) for x in texts], pa.int64()
                 ),
-                "n_words": pa.array([len(x.split()) for x in texts], pa.int64()),
+                "n_words": pa.array(
+                    [ascii_word_count(x) for x in texts], pa.int64()
+                ),
                 "n_punct": pa.array([count_punct(x) for x in texts], pa.int64()),
                 "n_stop_en": pa.array(
                     [count_stopwords(x, "en") for x in texts], pa.int64()
@@ -182,12 +202,13 @@ def lang_stats(ds, *, lang_col: str = "lang", text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
         df = pd.DataFrame(
             {
                 lang_col: t[lang_col].to_pandas(),
                 "_n": 1,
-                "_chars": [len(x) for x in t[text_col].to_pylist()],
-                "_words": [len(x.split()) for x in t[text_col].to_pylist()],
+                "_chars": [len(x) for x in texts],
+                "_words": [ascii_word_count(x) for x in texts],
             }
         )
         g = df.groupby(lang_col, as_index=False).sum()

@@ -48,8 +48,11 @@ def checkpoint_dataset(ds, path: str, *, lineage: str = "", resume: bool = True)
 
     if resume:
         m = load_manifest(path)
-        if m is not None:
+        if m is not None and m.get("lineage") == lineage:
             return rd.read_parquet(path, file_extensions=["parquet"])
+        # lineage mismatch = the checkpoint belongs to a DIFFERENT
+        # pipeline stage/shape → recompute rather than silently serving
+        # stale data
 
     tmp = path + ".tmp"
     if os.path.exists(tmp):
