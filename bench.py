@@ -145,11 +145,15 @@ def _gen_scale_corpus() -> None:
     _init_ray(NUM_CPUS)
     from obsidian_parser_ray import bench_corpus
 
-    bench_corpus(SCALE_DOCS, override_num_blocks=NUM_CPUS * 4).write_parquet(
-        SCALE_CORPUS
-    )
-    with open(os.path.join(SCALE_CORPUS, "_DONE"), "w") as f:
+    # atomic: write to tmp + rename, so a crashed gen can never leave a
+    # partial corpus that a rerun would silently APPEND to
+    tmp = SCALE_CORPUS + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    bench_corpus(SCALE_DOCS, override_num_blocks=NUM_CPUS * 4).write_parquet(tmp)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok")
+    shutil.rmtree(SCALE_CORPUS, ignore_errors=True)
+    os.replace(tmp, SCALE_CORPUS)
     import ray
 
     ray.shutdown()
@@ -237,8 +241,17 @@ def run_scaling() -> dict:
         for l in p.stderr.splitlines():
             if l.startswith("phase timing"):
                 print(f"[{cpus} cpus] {l}", file=sys.stderr)
-        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-        runs[cpus] = json.loads(line)
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"scaling child (num_cpus={cpus}) failed: {p.stderr[-2000:]}"
+            )
+        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"scaling child (num_cpus={cpus}) produced no JSON: "
+                f"{p.stderr[-2000:]}"
+            )
+        runs[cpus] = json.loads(lines[-1])
     lo, hi = runs[SCALE_LO], runs[SCALE_HI]
     speedup = lo["sec"] / hi["sec"]
     efficiency = speedup / (SCALE_HI / SCALE_LO)

@@ -197,7 +197,11 @@ def parse_inline_tags(content: str) -> list[str]:
     return tags
 
 
-_TAG_WORD_RE = re.compile(r"(?<!\S)#(\S*)")
+# "word" chars = NOT Unicode-White_Space.  Python's \S excludes
+# \x1c-\x1f (Python isspace() counts them; Rust char::is_whitespace —
+# the White_Space property — does NOT), so the class re-includes them
+# for exact split_whitespace parity.
+_TAG_WORD_RE = re.compile(r"(?<![\S\x1c-\x1f])#([\S\x1c-\x1f]*)")
 
 
 def parse_properties(properties_text: str | None) -> tuple[dict | None, str | None]:
@@ -276,18 +280,19 @@ def parent_of(doc_id: str) -> str | None:
     return doc_id.rsplit("/", 1)[0]
 
 
-_ASCII_WS = frozenset(b"\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ")
+# Rust-parity word chars: runs of NOT-White_Space (\x1c-\x1f are NOT
+# White_Space, though Python isspace() claims they are)
+_RUST_WORD_RE = re.compile(r"[\S\x1c-\x1f]+")
 
 
 def word_count(content: str, encoded: bytes | None = None) -> int:
     """``split_whitespace().count()`` (mod.rs:100-103).
 
-    ASCII fast path: when the text is pure ASCII (byte length == char
-    length) word boundaries are exactly the ASCII-whitespace
-    transitions (``str.split`` whitespace = ``isspace`` chars, which
-    for ASCII is {\\t..\\r, \\x1c..\\x1f, space}) — counted with numpy
-    over the already-encoded bytes instead of allocating a list of
-    every word.  Non-ASCII falls back to the exact ``split``.
+    Whitespace = the Unicode White_Space property (Rust
+    ``char::is_whitespace``) — NOT Python ``str.split`` semantics,
+    which additionally split on \\x1c-\\x1f.  ASCII fast path counts
+    boundary transitions with numpy over the already-encoded bytes;
+    non-ASCII falls back to a regex with the same class.
     """
     if encoded is not None and len(encoded) == len(content):
         if not content:
@@ -295,15 +300,12 @@ def word_count(content: str, encoded: bytes | None = None) -> int:
         import numpy as np
 
         arr = np.frombuffer(encoded, dtype=np.uint8)
-        is_ws = (
-            ((arr >= 9) & (arr <= 13))
-            | ((arr >= 28) & (arr <= 31))
-            | (arr == 32)
-        )
+        # ASCII White_Space subset = {\t..\r, space} ONLY
+        is_ws = ((arr >= 9) & (arr <= 13)) | (arr == 32)
         non_ws = ~is_ws
         starts = int(non_ws[0]) + int(np.count_nonzero(non_ws[1:] & is_ws[:-1]))
         return starts
-    return len(content.split())
+    return len(_RUST_WORD_RE.findall(content))
 
 
 def byte_count(content: str) -> int:

@@ -44,6 +44,9 @@ def analyze(docs, *, linker_concurrency=(2, 8)) -> dict:
         linker_concurrency=linker_concurrency,
         include_child_of=False,
     )
+    # triples feed two consumers (hub top-k, components) — pin once so
+    # the explode→link→canonicalize lineage doesn't execute twice
+    g.triples = g.triples.materialize()
     n_notes = g.notes.count()
     word_row = g.notes.aggregate(Sum("n_words", alias_name="w"))
     total_words = int(word_row["w"] or 0) if word_row else 0

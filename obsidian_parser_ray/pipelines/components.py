@@ -39,7 +39,7 @@ def _norm_edges(edges):
     )
 
 
-def connected_components(edges, nodes, *, max_iters: int = 30,
+def connected_components(edges, nodes, *, max_iters: int = 50,
                          num_partitions: int = 16):
     """Distributed label propagation → Dataset ``(node, component)``.
 
@@ -59,6 +59,7 @@ def connected_components(edges, nodes, *, max_iters: int = 30,
         init_labels, batch_format="pyarrow"
     ).materialize()
 
+    converged = False
     for _ in range(max_iters):
         # neighbor labels: msg (src,dst) ⋈ labels(node=src) → (dst, label)
         joined = msgs.join(
@@ -96,7 +97,13 @@ def connected_components(edges, nodes, *, max_iters: int = 30,
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters) — raise max_iters"
+        )
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "component": t["label"]})

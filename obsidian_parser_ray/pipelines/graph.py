@@ -122,7 +122,12 @@ def build_graph(
         drop_unresolved=drop_unresolved,
     )
     if include_child_of:
-        edges = edges.union(child_of_edges(notes))
+        # in streaming mode `notes` is lazy — derive child_of from the
+        # raw docs (doc_id is present verbatim) so the full extract
+        # doesn't re-execute just to read one column
+        child_src = docs if (not materialize_notes and not checkpoint_dir
+                             and user_filter is None) else notes
+        edges = edges.union(child_of_edges(child_src))
 
     triples = canonicalize(edges, directed=directed)
     return GraphResult(

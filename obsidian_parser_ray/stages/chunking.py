@@ -46,6 +46,8 @@ def chunk_documents(ds, *, window: int = 200, overlap: int = 50,
     if not 0 <= overlap < window:
         raise ValueError("require 0 <= overlap < window")
     stride = window - overlap
+    sch = ds.schema()
+    id_t = dict(zip(sch.names, sch.types))[id_col]
 
     def explode(t: pa.Table) -> pa.Table:
         ids, idxs, texts, counts = [], [], [], []
@@ -57,7 +59,7 @@ def chunk_documents(ds, *, window: int = 200, overlap: int = 50,
                 counts.append(n_tok)
         return pa.table(
             {
-                id_col: pa.array(ids),
+                id_col: pa.array(ids, id_t),
                 "chunk_idx": pa.array(idxs, pa.int64()),
                 "chunk_text": pa.array(texts, pa.string()),
                 "n_tokens": pa.array(counts, pa.int64()),
@@ -68,7 +70,7 @@ def chunk_documents(ds, *, window: int = 200, overlap: int = 50,
 
 
 def export_training_shards(ds, out_dir: str, *, num_shards: int = 16,
-                           seed: int = 42, lineage: str = "training_shards") -> dict:
+                           seed: int = 42, lineage: str | None = None) -> dict:
     """Deterministic shuffle + sharded parquet export + manifest.
 
     ``random_shuffle(seed)`` is a full shuffle by design (that IS the
@@ -78,5 +80,7 @@ def export_training_shards(ds, out_dir: str, *, num_shards: int = 16,
     """
     from ..state import write_partitioned_output
 
+    if lineage is None:
+        lineage = f"training_shards(seed={seed},shards={num_shards})"
     shuffled = ds.random_shuffle(seed=seed).repartition(num_shards)
     return write_partitioned_output(shuffled, out_dir, lineage=lineage)

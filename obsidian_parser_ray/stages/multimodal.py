@@ -38,18 +38,22 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
-FEATURES_SCHEMA = pa.schema(
-    [
-        ("asset_id", pa.string()),
-        ("media_type", pa.string()),
-        ("n_bytes", pa.int64()),
-        ("width", pa.int64()),
-        ("height", pa.int64()),
-        ("duration_ms", pa.int64()),
-        ("phash", pa.string()),
-        ("embedding", pa.list_(pa.float32(), 8)),
-    ]
-)
+def features_schema(embed_dim: int = 8) -> pa.Schema:
+    return pa.schema(
+        [
+            ("asset_id", pa.string()),
+            ("media_type", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("duration_ms", pa.int64()),
+            ("phash", pa.string()),
+            ("embedding", pa.list_(pa.float32(), embed_dim)),
+        ]
+    )
+
+
+FEATURES_SCHEMA = features_schema(8)
 
 
 def synth_media_batch(batch: pa.Table) -> pa.Table:
@@ -95,11 +99,15 @@ def media_from_vault(docs):
         out = flat.field("media_ref").filter(media_mask)
         return pa.table({"asset_id": out})
 
-    assets = docs.map_batches(refs, batch_format="pyarrow").unique("asset_id")
-    import ray.data as rd
-
-    ds = rd.from_items([{"asset_id": a} for a in sorted(assets)])
-    return ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    # distributed dedup (groupby-count keys) — Dataset.unique() would
+    # funnel every distinct ref through the driver
+    assets = (
+        docs.map_batches(refs, batch_format="pyarrow")
+        .groupby("asset_id")
+        .count()
+        .select_columns(["asset_id"])
+    )
+    return assets.map_batches(synth_media_batch, batch_format="pyarrow")
 
 
 class MediaDecoder:
@@ -115,6 +123,7 @@ class MediaDecoder:
         rng = np.random.RandomState(seed)
         self.proj = rng.standard_normal((256, embed_dim)).astype(np.float32)
         self.embed_dim = embed_dim
+        self.schema = features_schema(embed_dim)
 
     def _decode_impl(self, media_type: str, payload: bytes, meta: dict):
         if self.strict:
@@ -166,7 +175,7 @@ class MediaDecoder:
                     [e.tolist() for e in embs], pa.list_(pa.float32(), self.embed_dim)
                 ),
             ],
-            schema=FEATURES_SCHEMA,
+            schema=self.schema,
         )
 
 

@@ -101,8 +101,9 @@ def write_partitioned_output(triples, out_dir: str, *, lineage: str = "",
     """
     import ray.data as rd
 
-    if load_manifest(out_dir) is not None:
-        return load_manifest(out_dir)
+    m = load_manifest(out_dir)
+    if m is not None and m.get("lineage") == lineage:
+        return m
     if num_partitions is not None:
         triples = triples.repartition(num_partitions)
     checkpoint_dataset(triples, out_dir, lineage=lineage, resume=False)

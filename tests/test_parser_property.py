@@ -21,16 +21,35 @@ from obsidian_parser_ray.parser import (
 # text exercising whitespace classes, emoji, unicode, link/tag chars,
 # with '---' fragments mixed in to hit frontmatter edge cases
 _PIECES = st.lists(
-    st.sampled_from(list("ab #[]|^-_!привет😭中。\t\n\r\x0b\x0c 　") + ["---", "[[", "]]"]),
+    st.sampled_from(
+        list("ab #[]|^-_!привет😭中。\t\n\r\x0b\x0c\x1c\x1d 　") + ["---", "[[", "]]"]
+    ),
     max_size=60,
 )
 TEXT = _PIECES.map("".join)
 
 
+def rust_split_whitespace(content: str) -> list[str]:
+    """Literal transcription of Rust split_whitespace (Unicode
+    White_Space property — which EXCLUDES \\x1c-\\x1f, unlike Python
+    str.split)."""
+    words, cur = [], []
+    for c in content:
+        if c.isspace() and c not in "\x1c\x1d\x1e\x1f":
+            if cur:
+                words.append("".join(cur))
+                cur = []
+        else:
+            cur.append(c)
+    if cur:
+        words.append("".join(cur))
+    return words
+
+
 def naive_inline_tags(content: str) -> list[str]:
     """Literal transcription of note_tags.rs:44-57."""
     tags = []
-    for word in content.split():
+    for word in rust_split_whitespace(content):
         if not word.startswith("#"):
             continue
         if word.encode("utf-8")[1:2] == b"#":
@@ -103,16 +122,29 @@ def test_emoji_table_spotchecks():
 
 @settings(max_examples=300, deadline=None)
 @given(TEXT)
-def test_word_count_fast_path_matches_split(text):
+def test_word_count_fast_path_matches_rust_semantics(text):
     from obsidian_parser_ray.parser import word_count
 
     enc = text.encode("utf-8")
-    assert word_count(text, enc) == len(text.split())
+    expected = len(rust_split_whitespace(text))
+    assert word_count(text, enc) == expected
+    assert word_count(text, None) == expected
 
 
 def test_word_count_ascii_control_whitespace():
+    """\\x1c-\\x1f are WORD characters per Rust char::is_whitespace
+    (Unicode White_Space), unlike Python str.split."""
     from obsidian_parser_ray.parser import word_count
 
-    for s in ["a\x1cb", "a\x1db c", " \x1e ", "", "x", "  lead", "trail  ",
-              "\ta\vb\fc\rd\ne"]:
-        assert word_count(s, s.encode()) == len(s.split())
+    cases = {
+        "a\x1cb": 1,  # Python split would say 2
+        "a\x1db c": 2,
+        " \x1e ": 1,
+        "": 0,
+        "x": 1,
+        "  lead": 1,
+        "trail  ": 1,
+        "\ta\vb\fc\rd\ne": 5,
+    }
+    for s, n in cases.items():
+        assert word_count(s, s.encode()) == n, s
