@@ -189,6 +189,23 @@ def _q_doc_chunks(sf_dir: str):
     )
 
 
+def _q_events_hist(sf_dir: str):
+    from obsidian_parser_ray.stages.events import value_histogram
+
+    return value_histogram(_read(sf_dir, "events", ["event_type", "value"]))
+
+
+def _q_events_approx_users(sf_dir: str):  # rows-only (sketch, approximate)
+    """HyperLogLog distinct-user estimate (mergeable-sketch pattern);
+    accuracy bound verified in tests/test_sketch.py."""
+    import pandas as pd
+
+    from obsidian_parser_ray.stages.sketch import approx_distinct
+
+    est = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id", p=12)
+    return pd.DataFrame([{"approx_distinct_users": round(est, 1)}])
+
+
 def _q_events_topk_users(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -302,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "events_topk_users": _q_events_topk_users,
+        "events_hist": _q_events_hist,
+        "events_approx_users": _q_events_approx_users,
         "lang_stats": _q_lang_stats,
         "doc_langid": _q_doc_langid,
         "doc_minhash_neardup": _q_doc_minhash_neardup,
@@ -426,6 +445,10 @@ FROM x
         "events_topk_users": (
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events"
             " GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20"
+        ),
+        "events_hist": (
+            "SELECT event_type, floor(value)::BIGINT AS bin,"
+            " count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
         ),
         "doc_profile": r"""
 SELECT doc_id,

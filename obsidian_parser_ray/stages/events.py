@@ -126,3 +126,26 @@ def sessionize(events, *, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("part")
         .map_groups(sessions_partition, batch_format="pandas")
     )
+
+
+def value_histogram(events, *, type_col: str = "event_type",
+                    value_col: str = "value", bin_width: float = 1.0):
+    """Fixed-width value histogram per event type (exact integer bins →
+    oracle-checkable).  Partial per-block combine before the shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([type_col, value_col]).to_pandas()
+        df["bin"] = np.floor(df[value_col] / bin_width).astype(np.int64)
+        g = (
+            df.groupby([type_col, "bin"], as_index=False)
+            .size()
+            .rename(columns={"size": "_n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby([type_col, "bin"])
+        .aggregate(Sum("_n", alias_name="n_events"))
+    )
