@@ -33,9 +33,7 @@ def _graph(sf_dir: str):
     if sf_dir not in _GRAPH_CACHE:
         from obsidian_parser_ray import build_graph, synth_vault
 
-        _GRAPH_CACHE[sf_dir] = build_graph(
-            synth_vault(sf_dir), linker_concurrency=2
-        )
+        _GRAPH_CACHE[sf_dir] = build_graph(synth_vault(sf_dir))
     return _GRAPH_CACHE[sf_dir]
 
 
@@ -128,7 +126,7 @@ def _q_kg_analyzer(sf_dir: str):  # rows-only (composition job, non-SQL)
     from obsidian_parser_ray import synth_vault
     from obsidian_parser_ray.pipelines.analyzer import analyze
 
-    return pd.DataFrame([analyze(synth_vault(sf_dir), linker_concurrency=2)])
+    return pd.DataFrame([analyze(synth_vault(sf_dir))])
 
 
 def _q_kg_markdown(sf_dir: str):

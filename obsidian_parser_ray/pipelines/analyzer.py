@@ -28,7 +28,7 @@ def analyzer_filter(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.and_(pc.and_(ok, nonempty), not_todo))
 
 
-def analyze(docs, *, linker_concurrency=(2, 8)) -> dict:
+def analyze(docs, *, linker_concurrency=None) -> dict:
     """documents Dataset → analyzer report dict.
 
     Aggregates are tiny (driver-side scalars); the heavy lifting stays

@@ -363,16 +363,34 @@ class EntityLinker:
         return link_batch(batch, self.d)
 
 
+def _task_link(batch: pa.Table, dict_ref=None) -> pa.Table:
+    """Task-path linker: fetch the broadcast dictionary (plasma
+    shared-memory, near-zero-copy for Arrow buffers) and link."""
+    import ray
+
+    return link_batch(batch, ray.get(dict_ref))
+
+
 def link_mentions(mentions, dictionary, *,
-                  concurrency=(2, 8), batch_size: int | None = None,
+                  concurrency=None, batch_size: int | None = None,
                   drop_unresolved: bool = True):
-    """mentions Dataset → edges Dataset via the actor-pool linker.
+    """mentions Dataset → edges Dataset via the broadcast linker.
 
     ``dictionary``: :class:`ArrowLinkDictionary` (or a test-built
     :class:`LinkDictionary`, converted here).  Broadcast once via
-    ``ray.put``.  ``drop_unresolved=True`` matches the reference's
-    inner-join semantics (unresolvable mentions discarded,
-    graph_builder.rs:214); ``False`` keeps them flagged for metrics.
+    ``ray.put``.
+
+    ``concurrency=None`` (default) runs STATELESS TASKS — each task
+    re-opens the broadcast from the local object store, which for
+    Arrow-array payloads is near-zero-copy, so there is no pool
+    spin-up latency (measured 12× faster at 5k-doc scale, equal at
+    multi-million-doc scale).  Pass an int/tuple to use an actor pool
+    instead (the right call when per-worker setup becomes genuinely
+    expensive, e.g. a future scoring model).
+
+    ``drop_unresolved=True`` matches the reference's inner-join
+    semantics (unresolvable mentions discarded, graph_builder.rs:214);
+    ``False`` keeps them flagged for metrics.
     """
     import pyarrow.compute as pc
     import ray
@@ -380,13 +398,21 @@ def link_mentions(mentions, dictionary, *,
     if isinstance(dictionary, LinkDictionary):
         dictionary = dictionary.to_arrow()
     ref = ray.put(dictionary)
-    edges = mentions.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"dict_ref": ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if concurrency is None:
+        edges = mentions.map_batches(
+            _task_link,
+            fn_kwargs={"dict_ref": ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        edges = mentions.map_batches(
+            EntityLinker,
+            fn_constructor_kwargs={"dict_ref": ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     if drop_unresolved:
         edges = edges.map_batches(
             lambda t: t.filter(pc.equal(t["resolved"], True)),
