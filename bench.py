@@ -69,7 +69,12 @@ def _kg_build(sf_dir: str, num_cpus: int) -> int:
     from obsidian_parser_ray import build_graph, synth_vault
     from obsidian_parser_ray.stages.canonicalize import sorted_triples
 
-    g = build_graph(synth_vault(sf_dir, override_num_blocks=num_cpus * 2))
+    # task-path linker (concurrency=None): no actor spin-up — the right
+    # choice at small sf scale; the scaling child uses the actor pool
+    g = build_graph(
+        synth_vault(sf_dir, override_num_blocks=num_cpus * 2),
+        linker_concurrency=None,
+    )
     return _consume(sorted_triples(g.triples))
 
 
@@ -187,7 +192,12 @@ def _scaling_child(num_cpus: int) -> None:
     # extract→link→canonicalize (no barrier); the sink is the
     # north_star's sorted materialize (distributed parquet write), not
     # a driver-side stream.
-    g = build_graph(docs, include_child_of=False, materialize_notes=False)
+    g = build_graph(
+        docs,
+        linker_concurrency=max(2, num_cpus // 2),
+        include_child_of=False,
+        materialize_notes=False,
+    )
     t_dict = time.perf_counter() - t0
     sorted_triples(g.triples).write_parquet(out_dir)
     sec = time.perf_counter() - t0

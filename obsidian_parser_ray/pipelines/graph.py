@@ -65,7 +65,7 @@ def build_graph(
     include_child_of: bool = True,
     include_tags: bool = True,
     checkpoint_dir: str | None = None,
-    linker_concurrency=None,
+    linker_concurrency=(2, 8),
     linker_batch_size: int | None = None,
     extract_batch_size: int | None = None,
     user_filter=None,

@@ -380,13 +380,12 @@ def link_mentions(mentions, dictionary, *,
     :class:`LinkDictionary`, converted here).  Broadcast once via
     ``ray.put``.
 
-    ``concurrency=None`` (default) runs STATELESS TASKS — each task
-    re-opens the broadcast from the local object store, which for
-    Arrow-array payloads is near-zero-copy, so there is no pool
-    spin-up latency (measured 12× faster at 5k-doc scale, equal at
-    multi-million-doc scale).  Pass an int/tuple to use an actor pool
-    instead (the right call when per-worker setup becomes genuinely
-    expensive, e.g. a future scoring model).
+    ``concurrency=None`` runs STATELESS TASKS — each task re-opens the
+    broadcast from the local object store; no pool spin-up latency.
+    Measured 12× faster at 5k-doc scale but 2.5× SLOWER at 10⁶-doc
+    scale (per-task dictionary deserialization is NOT free once the
+    dictionary is tens of MB) — so ``build_graph`` defaults to the
+    actor pool, and callers with small vaults opt into tasks.
 
     ``drop_unresolved=True`` matches the reference's inner-join
     semantics (unresolvable mentions discarded, graph_builder.rs:214);
