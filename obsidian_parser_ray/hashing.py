@@ -16,12 +16,18 @@ import pyarrow as pa
 
 
 def hash_bucket_array(values, num_buckets: int) -> pa.Array:
-    """Vectorized bucket ids for an Arrow/numpy array → int32 Arrow array."""
+    """Vectorized bucket ids for an Arrow/numpy array → int32 Arrow array.
+
+    ``categorize=False``: the categorize fast path factorizes through a
+    C string table that conflates NUL-containing strings (verified:
+    ``''`` and ``'\\x00'`` hash identically with categorize=True) —
+    direct hashing is the bit-exact definition.
+    """
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     if isinstance(values, pa.Array):
         values = values.to_numpy(zero_copy_only=False)
-    h = pd.util.hash_array(np.asarray(values))
+    h = pd.util.hash_array(np.asarray(values), categorize=False)
     return pa.array((h % num_buckets).astype("int32"), pa.int32())
 
 
@@ -31,4 +37,11 @@ def hash_bucket_scalar(value, num_buckets: int) -> int:
     NOTE: int() BEFORE the modulo — a np.uint64 scalar % python int
     promotes to float64 and silently corrupts the bucket id.
     """
-    return int(pd.util.hash_array(np.asarray([value], dtype=object))[0]) % num_buckets
+    return (
+        int(
+            pd.util.hash_array(
+                np.asarray([value], dtype=object), categorize=False
+            )[0]
+        )
+        % num_buckets
+    )

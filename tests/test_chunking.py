@@ -78,3 +78,17 @@ class TestExportShards:
         flat = [x for s in a for x in s]
         assert sorted(flat) == list(range(1000))
         assert flat != sorted(flat)  # actually shuffled
+
+
+class TestChunkCountFormula:
+    """chunk_rows count must equal the oracle's closed-form
+    (window=200, stride=150): 1 if n<=200 else 1+ceil((n-200)/150)."""
+
+    def test_formula_equivalence(self):
+        import math
+
+        for n in list(range(0, 700)) + [1999, 2000, 2001, 5000]:
+            text = " ".join(["w"] * n)
+            got = len(chunk_rows(text, 200, 150))
+            exp = 0 if n == 0 else (1 if n <= 200 else 1 + math.ceil((n - 200) / 150))
+            assert got == exp, n

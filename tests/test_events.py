@@ -75,3 +75,28 @@ class TestWindows:
         assert out.loc["a", "min_value"] == 1.5
         assert out.loc["a", "max_value"] == 2.5
         assert out.loc["b", "min_value"] == -1.0
+
+
+class TestStringUserIds:
+    def test_sessionize_string_keys(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import sessionize
+
+        ts = pd.to_datetime(
+            ["2026-01-01 00:00", "2026-01-01 00:10", "2026-01-01 02:00",
+             "2026-01-01 00:05"]
+        )
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array(["alice", "alice", "alice", "bob"]),
+                    "ts": pa.array(ts),
+                }
+            )
+        )
+        rows = {(r["user_id"], r["session_idx"]): r["n_events"]
+                for r in sessionize(ds).take_all()}
+        assert rows == {("alice", 1): 2, ("alice", 2): 1, ("bob", 1): 1}

@@ -400,3 +400,36 @@ class TestShuffleJoinEmptyPartitions:
             explode_mentions(notes), docs, num_partitions=32
         ).take_all()
         assert [(e["subj"], e["obj"]) for e in edges] == [("a", "b")]
+
+
+class TestKgJobCli:
+    """scripts/kg_job.py end-to-end in a fresh process (ray job submit
+    entry-point contract)."""
+
+    def test_cli_roundtrip(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        import pyarrow.parquet as pq
+
+        from obsidian_parser_ray.corpus import spans_from_raw, spans_table
+
+        rows = [
+            (f"n{i}", spans_from_raw(f"---\nid: {i}\n---\nBody [[n{(i + 1) % 20}]]"))
+            for i in range(20)
+        ]
+        inp = str(tmp_path / "docs.parquet")
+        pq.write_table(spans_table(rows), inp)
+        out = str(tmp_path / "kg")
+        p = subprocess.run(
+            [sys.executable, "scripts/kg_job.py", "--input", inp, "--output", out,
+             "--streaming", "--output-partitions", "2"],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+        assert p.returncode == 0, p.stderr[-1500:]
+        report = json.loads(
+            [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        )
+        assert report["nodes"] == 20 and report["triples"] == 20
+        assert report["partitions"]["triples"] == 2
