@@ -70,17 +70,27 @@ def chunk_documents(ds, *, window: int = 200, overlap: int = 50,
 
 
 def export_training_shards(ds, out_dir: str, *, num_shards: int = 16,
-                           seed: int = 42, lineage: str | None = None) -> dict:
+                           seed: int = 42, dataset_id: str = "",
+                           lineage: str | None = None) -> dict:
     """Deterministic shuffle + sharded parquet export + manifest.
 
     ``random_shuffle(seed)`` is a full shuffle by design (that IS the
     operator); shard count fixes the output layout so epoch readers
     can assign shards to workers.  Returns the manifest (per-partition
     rows/bytes from :func:`state.write_partitioned_output`).
+
+    Resume semantics are LINEAGE-keyed: a rerun with the same
+    (seed, num_shards, dataset_id) returns the existing manifest
+    without rewriting.  Pass ``dataset_id`` (corpus version/content
+    fingerprint) when the underlying data can change between runs —
+    the config alone cannot detect new data.
     """
     from ..state import write_partitioned_output
 
     if lineage is None:
-        lineage = f"training_shards(seed={seed},shards={num_shards})"
+        lineage = (
+            f"training_shards(seed={seed},shards={num_shards},"
+            f"dataset={dataset_id})"
+        )
     shuffled = ds.random_shuffle(seed=seed).repartition(num_shards)
     return write_partitioned_output(shuffled, out_dir, lineage=lineage)

@@ -13,19 +13,16 @@ small/large ranges.  Standard error ≈ 1.04/sqrt(2^p).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
+from ..hashing import hash64_array
+
 
 def _hash64_bytes(values: list) -> np.ndarray:
-    """Deterministic 64-bit hashes of arbitrary scalar values."""
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        h = hashlib.blake2b(repr(v).encode("utf-8"), digest_size=8)
-        out[i] = int.from_bytes(h.digest(), "little")
-    return out
+    """Deterministic 64-bit hashes of arbitrary scalar values
+    (the codebase's ONE canonical hash — vectorized siphash)."""
+    return hash64_array(values)
 
 
 class HllSketch:
@@ -74,10 +71,11 @@ class HllSketch:
 
 
 def approx_distinct(ds, column: str, *, p: int = 12,
-                    batch_size: int | None = 4096) -> float:
-    """Approximate COUNT(DISTINCT column) — O(2^p) bytes of traffic.
+                    batch_size: int | None = None) -> float:
+    """Approximate COUNT(DISTINCT column).
 
-    Partials fold per block; the driver merges register arrays.  Error
+    Partials fold per BLOCK (``batch_size=None``) — traffic is one
+    2^p-byte blob per block, independent of row count.  Error
     ≈ ±1.04/sqrt(2^p) relative (p=12 → ~1.6%).
     """
 

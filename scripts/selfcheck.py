@@ -5,9 +5,14 @@ order-insensitive values.  Usage: python scripts/selfcheck.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Ray WORKERS do not inherit the driver's sys.path — export it so UDFs
+# referencing the package deserialize in workers regardless of cwd
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def normalize(df):
@@ -18,21 +23,21 @@ def normalize(df):
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
-        elif df[c].dtype == bool:
-            df[c] = df[c].astype(bool)
+            df[c] = df[c].astype("float64").round(6)
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            # canonical width: DataFrame.equals is dtype-sensitive, and
+            # ray-side int32 vs duckdb int64 would "fail" with 0
+            # differing rows otherwise
+            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def to_pandas(res):
     import pandas as pd
-    import pyarrow as pa
 
     if isinstance(res, pd.DataFrame):
         return res
-    if isinstance(res, pa.Table):
-        return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    return res.to_pandas()  # ray Dataset or pyarrow Table
 
 
 def main():
