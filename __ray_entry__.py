@@ -170,13 +170,13 @@ def _q_doc_quality(sf_dir: str):  # rows-only (heuristic score, non-SQL)
     )
 
 
-def _q_doc_ngram_jaccard(sf_dir: str):  # rows-only (LSH + exact verify)
-    """Exact n-gram Jaccard verification of the MinHash-LSH candidates."""
-    from obsidian_parser_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+def _q_doc_ngram_jaccard(sf_dir: str):
+    """Exact distributed n-gram Jaccard near-dup pairs (shingle
+    inverted index, df-capped) — oracle-checked end-to-end."""
+    from obsidian_parser_ray.stages.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = minhash_lsh_pairs(ds, threshold=0.3, concurrency=2).to_pandas()
-    return ngram_jaccard_pairs(ds, cand, threshold=0.4)
+    return ngram_jaccard_pairs(ds, threshold=0.4, max_df=64)
 
 
 def _q_doc_chunks(sf_dir: str):
@@ -263,11 +263,41 @@ def _q_emb_knn_ivf(sf_dir: str):  # rows-only (approximate, non-SQL)
 
 
 def _q_emb_neardup(sf_dir: str):  # rows-only (LSH, non-SQL)
+    """Embedding near-dup over a derived corpus with PLANTED
+    near-duplicates (the raw table has no pair above cosine 0.52, so
+    an unmodified run would emit zero rows and verify nothing).
+    Planted copies are deterministic: vec_id < 25 re-emitted at
+    vec_id+1_000_000 with a seeded 1% perturbation — recall vs brute
+    force is asserted in tests/test_dedup.py."""
+    import numpy as np
+    import pyarrow as pa
+
     from obsidian_parser_ray.stages.dedup import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.8
-    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        vecs = t["embedding"].to_pylist()
+        out_id, out_vec = [], []
+        for i, v in zip(ids, vecs):
+            if i < 25:
+                rng = np.random.RandomState(1000 + i)
+                pert = np.asarray(v, dtype=np.float64)
+                pert = pert + rng.standard_normal(len(pert)) * 0.01 * (
+                    np.abs(pert).mean() or 1.0
+                )
+                out_id.append(i + 1_000_000)
+                out_vec.append(pert.astype(np.float32).tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(out_id, pa.int64()),
+                "embedding": pa.array(out_vec, pa.list_(pa.float32())),
+            }
+        )
+
+    corpus = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    return embedding_neardup_pairs(corpus, threshold=0.9)
 
 
 def _q_events_hourly(sf_dir: str):
@@ -439,6 +469,37 @@ SELECT doc_id,
          AS chunk_text,
        (least((i-1)*150 + 200, n) - (i-1)*150)::BIGINT AS n_tokens
 FROM x
+""",
+        # exact n-gram Jaccard (k=3 word shingles, distinct per doc,
+        # stop-shingles with df>64 dropped) — mirrors
+        # stages/dedup.py:ngram_jaccard_pairs rule for rule
+        "doc_ngram_jaccard": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3)
+  UNION
+  SELECT doc_id, array_to_string(ws, ' ') FROM w WHERE len(ws) BETWEEN 1 AND 2
+),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 64),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN ok ON ok.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.inter,
+       (na.n_sh + nb.n_sh - p.inter)::BIGINT AS union_n,
+       p.inter / (na.n_sh + nb.n_sh - p.inter) AS jaccard
+FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.4
 """,
         "events_topk_users": (
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events"

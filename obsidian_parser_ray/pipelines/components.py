@@ -48,16 +48,36 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
     their own component).  ``component`` = min node id in the
     component (deterministic canonical representative).
     """
+    import ray
     from ray.data.aggregate import Count, Min
+
+    # Dataset.join's JoinOperator allocates num_partitions CONCURRENT
+    # 1-CPU actors; requesting more partitions than cluster CPUs
+    # deadlocks the streaming executor — clamp defensively
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", num_partitions) or 1)
+        num_partitions = max(1, min(num_partitions, cpus))
 
     msgs = _norm_edges(edges).materialize()
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["doc_id"], "label": t["doc_id"]})
 
-    labels = nodes.select_columns(["doc_id"]).map_batches(
-        init_labels, batch_format="pyarrow"
-    ).materialize()
+    def endpoint_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"], "label": t["src"]})
+
+    # seed from nodes UNION edge endpoints: an endpoint absent from the
+    # nodes table must still participate in the convergence check (its
+    # first-appearance round would otherwise be invisible to the
+    # changed-count and the loop could declare convergence early)
+    labels = (
+        nodes.select_columns(["doc_id"])
+        .map_batches(init_labels, batch_format="pyarrow")
+        .union(msgs.map_batches(endpoint_labels, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
 
     converged = False
     for _ in range(max_iters):

@@ -161,15 +161,21 @@ def duplicates_by_content(notes):
 
 
 def write_graph(result: GraphResult, out_dir: str,
-                *, num_partitions: int | None = None) -> dict:
+                *, num_partitions: int | None = None,
+                dataset_id: str = "") -> dict:
     """Sorted materialize of the canonical triples + node table
-    (north_star final stage), partitioned parquet + manifests."""
+    (north_star final stage), partitioned parquet + manifests.
+
+    ``dataset_id`` is folded into the manifest lineage: pass an input
+    fingerprint (e.g. source path + row count) so a rerun over the SAME
+    out_dir with DIFFERENT input data rewrites instead of silently
+    returning the stale manifest."""
     from ..state import write_partitioned_output
 
     m1 = write_partitioned_output(
         sorted_triples(result.triples),
         out_dir + "/triples",
-        lineage="triples",
+        lineage=f"triples:{dataset_id}" if dataset_id else "triples",
         num_partitions=num_partitions,
     )
     m2 = write_partitioned_output(
@@ -185,7 +191,7 @@ def write_graph(result: GraphResult, out_dir: str,
             ]
         ),
         out_dir + "/nodes",
-        lineage="nodes",
+        lineage=f"nodes:{dataset_id}" if dataset_id else "nodes",
     )
     return {"triples": m1, "nodes": m2}
 
@@ -256,6 +262,13 @@ def read_adjacency(out_dir: str, subj: str):
                 }
             )
         )
-    return rd.read_parquet(path, file_extensions=["parquet"]).filter(
-        expr=f"subj == {subj!r}"
+    # pc.equal kernel, not an interpolated expr string — doc_ids are
+    # arbitrary vault paths (quotes/backslashes must not reach a parser)
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["subj"], pa.scalar(subj, pa.string())))
+
+    return rd.read_parquet(path, file_extensions=["parquet"]).map_batches(
+        keep, batch_format="pyarrow"
     )

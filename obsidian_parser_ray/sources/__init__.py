@@ -110,14 +110,18 @@ def render_markdown(docs):
     return docs.map_batches(render, batch_format="pyarrow")
 
 
-def write_markdown(docs, out_dir: str) -> dict:
+def write_markdown(docs, out_dir: str, *, dataset_id: str = "") -> dict:
     """Markdown round-trip sink (S7): rendered file texts as
     partitioned parquet + manifest (resumable, same layout contract as
-    the triple sink)."""
+    the triple sink).  ``dataset_id``: input fingerprint folded into
+    the manifest lineage so a rerun with different input data rewrites
+    instead of serving the stale manifest."""
     from ..state import write_partitioned_output
 
     return write_partitioned_output(
-        render_markdown(docs), out_dir, lineage="render_markdown"
+        render_markdown(docs), out_dir,
+        lineage=f"render_markdown:{dataset_id}" if dataset_id
+        else "render_markdown",
     )
 
 

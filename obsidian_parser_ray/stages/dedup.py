@@ -331,103 +331,261 @@ def minhash_lsh_pairs(
     if candidates.count() == 0:
         return rd.from_arrow(empty)
 
-    # Verify: fetch signatures for exactly the candidate id set
-    # (broadcast-filter sweep over the pinned docs table — candidate
-    # count is already the size class we materialize/output, so the
-    # lookup table is O(candidates), not O(corpus)), then score each
-    # candidate batch vectorized against the broadcast sig dict.
-    import ray
+    # Verify: hash-partitioned candidates↔signatures join (two passes,
+    # one per pair side) — NO driver-side candidate set or signature
+    # dict; memory per task is bounded by partition size, signatures
+    # cross the cluster only for the partitions that need them.  Built
+    # on union + groupby(part).map_groups (the link_mentions_shuffle
+    # pattern) rather than Dataset.join: the JoinOperator allocates
+    # num_partitions CONCURRENT actors, which deadlocks whenever
+    # num_partitions exceeds cluster CPUs — the sort-based groupby
+    # shuffle has no such floor.
+    import pyarrow.compute as pc
 
-    wanted: set = set()
-    for b in candidates.iter_batches(batch_format="pyarrow"):
-        wanted.update(b["id_a"].to_pylist())
-        wanted.update(b["id_b"].to_pylist())
-    wanted_ref = ray.put(wanted)
+    sigs = docs.select_columns(["doc_id", "sig"])
+    null_sig = lambda n: pa.nulls(n, pa.binary())  # noqa: E731
+    null_id = lambda n: pa.nulls(n, id_t)  # noqa: E731
 
-    class FilterSigs:
-        def __init__(self):
-            self.wanted = ray.get(wanted_ref)
+    def _sig_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = len(ids)
+        return pa.table(
+            {
+                "part": hash_bucket_array(ids, num_partitions),
+                "is_sig": pa.array([True] * n, pa.bool_()),
+                "key": ids,
+                "peer": null_id(n),
+                "carry": null_sig(n),
+                "sig": t["sig"],
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([i in self.wanted for i in t["doc_id"].to_pylist()])
-            return t.select(["doc_id", "sig"]).filter(mask)
-
-    sig_lookup: dict = {}
-    for b in docs.map_batches(
-        FilterSigs, batch_format="pyarrow", concurrency=(1, 4)
-    ).iter_batches(batch_format="pyarrow"):
-        sig_lookup.update(zip(b["doc_id"].to_pylist(), b["sig"].to_pylist()))
-    sig_ref = ray.put(sig_lookup)
-
-    class Estimate:
-        def __init__(self):
-            self.sigs = ray.get(sig_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return empty
-            a = np.stack(
-                [np.frombuffer(self.sigs[i], dtype=_SIG_DTYPE, count=sig_words)
-                 for i in t["id_a"].to_pylist()]
-            )
-            b = np.stack(
-                [np.frombuffer(self.sigs[i], dtype=_SIG_DTYPE, count=sig_words)
-                 for i in t["id_b"].to_pylist()]
-            )
-            est = (a == b).mean(axis=1)
-            keep = est >= threshold
+    def _cand_rows(key_col: str, peer_col: str, carry_col: str | None):
+        def rows(t: pa.Table) -> pa.Table:
+            key = t[key_col]
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            n = len(key)
             return pa.table(
                 {
-                    "id_a": t["id_a"].filter(pa.array(keep)),
-                    "id_b": t["id_b"].filter(pa.array(keep)),
-                    "est_jaccard": pa.array(est[keep], pa.float64()),
+                    "part": hash_bucket_array(key, num_partitions),
+                    "is_sig": pa.array([False] * n, pa.bool_()),
+                    "key": key,
+                    "peer": t[peer_col],
+                    "carry": t[carry_col] if carry_col else null_sig(n),
+                    "sig": null_sig(n),
                 }
             )
 
-    pairs = candidates.map_batches(Estimate, batch_format="pyarrow",
-                                   concurrency=(1, 4))
+        return rows
+
+    def _attach(g: pa.Table, out_fn):
+        is_sig = g["is_sig"]
+        if isinstance(is_sig, pa.ChunkedArray):
+            is_sig = is_sig.combine_chunks()
+        sig_side = g.filter(is_sig)
+        cand_side = g.filter(pc.invert(is_sig))
+        if cand_side.num_rows == 0:
+            return out_fn(None, None)
+        idx = pc.index_in(cand_side["key"], sig_side["key"].combine_chunks()
+                          if isinstance(sig_side["key"], pa.ChunkedArray)
+                          else sig_side["key"])
+        got = pc.take(sig_side["sig"], idx)
+        return out_fn(cand_side, got)
+
+    # pass 1: attach sig_a (keyed on id_a)
+    def out1(cand_side, got):
+        if cand_side is None:
+            return pa.table(
+                {"id_a": pa.array([], id_t), "id_b": pa.array([], id_t),
+                 "sig_a": pa.array([], pa.binary())}
+            )
+        return pa.table(
+            {"id_a": cand_side["key"], "id_b": cand_side["peer"], "sig_a": got}
+        )
+
+    with_a = (
+        candidates.map_batches(_cand_rows("id_a", "id_b", None),
+                               batch_format="pyarrow")
+        .union(sigs.map_batches(_sig_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(lambda g: _attach(g, out1), batch_format="pyarrow")
+    )
+
+    # pass 2: attach sig_b (keyed on id_b), estimate + threshold inline
+    def out2(cand_side, got):
+        if cand_side is None or cand_side.num_rows == 0:
+            return empty
+        a = np.frombuffer(
+            b"".join(cand_side["carry"].to_pylist()), dtype=_SIG_DTYPE
+        ).reshape(-1, sig_words)
+        b = np.frombuffer(
+            b"".join(got.to_pylist()), dtype=_SIG_DTYPE
+        ).reshape(-1, sig_words)
+        est = (a == b).mean(axis=1)
+        keep = pa.array(est >= threshold)
+        return pa.table(
+            {
+                "id_a": cand_side["peer"].filter(keep),
+                "id_b": cand_side["key"].filter(keep),
+                "est_jaccard": pa.array(est[est >= threshold], pa.float64()),
+            }
+        )
+
+    pairs = (
+        with_a.map_batches(_cand_rows("id_b", "id_a", "sig_a"),
+                           batch_format="pyarrow")
+        .union(sigs.map_batches(_sig_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(lambda g: _attach(g, out2), batch_format="pyarrow")
+    )
     return _dedup_pairs(pairs, empty, Max("est_jaccard", alias_name="est_jaccard"))
 
 
-def ngram_jaccard_pairs(ds, candidate_pairs, *, text_col="text", id_col="doc_id",
-                        shingle_k: int = 3, threshold: float = 0.5):
-    """EXACT n-gram Jaccard verification of candidate pairs.
+import re as _re
 
-    ``candidate_pairs`` is a small pandas DataFrame (id_a, id_b) — the
-    LSH output.  Texts for the (small) candidate id set are fetched via
-    a broadcast-filter ``map_batches`` pass, then scored on the driver
-    (shingles computed once per unique doc).  For huge candidate sets,
-    shard the pair list and run this per shard.
+# ASCII \S+ word splitter (RE2 semantics) — the shingle universe shared
+# with the DuckDB oracle (regexp_split_to_array(text, '\s+')).
+_ASCII_WORD_RE = _re.compile(r"\S+", _re.ASCII)
+
+
+def ascii_word_shingles(text: str, k: int = 3) -> set[str]:
+    """Distinct word k-shingles over ASCII-whitespace words (exact
+    oracle parity; :func:`word_shingles` keeps Python ``str.split``
+    semantics for the MinHash path)."""
+    words = _ASCII_WORD_RE.findall(text)
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def ngram_jaccard_pairs(ds, *, text_col="text", id_col="doc_id",
+                        shingle_k: int = 3, threshold: float = 0.5,
+                        max_df: int = 64, num_partitions: int = 64):
+    """EXACT n-gram Jaccard near-duplicate pairs — fully distributed.
+
+    Inverted-index dataflow (no candidate list, no driver-side text
+    dict, no all-pairs scan):
+
+    1. ``map_batches``: per doc, the DISTINCT word-``k``-shingle set →
+       exploded rows ``(part=hash(shingle), shingle, doc_id, n_sh)``
+       (``n_sh`` = the doc's shingle-set size, denormalized onto every
+       row so the final aggregate needs no extra join);
+    2. ``groupby(part)``: each shingle's full posting list is
+       co-located; lists with df > ``max_df`` are DROPPED (stop-shingle
+       guard — bounds pair fan-out at max_df² per shingle; a shingle
+       that common carries no near-dup signal).  Surviving lists emit
+       ``(id_a, id_b, n_a, n_b)`` per co-occurring pair, pre-counted
+       per partition;
+    3. global ``groupby(id_a, id_b)`` sums per-partition counts →
+       ``inter = |A∩B|``; ``union_n = n_a + n_b - inter``;
+       ``jaccard = inter/union_n`` filtered at ``threshold``.
+
+    Every rule (ASCII word split, distinct shingles, df cap, integer
+    counts) is reproducible in SQL, so this op is oracle-checked
+    end-to-end.  Output: (id_a, id_b, inter, union_n, jaccard),
+    ``id_a < id_b``.
     """
-    import ray
+    from ray.data.aggregate import Min, Sum
 
-    wanted = set(candidate_pairs["id_a"]) | set(candidate_pairs["id_b"])
-    ref = ray.put(wanted)
+    import ray.data as rd
 
-    class FilterTexts:
-        def __init__(self, wanted_ref):
-            self.wanted = ray.get(wanted_ref)
+    id_t = _id_type(ds, id_col)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([i in self.wanted for i in t[id_col].to_pylist()])
-            return t.select([id_col, text_col]).filter(mask)
-
-    texts = {}
-    for b in (
-        ds.map_batches(
-            FilterTexts, fn_constructor_kwargs={"wanted_ref": ref},
-            batch_format="pyarrow", concurrency=(1, 4),
+    def explode_shingles(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_sh, out_id, out_n = [], [], []
+        for doc_id, text in zip(ids, texts):
+            sh = ascii_word_shingles(text, shingle_k)
+            out_sh.extend(sh)
+            out_id.extend([doc_id] * len(sh))
+            out_n.extend([len(sh)] * len(sh))
+        sh_arr = pa.array(out_sh, pa.string())
+        return pa.table(
+            {
+                "part": hash_bucket_array(sh_arr, num_partitions),
+                "shingle": sh_arr,
+                id_col: pa.array(out_id, id_t),
+                "n_sh": pa.array(out_n, pa.int64()),
+            }
         )
-    ).iter_batches(batch_format="pyarrow"):
-        texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
 
-    shingle_cache = {i: word_shingles(txt, shingle_k) for i, txt in texts.items()}
-    rows = []
-    for a, b_ in zip(candidate_pairs["id_a"], candidate_pairs["id_b"]):
-        j = jaccard(shingle_cache[a], shingle_cache[b_])
-        if j >= threshold:
-            rows.append((a, b_, j))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    def posting_pairs(g: pd.DataFrame) -> pa.Table:
+        ia, ib, na, nb = [], [], [], []
+        for _, sub in g.groupby("shingle", sort=False):
+            df_ = len(sub)
+            if df_ < 2 or df_ > max_df:
+                continue
+            sub = sub.sort_values(id_col, kind="stable")
+            ids = sub[id_col].to_numpy()
+            ns = sub["n_sh"].to_numpy()
+            iu, ju = np.triu_indices(df_, k=1)
+            ia.extend(ids[iu])
+            ib.extend(ids[ju])
+            na.extend(ns[iu])
+            nb.extend(ns[ju])
+        t = pa.table(
+            {
+                "id_a": pa.array(ia, id_t),
+                "id_b": pa.array(ib, id_t),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "_n": pa.array([1] * len(ia), pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return t
+        # per-partition partial combine before the pair shuffle
+        out = t.group_by(["id_a", "id_b", "n_a", "n_b"]).aggregate([("_n", "sum")])
+        return out.rename_columns(
+            ["_n" if c == "_n_sum" else c for c in out.column_names]
+        ).select(["id_a", "id_b", "n_a", "n_b", "_n"])
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], id_t),
+            "id_b": pa.array([], id_t),
+            "inter": pa.array([], pa.int64()),
+            "union_n": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    partials = (
+        ds.map_batches(explode_shingles, batch_format="pyarrow", batch_size=512)
+        .groupby("part")
+        .map_groups(posting_pairs, batch_format="pandas")
+    ).materialize()
+    if partials.count() == 0:
+        return rd.from_arrow(empty)
+
+    agg = partials.groupby(["id_a", "id_b"]).aggregate(
+        Sum("_n", alias_name="inter"),
+        Min("n_a", alias_name="n_a"),
+        Min("n_b", alias_name="n_b"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = np.asarray(t["inter"].to_pylist(), dtype=np.int64)
+        n_a = np.asarray(t["n_a"].to_pylist(), dtype=np.int64)
+        n_b = np.asarray(t["n_b"].to_pylist(), dtype=np.int64)
+        union_n = n_a + n_b - inter
+        jac = inter / union_n
+        keep = pa.array(jac >= threshold)
+        return pa.table(
+            {
+                "id_a": t["id_a"].filter(keep),
+                "id_b": t["id_b"].filter(keep),
+                "inter": pa.array(inter, pa.int64()).filter(keep),
+                "union_n": pa.array(union_n, pa.int64()).filter(keep),
+                "jaccard": pa.array(jac, pa.float64()).filter(keep),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -562,32 +720,61 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
 
 def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
                             threshold: float = 0.9, num_planes: int = 12,
-                            seed: int = 42, max_bucket: int = 1000,
+                            num_tables: int = 2, seed: int = 42,
+                            max_bucket: int = 1000,
                             batch_size: int | None = 1024,
                             num_partitions: int = 64):
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets.
 
-    Sign-pattern of ``num_planes`` seeded hyperplanes buckets vectors;
-    exact cosine verifies within buckets.  Recall is probabilistic
-    (1 bucket table) — raise recall by lowering num_planes or adding
-    tables; exposed as a rows-only query, verified in tests on planted
-    duplicates.
+    Multi-table LSH: ``num_tables`` independent seeded hyperplane sets;
+    a pair is a candidate if its sign-patterns collide in ANY table
+    (recall 1-(1-p)^L for per-table collision prob p), verified by
+    exact cosine inside the bucket.  Output pairs are globally deduped
+    (a pair can collide in several tables) with max cosine kept.
+    Precision is exact by construction; recall is probabilistic —
+    verified against brute force on planted duplicates in tests.
     """
     id_t = _id_type(ds, id_col)
 
     def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_t),
+                    "bucket": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                    vec_col: t[vec_col],
+                }
+            )
         vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        n = len(vecs)
         dim = vecs.shape[1]
-        rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((dim, num_planes))
-        signs = (vecs @ planes) > 0
-        keys = (signs.astype(np.int64) << np.arange(num_planes)).sum(axis=1)
+        all_keys = []
+        for tbl in range(num_tables):
+            rng = np.random.RandomState(seed + tbl)
+            planes = rng.standard_normal((dim, num_planes))
+            signs = (vecs @ planes) > 0
+            keys = (signs.astype(np.int64) << np.arange(num_planes)).sum(axis=1)
+            # disambiguate tables in the bucket key space
+            all_keys.append(keys * num_tables + tbl)
+        keys = np.concatenate(all_keys)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        import pyarrow.compute as pc
+
+        rep = pa.array(np.tile(np.arange(n, dtype=np.int64), num_tables))
         return pa.table(
             {
-                id_col: t[id_col],
+                id_col: pc.take(ids, rep),
                 "bucket": pa.array(keys, pa.int64()),
                 "part": hash_bucket_array(keys, num_partitions),
-                vec_col: t[vec_col],
+                vec_col: pc.take(
+                    t[vec_col].combine_chunks()
+                    if isinstance(t[vec_col], pa.ChunkedArray)
+                    else t[vec_col],
+                    rep,
+                ),
             }
         )
 
@@ -617,8 +804,15 @@ def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
             }
         )
 
-    return (
+    from ray.data.aggregate import Max
+
+    pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow", batch_size=batch_size)
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return _dedup_pairs(
+        pairs,
+        _empty_pairs(id_t, "cosine", pa.float64()),
+        Max("cosine", alias_name="cosine"),
     )

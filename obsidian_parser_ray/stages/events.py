@@ -65,53 +65,71 @@ def type_stats(events, *, type_col: str = "event_type", value_col: str = "value"
 
 
 def sessionize(events, *, key_col: str = "user_id", ts_col: str = "ts",
-               gap_minutes: int = 30):
+               gap_minutes: int = 30, num_partitions: int = 64):
     """Session windows: a new session starts after a gap > gap_minutes.
 
     Output: (key, session_idx [1-based per key in ts order], n_events,
     start_s, end_s) — all integers, reproducible by a DuckDB window
-    query.  Per-key state lives inside ``map_groups`` over the sorted
-    group (the reference pattern for session semantics in a batch
-    engine).
+    query.  Each hash partition is processed with ONE vectorized sweep:
+    sort by (key, ts), diff/cumsum the break flags across the whole
+    partition frame, then a single C-speed groupby-agg — no per-key
+    Python loop.
     """
     gap_s = gap_minutes * 60
 
     def add_part(t: pa.Table) -> pa.Table:
         # bounded shuffle key (shared deterministic hash — works for
-        # int AND string keys): one Ray task per partition, per-key
-        # session logic runs in a pandas groupby inside the task
+        # int AND string keys): one Ray task per partition
         from ..hashing import hash_bucket_array
 
-        return t.append_column("part", hash_bucket_array(t[key_col], 64))
+        return t.append_column(
+            "part", hash_bucket_array(t[key_col], num_partitions)
+        )
+
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series([], dtype="object"),
+            "session_idx": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "start_s": pd.Series([], dtype="int64"),
+            "end_s": pd.Series([], dtype="int64"),
+        }
+    )
 
     def sessions_partition(p: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, g in p.groupby(key_col, sort=False):
-            g = g.sort_values(ts_col, kind="stable")
-            secs = _epoch_seconds(g[ts_col]).to_numpy()
-            brk = np.ones(len(g), dtype=np.int64)
-            if len(g) > 1:
-                brk[1:] = (secs[1:] - secs[:-1] > gap_s).astype(np.int64)
-            sess = brk.cumsum()
-            out = pd.DataFrame(
-                {key_col: g[key_col].to_numpy(), "session_idx": sess, "_s": secs}
-            )
-            frames.append(
-                out.groupby([key_col, "session_idx"], as_index=False).agg(
-                    n_events=("_s", "size"), start_s=("_s", "min"), end_s=("_s", "max")
-                )
-            )
-        if not frames:
-            return pd.DataFrame(
-                {
-                    key_col: pd.Series([], dtype=p[key_col].dtype),
-                    "session_idx": pd.Series([], dtype="int64"),
-                    "n_events": pd.Series([], dtype="int64"),
-                    "start_s": pd.Series([], dtype="int64"),
-                    "end_s": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.concat(frames, ignore_index=True).astype(
+        if not len(p):
+            e = empty.copy()
+            e[key_col] = e[key_col].astype(p[key_col].dtype)
+            return e
+        p = p.sort_values([key_col, ts_col], kind="stable")
+        keys = p[key_col].to_numpy()
+        secs = _epoch_seconds(p[ts_col]).to_numpy()
+        n = len(p)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        brk = new_key.copy()
+        brk[1:] |= secs[1:] - secs[:-1] > gap_s
+        # global session counter, then rebased 1-per-key: the counter
+        # value at each key's first row is carried forward by a
+        # running max (counter is nondecreasing)
+        sg = np.cumsum(brk.astype(np.int64))
+        key_first = np.maximum.accumulate(np.where(new_key, sg, 0))
+        sidx = sg - key_first + 1
+        out = pd.DataFrame(
+            {key_col: keys, "_sg": sg, "session_idx": sidx, "_s": secs}
+        )
+        g = out.groupby("_sg", as_index=False, sort=False).agg(
+            **{
+                key_col: (key_col, "first"),
+                "session_idx": ("session_idx", "first"),
+                "n_events": ("_s", "size"),
+                "start_s": ("_s", "min"),
+                "end_s": ("_s", "max"),
+            }
+        )
+        return g[
+            [key_col, "session_idx", "n_events", "start_s", "end_s"]
+        ].astype(
             {
                 "session_idx": "int64",
                 "n_events": "int64",

@@ -431,10 +431,9 @@ def child_of_edges(notes):
             ids = ids.combine_chunks()
         mask = pc.match_substring(ids, "/")
         subj = ids.filter(mask)
-        # parent = everything before the last '/'
-        parents = pa.array(
-            [s.rsplit("/", 1)[0] for s in subj.to_pylist()], pa.string()
-        )
+        # parent = everything before the last '/' — Arrow regex kernel
+        # (strip the final '/'+segment), no per-row Python
+        parents = pc.replace_substring_regex(subj, r"/[^/]*$", "")
         n = len(subj)
         return pa.Table.from_arrays(
             [
@@ -610,7 +609,11 @@ def resolution_stats(mentions, dictionary, *, batch_size: int | None = None):
             .group_by(["pred", "resolved"])
             .aggregate([("n", "sum")])
         )
-        return out.rename_columns(["pred", "resolved", "n"])
+        # name-based rename: aggregate output column ORDER is not a
+        # documented pyarrow guarantee (same hazard as canonicalize.py)
+        return out.rename_columns(
+            ["n" if c == "n_sum" else c for c in out.column_names]
+        ).select(["pred", "resolved", "n"])
 
     return (
         edges.map_batches(combine, batch_format="pyarrow")

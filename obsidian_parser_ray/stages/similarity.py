@@ -223,20 +223,42 @@ def knn_ivf(ds, query_ids_and_vecs, *, k: int = 5, n_centroids: int = 16,
 
 
 def _sample_centroids(ds, n_centroids: int, seed: int, vec_col: str, id_col: str):
-    sample = ds.map_batches(
-        lambda t: pa.table(
+    """Deterministic seeded sample: the ``n_centroids`` rows with the
+    smallest ``hash((seed, id))``.
+
+    Per-block partial min-n inside ``map_batches`` + a tiny driver
+    merge (the same partial-top-k shape as :func:`knn_bruteforce`) —
+    never a full-dataset sort.  Driver memory is
+    O(n_centroids × blocks), shuffle volume zero."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = np.fromiter(
+            (hash((seed, int(i))) & 0x7FFFFFFF for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        keep = np.argsort(h, kind="stable")[:n_centroids]
+        return pa.table(
             {
-                id_col: t[id_col],
-                vec_col: t[vec_col],
-                "_h": pa.array(
-                    [hash((seed, int(i))) & 0x7FFFFFFF for i in t[id_col].to_pylist()],
-                    pa.int64(),
-                ),
+                id_col: pc_take(t[id_col], keep),
+                vec_col: pc_take(t[vec_col], keep),
+                "_h": pa.array(h[keep], pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    ).sort("_h").limit(n_centroids).take_all()
-    return _unit(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+        )
+
+    import pyarrow.compute as _pc
+
+    def pc_take(col, idx):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return _pc.take(col, pa.array(idx, pa.int64()))
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["_h"], r[id_col]))
+    return _unit(
+        np.asarray([r[vec_col] for r in rows[:n_centroids]], dtype=np.float64)
+    )
 
 
 def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16, seed: int = 42,

@@ -46,7 +46,10 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="auto" if "--address" in sys.argv else "local",
+        # honor RAY_ADDRESS (the `ray job submit` contract: attach to the
+        # cluster that launched us); standalone runs fall back to a
+        # fresh local instance
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False, logging_level="ERROR")
 
     from obsidian_parser_ray import build_graph, write_graph

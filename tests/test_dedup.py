@@ -96,11 +96,39 @@ class TestMinHashLSH:
 
     def test_exact_verification(self):
         texts = [BASE, NEAR, FAR]
-        cand = pd.DataFrame({"id_a": [0, 0], "id_b": [1, 2]})
-        out = ngram_jaccard_pairs(_docs_ds(texts), cand, threshold=0.5)
+        out = ngram_jaccard_pairs(_docs_ds(texts), threshold=0.5).to_pandas()
         assert list(out["id_a"]) == [0] and list(out["id_b"]) == [1]
         true = jaccard(word_shingles(BASE), word_shingles(NEAR))
         assert out["jaccard"].iloc[0] == pytest.approx(true)
+        # integer witness columns are exact
+        row = out.iloc[0]
+        assert row["inter"] / row["union_n"] == row["jaccard"]
+
+    def test_stop_shingle_guard(self):
+        # a shingle with df > max_df contributes nothing to inter
+        texts = ["x y z unique", "x y z other", "x y z third"]
+        out = ngram_jaccard_pairs(
+            _docs_ds(texts), threshold=0.01, max_df=2
+        ).to_pandas()
+        # 'x y z' appears in all 3 docs (df=3 > 2) → dropped; the docs
+        # share no other shingle → no pairs at all
+        assert len(out) == 0
+
+    def test_empty_corpus_keeps_schema(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        empty = rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}
+            )
+        )
+        out = ngram_jaccard_pairs(empty, threshold=0.5)
+        assert out.count() == 0
+        assert out.schema().names == [
+            "id_a", "id_b", "inter", "union_n", "jaccard",
+        ]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -144,3 +172,36 @@ class TestEmbeddingNearDup:
         pairs = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
         assert pairs == {(0, 1)}
         assert out["cosine"].iloc[0] > 0.99
+
+    def test_recall_vs_bruteforce(self):
+        """Multi-table LSH recall on planted near-dups ≥ 0.8 of the
+        brute-force ground truth; precision exact by construction."""
+        import ray.data as rd
+
+        rng = np.random.RandomState(7)
+        dim, n_base, n_planted = 32, 60, 20
+        base = rng.standard_normal((n_base, dim))
+        rows = [(i, base[i]) for i in range(n_base)]
+        for i in range(n_planted):
+            rows.append((1000 + i, base[i] + rng.standard_normal(dim) * 0.02))
+        ids = [r[0] for r in rows]
+        vecs = np.stack([r[1] for r in rows])
+        df = pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+
+        thr = 0.95
+        unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+        sim = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        truth = {
+            (min(ids[i], ids[j]), max(ids[i], ids[j]))
+            for i, j in zip(iu, ju)
+            if sim[i, j] >= thr
+        }
+        assert len(truth) >= n_planted  # planted pairs really are near-dups
+
+        out = embedding_neardup_pairs(
+            rd.from_pandas(df), threshold=thr, num_tables=3
+        ).to_pandas()
+        found = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+        assert found <= truth  # exact verify → precision 1.0
+        assert len(found) / len(truth) >= 0.8
