@@ -29,11 +29,17 @@ _GRAPH_CACHE: dict[str, Any] = {}
 
 
 def _graph(sf_dir: str):
-    """Build (once per sf_dir) the full KG pipeline result."""
+    """Build (once per sf_dir) the full KG pipeline result.
+
+    ``materialize_notes=True``: ten driver queries consume the notes /
+    mentions tables of the SAME tiny graph — the multi-consumer case
+    the pin exists for.  The library default is the streaming path."""
     if sf_dir not in _GRAPH_CACHE:
         from obsidian_parser_ray import build_graph, synth_vault
 
-        _GRAPH_CACHE[sf_dir] = build_graph(synth_vault(sf_dir))
+        _GRAPH_CACHE[sf_dir] = build_graph(
+            synth_vault(sf_dir), materialize_notes=True
+        )
     return _GRAPH_CACHE[sf_dir]
 
 
@@ -117,10 +123,12 @@ def _q_kg_resolution(sf_dir: str):
     return resolution_stats(g.mentions, g.dictionary)
 
 
-def _q_kg_analyzer(sf_dir: str):  # rows-only (composition job, non-SQL)
+def _q_kg_analyzer(sf_dir: str):
     """End-to-end analyzer report (examples/analyzer.rs parity),
-    rebuilt on the filtered vault — verified against the pure-Python
-    oracle in tests/test_analyzer.py."""
+    rebuilt on the filtered vault — every scalar (note count, word
+    sum, dup groups, component count, top hub) is emitted as a
+    comparable one-row table and checked against an analytic SQL
+    oracle over the same filtered-dictionary resolution rules."""
     import pandas as pd
 
     from obsidian_parser_ray import synth_vault
@@ -160,13 +168,15 @@ def _q_doc_dedup_drop(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
-def _q_doc_quality(sf_dir: str):  # rows-only (heuristic score, non-SQL)
+def _q_doc_quality(sf_dir: str):
+    """Quality score as exact integer micros (floor(raw*1e6)) — the
+    float arithmetic is replicated op-for-op by the DuckDB oracle."""
     from obsidian_parser_ray.stages.text import quality_score_batch
 
     return (
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(quality_score_batch, batch_format="pyarrow", batch_size=512)
-        .select_columns(["doc_id", "quality"])
+        .select_columns(["doc_id", "quality_micro"])
     )
 
 
@@ -224,7 +234,9 @@ def _q_lang_stats(sf_dir: str):
     return lang_stats(_read(sf_dir, "documents", ["lang", "text"]))
 
 
-def _q_doc_langid(sf_dir: str):  # rows-only (heuristic model, non-SQL)
+def _q_doc_langid(sf_dir: str):
+    """Deterministic heuristic language ID (stopword evidence +
+    char-class overrides) — rules replicated exactly in SQL."""
     from obsidian_parser_ray.stages.text import lang_id
 
     return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -365,9 +377,117 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from obsidian_parser_ray.corpus import oracle_cte
+    from obsidian_parser_ray.stages.text import STOPWORDS
 
     cte = oracle_cte("documents")
+
+    def _sql_list(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+    # analyzer oracle: the filtered vault (parse-ok, nonempty, !todo)
+    # with the reference resolution rules re-derived on the FILTERED
+    # dictionary — shadow notes win short-name ties by min(doc_key),
+    # todo-filtered targets become unresolved and drop, alias owners
+    # are the surviving d%5==0 notes (first-wins by min doc key)
+    analyzer_sql = cte.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+f AS (SELECT * FROM exp_notes WHERE NOT is_todo),
+sn AS (SELECT note_name, min(doc_key) AS target FROM f GROUP BY note_name),
+al AS (SELECT 'alias_'||d AS alias, 'note_'||d AS target
+       FROM m WHERE d % 5 = 0 AND d % 13 <> 0),
+lm AS (
+  SELECT 'note_'||m.d AS subj, sn.target AS obj
+  FROM m JOIN sn ON sn.note_name = 'note_'||m.l1 WHERE m.d % 13 <> 0
+  UNION ALL
+  SELECT 'note_'||m.d, sn.target
+  FROM m JOIN sn ON sn.note_name = 'note_'||m.l1 WHERE m.d % 13 <> 0
+  UNION ALL
+  SELECT 'note_'||m.d, al.target
+  FROM m JOIN al ON al.alias = 'alias_'||m.a
+  WHERE m.d % 13 <> 0 AND m.d % 5 = 1
+),
+u AS (SELECT subj AS na, obj AS nb FROM lm UNION SELECT obj, subj FROM lm),
+reach(node, lbl) AS (
+  SELECT doc_key, doc_key FROM f
+  UNION
+  SELECT u.nb, r.lbl FROM reach r JOIN u ON u.na = r.node
+),
+comp AS (SELECT node, min(lbl) AS c FROM reach GROUP BY node),
+deg AS (SELECT obj, count(*)::BIGINT AS degree FROM lm GROUP BY obj),
+hub AS (SELECT obj, degree FROM deg ORDER BY degree DESC, obj LIMIT 1)
+SELECT
+  (SELECT count(*)::BIGINT FROM f) AS n_notes,
+  (SELECT sum(n_words)::BIGINT FROM f) AS total_words,
+  (SELECT count(*)::BIGINT FROM
+     (SELECT note_name FROM f GROUP BY note_name HAVING count(*) > 1)
+  ) AS dup_name_groups,
+  (SELECT count(*)::BIGINT FROM
+     (SELECT content_hash FROM f GROUP BY content_hash HAVING count(*) > 1)
+  ) AS dup_content_groups,
+  (SELECT count(DISTINCT c)::BIGINT FROM comp) AS n_components,
+  (SELECT obj FROM hub) AS top_hub,
+  (SELECT degree FROM hub) AS top_hub_degree
+"""
+
     return {
+        "kg_analyzer": analyzer_sql,
+        # quality score replicated op-for-op in IEEE-754 double, then
+        # an exact integer floor — mirrors text.py:quality_score_batch
+        "doc_quality": rf"""
+WITH s AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT
+      AS nw0,
+    length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        x -> x IN ({_sql_list("en")})))::BIGINT AS n_stop
+  FROM documents
+),
+x AS (
+  SELECT doc_id, CASE WHEN nw0 = 0 THEN 1 ELSE nw0 END AS nw,
+         n_chars, n_punct, n_stop FROM s
+),
+y AS (
+  SELECT doc_id,
+    least(1.0, nw / 50.0) * (CASE WHEN nw < 2000 THEN 1.0 ELSE 0.5 END)
+      AS len_score,
+    CASE WHEN n_punct / greatest(1, n_chars) < 0.1 THEN 1.0 ELSE 0.5 END
+      AS punct_score,
+    least(1.0, n_stop / nw * 5) AS stop_score
+  FROM x
+)
+SELECT doc_id,
+  floor((len_score + punct_score + stop_score) / 3 * 1000000.0)::BIGINT
+    AS quality_micro
+FROM y
+""",
+        # language-ID heuristic: char-class overrides, then stopword
+        # argmax with first-in-sorted-order tie-break — mirrors
+        # text.py:LangId.predict
+        "doc_langid": rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(text), '\s+') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+    len(list_filter(ws, x -> x IN ({_sql_list("de")}))) AS s_de,
+    len(list_filter(ws, x -> x IN ({_sql_list("en")}))) AS s_en,
+    len(list_filter(ws, x -> x IN ({_sql_list("es")}))) AS s_es,
+    len(list_filter(ws, x -> x IN ({_sql_list("fr")}))) AS s_fr
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+       WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM s
+""",
         "kg_triples": cte + "\nSELECT subj, pred, obj, weight FROM exp_triples",
         "kg_nodes": cte
         + "\nSELECT doc_key AS doc_id, note_name, n_words, n_bytes,"

@@ -69,7 +69,7 @@ def build_graph(
     linker_batch_size: int | None = None,
     extract_batch_size: int | None = None,
     user_filter=None,
-    materialize_notes: bool = True,
+    materialize_notes: bool | None = None,
 ):
     """documents Dataset → :class:`GraphResult`.
 
@@ -77,10 +77,24 @@ def build_graph(
     extension surface (SURVEY.md §2.10): a batch-level predicate
     applied to the notes table before graph construction (e.g. drop
     todos / empty notes, examples/analyzer.rs:45-49).
+
+    ``materialize_notes=None`` (default) AUTO-selects: the STREAMING
+    path (slim frontmatter dictionary sweep, no notes barrier — the
+    100 TB default: nothing pins the full notes table in the object
+    store) when no ``user_filter``/``checkpoint_dir`` is given, else
+    the barrier path the filter/checkpoint semantics require.  Pass
+    ``True`` to pin notes explicitly — worth it only when several
+    consumers will re-read the notes table AND it fits the object
+    store (≲10^7 notes per 100 GB of aggregate store); pass ``False``
+    to force streaming.
     """
     notes = extract_notes(docs, batch_size=extract_batch_size)
     if user_filter is not None:
         notes = notes.map_batches(user_filter, batch_format="pyarrow")
+    if materialize_notes is None:
+        # auto: stream unless a filter forces the barrier (checkpoint
+        # handled below — it is its own resume-point barrier)
+        materialize_notes = user_filter is not None
 
     if checkpoint_dir:
         from ..state import checkpoint_dataset

@@ -125,12 +125,131 @@ def write_markdown(docs, out_dir: str, *, dataset_id: str = "") -> dict:
     )
 
 
+def write_markdown_files(docs, out_dir: str) -> dict:
+    """File-per-note markdown sink — the reference's ``NoteWrite::flush``
+    (/root/reference/src/note/note_write.rs:77-95): one
+    ``<out_dir>/<doc_id>.md`` per document, frontmatter re-serialized as
+    ``---\\n{yaml}\\n---\\n{content}``.
+
+    Files are written IN PARALLEL by the map tasks (no driver funnel);
+    each task returns only its (n_files, n_bytes) partial.  At cluster
+    scale ``out_dir`` must be shared storage (NFS/FUSE mount) — every
+    worker writes its own batch's files.  Rewrites are idempotent
+    (same content → same bytes).  Path safety: doc_ids must be
+    relative paths without ``..`` segments.
+    """
+    import os
+
+    import pyarrow as pa
+
+    from ..corpus import raw_from_spans
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        n_files = 0
+        n_bytes = 0
+        for doc_id, spans in zip(
+            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+        ):
+            if doc_id.startswith("/") or ".." in doc_id.split("/"):
+                raise ValueError(f"unsafe doc_id path: {doc_id!r}")
+            path = os.path.join(out_dir, doc_id + ".md")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            data = raw_from_spans(spans or []).encode("utf-8")
+            with open(path, "wb") as f:
+                f.write(data)
+            n_files += 1
+            n_bytes += len(data)
+        return pa.table(
+            {
+                "n_files": pa.array([n_files], pa.int64()),
+                "n_bytes_out": pa.array([n_bytes], pa.int64()),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    partials = docs.map_batches(write_batch, batch_format="pyarrow").to_pandas()
+    return {
+        "files": int(partials["n_files"].sum()),
+        "bytes": int(partials["n_bytes_out"].sum()),
+        "out_dir": out_dir,
+    }
+
+
+def read_markdown_dir(root: str, *, include_hidden: bool = False,
+                      min_depth: int = 1, max_depth: int | None = None,
+                      skip_errors: bool = True,
+                      override_num_blocks: int | None = None):
+    """Directory-walk vault reader (S1-S4 on REAL files): discover
+    ``*.md`` under ``root`` (reference walk,
+    /root/reference/src/vault/vault_open/mod.rs:134-182), read file
+    BYTES in parallel Ray tasks (``read_binary_files``), and parse each
+    file to span rows in the same tasks — only file names touch the
+    driver.
+
+    Walk filters mirror the reference defaults: hidden path segments
+    (leading ``.``) excluded unless ``include_hidden``; depth window in
+    path segments relative to ``root``.  ``skip_errors`` keeps the
+    reference's caller-chooses skip-vs-fail contract for unparseable
+    notes (vault_open/mod.rs:358-429).
+    """
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..corpus import spans_from_raw, spans_table
+
+    paths = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        if not include_hidden:
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        for fn in sorted(filenames):
+            if not fn.endswith(".md"):
+                continue
+            if not include_hidden and fn.startswith("."):
+                continue
+            rel_file = fn if rel == "." else f"{rel}/{fn}"
+            depth = rel_file.count("/") + 1
+            if depth < min_depth or (max_depth is not None and depth > max_depth):
+                continue
+            paths.append(os.path.join(dirpath, fn))
+    if not paths:
+        return rd.from_arrow(spans_table([]))
+
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    files = rd.read_binary_files(paths, include_paths=True, **kwargs)
+    prefix = os.path.abspath(root) + os.sep
+
+    def parse_files(batch: pa.Table) -> pa.Table:
+        rows = []
+        for path, data in zip(
+            batch["path"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            abs_path = os.path.abspath(path)
+            doc_id = abs_path[len(prefix):] if abs_path.startswith(prefix) \
+                else os.path.basename(abs_path)
+            doc_id = doc_id[:-3]  # strip '.md'
+            try:
+                rows.append((doc_id, spans_from_raw(data.decode("utf-8"))))
+            except Exception:
+                if not skip_errors:
+                    raise
+        return spans_table(rows)
+
+    return files.map_batches(parse_files, batch_format="pyarrow")
+
+
 __all__ = [
     "DOCUMENTS_SCHEMA",
     "filter_depth",
     "filter_hidden",
     "from_markdown_items",
     "read_documents",
+    "read_markdown_dir",
     "render_markdown",
     "write_markdown",
+    "write_markdown_files",
 ]

@@ -127,18 +127,28 @@ def text_profile(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 def quality_score_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Heuristic quality score in [0,1]: balanced length, moderate
-    punctuation, presence of stopwords (Gopher-style signals)."""
+    punctuation, presence of stopwords (Gopher-style signals).
+
+    Emits both ``quality`` (rounded float, the API value) and
+    ``quality_micro`` (``floor(raw_score * 1e6)`` as int64) — the
+    integer form is bit-reproducible by the DuckDB oracle (identical
+    IEEE-754 op order on both sides, then an exact floor), so the
+    driver hash-compares this op end to end.  Word count here is the
+    ASCII-whitespace count (RE2 ``\\s+`` parity)."""
     texts = t[text_col].to_pylist()
-    scores = []
+    scores, micros = [], []
     for x in texts:
-        n_words = len(x.split()) or 1
+        n_words = ascii_word_count(x) or 1
         len_score = min(1.0, n_words / 50.0) * (1.0 if n_words < 2000 else 0.5)
         punct_ratio = count_punct(x) / max(1, len(x))
         punct_score = 1.0 if punct_ratio < 0.1 else 0.5
         stop_ratio = count_stopwords(x) / n_words
         stop_score = min(1.0, stop_ratio * 5)
-        scores.append(round((len_score + punct_score + stop_score) / 3, 6))
-    return t.append_column("quality", pa.array(scores, pa.float64()))
+        raw = (len_score + punct_score + stop_score) / 3
+        scores.append(round(raw, 6))
+        micros.append(int(np.floor(raw * 1000000.0)))
+    t = t.append_column("quality", pa.array(scores, pa.float64()))
+    return t.append_column("quality_micro", pa.array(micros, pa.int64()))
 
 
 class LangId:
@@ -164,7 +174,10 @@ class LangId:
             return "zh"
         if self.cyr.search(text):
             return "ru"
-        words = text.lower().split()
+        # ASCII-whitespace words (RE2 \s+ parity) so the DuckDB oracle
+        # reproduces the scores exactly; tie-break = first language in
+        # sorted code order with the strictly-highest score
+        words = _ASCII_WORD.findall(text.lower())
         best, best_score = "und", 0
         for lang in sorted(self.tables):
             score = sum(1 for w in words if w in self.tables[lang])

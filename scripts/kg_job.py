@@ -36,7 +36,12 @@ def main() -> None:
     ap.add_argument("--no-tags", action="store_true")
     ap.add_argument("--no-child-of", action="store_true")
     ap.add_argument("--streaming", action="store_true",
-                    help="slim dictionary sweep, no notes barrier")
+                    help="force the slim dictionary sweep (no notes "
+                         "barrier); default auto-selects it unless a "
+                         "filter/checkpoint needs the barrier")
+    ap.add_argument("--materialize-notes", action="store_true",
+                    help="force pinning the notes table (multi-consumer "
+                         "small-vault case)")
     ap.add_argument("--linker-concurrency", type=int, default=8)
     ap.add_argument("--num-blocks", type=int, default=None)
     ap.add_argument("--output-partitions", type=int, default=None,
@@ -64,7 +69,11 @@ def main() -> None:
         include_child_of=not args.no_child_of,
         checkpoint_dir=args.checkpoint_dir,
         linker_concurrency=args.linker_concurrency,
-        materialize_notes=not args.streaming,
+        materialize_notes=(
+            False if args.streaming
+            else True if args.materialize_notes
+            else None
+        ),
     )
     manifests = write_graph(g, args.output, num_partitions=args.output_partitions)
     report = {

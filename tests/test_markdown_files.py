@@ -1,0 +1,74 @@
+"""File-per-note markdown sink + directory-walk reader round trip
+(reference NoteWrite::flush, note_write.rs:77-95; vault walk,
+vault_open/mod.rs:134-182)."""
+
+from __future__ import annotations
+
+import pytest
+
+from obsidian_parser_ray.sources import (
+    from_markdown_items,
+    read_markdown_dir,
+    write_markdown_files,
+)
+
+ITEMS = [
+    ("a", "---\nid: 1\ntags:\n- x\n---\nBody [[b]] #t"),
+    ("sub/b", "Plain body no frontmatter"),
+    ("sub/deep/c", "---\naliases:\n- al\n---\nText ![[img.png]]"),
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMarkdownFileRoundTrip:
+    def test_write_then_reingest_span_equality(self, tmp_path):
+        vault = str(tmp_path / "vault")
+        docs = from_markdown_items(ITEMS)
+        man = write_markdown_files(docs, vault)
+        assert man["files"] == 3 and man["bytes"] > 0
+
+        back = read_markdown_dir(vault)
+        orig = {r["doc_id"]: r["spans"] for r in docs.take_all()}
+        got = {r["doc_id"]: r["spans"] for r in back.take_all()}
+        # the north-star per-row invariant: span-sequence equality
+        # (kind, text, media_ref, order)
+        assert got == orig
+
+    def test_rewrite_idempotent(self, tmp_path):
+        vault = str(tmp_path / "vault")
+        docs = from_markdown_items(ITEMS)
+        m1 = write_markdown_files(docs, vault)
+        m2 = write_markdown_files(docs, vault)
+        assert m1["files"] == m2["files"] and m1["bytes"] == m2["bytes"]
+
+    def test_hidden_and_depth_filters(self, tmp_path):
+        vault = tmp_path / "vault"
+        (vault / ".obsidian").mkdir(parents=True)
+        (vault / "sub").mkdir()
+        (vault / "top.md").write_text("top")
+        (vault / ".hidden.md").write_text("hidden file")
+        (vault / ".obsidian" / "cfg.md").write_text("hidden dir")
+        (vault / "sub" / "deep.md").write_text("deep")
+        (vault / "sub" / "notes.txt").write_text("not markdown")
+
+        ids = {r["doc_id"] for r in read_markdown_dir(str(vault)).take_all()}
+        assert ids == {"top", "sub/deep"}
+        ids_hidden = {
+            r["doc_id"]
+            for r in read_markdown_dir(str(vault), include_hidden=True).take_all()
+        }
+        assert ids_hidden == {"top", "sub/deep", ".hidden", ".obsidian/cfg"}
+        ids_shallow = {
+            r["doc_id"]
+            for r in read_markdown_dir(str(vault), max_depth=1).take_all()
+        }
+        assert ids_shallow == {"top"}
+
+    def test_unsafe_path_rejected(self, tmp_path):
+        docs = from_markdown_items([("../escape", "body")])
+        with pytest.raises(Exception, match="unsafe doc_id"):
+            write_markdown_files(docs, str(tmp_path / "vault"))
+
+    def test_empty_dir(self, tmp_path):
+        out = read_markdown_dir(str(tmp_path))
+        assert out.count() == 0

@@ -143,6 +143,21 @@ class TestTags:
     def test_lone_hash_dropped(self):
         assert parse_inline_tags("# #") == []
 
+    def test_singleton_emoji_property(self):
+        """Exact Emoji-property table: singleton codepoints (©, ®, ™,
+        ‼, ℹ) are emoji; lookalike arrows/symbols outside the property
+        (↚ U+219A, ↛ U+219B) are NOT — they terminate the tag (the old
+        approximate block ranges wrongly accepted them)."""
+        assert parse_inline_tags("#c© #r® #t™ #b‼ #i ℹ") == [
+            "c©", "r®", "t™", "b‼", "i",
+        ]
+        assert parse_inline_tags("#cut↚tail #also↛x") == ["cut", "also"]
+        # keycap base characters * and digits are in the property
+        assert parse_inline_tags("#star* #num5") == ["star*", "num5"]
+        # '#' itself is in the property but excluded by the caller
+        # (note_tags.rs:40-41) — it still terminates a tag
+        assert parse_inline_tags("#a#b") == ["a"]
+
     def test_no_tags(self):
         assert parse_inline_tags("plain text") == []
 
