@@ -203,15 +203,24 @@ def _q_events_hist(sf_dir: str):
     return value_histogram(_read(sf_dir, "events", ["event_type", "value"]))
 
 
-def _q_events_approx_users(sf_dir: str):  # rows-only (sketch, approximate)
-    """HyperLogLog distinct-user estimate (mergeable-sketch pattern);
-    accuracy bound verified in tests/test_sketch.py."""
+def _q_events_approx_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate as a TOLERANCE GATE: the
+    query emits the exact distinct count (computed distributedly) plus
+    a boolean asserting the HLL estimate lands within 5% of it (p=12 →
+    ~1.6% standard error; the estimate is deterministic for fixed
+    data).  The oracle expects (exact, TRUE) — an HLL regression flips
+    the boolean and fails the hash compare."""
     import pandas as pd
 
     from obsidian_parser_ray.stages.sketch import approx_distinct
 
-    est = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id", p=12)
-    return pd.DataFrame([{"approx_distinct_users": round(est, 1)}])
+    ev = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ev, "user_id", p=12)
+    exact = ev.groupby("user_id").count().count()
+    within = abs(est - exact) / exact <= 0.05 if exact else True
+    return pd.DataFrame(
+        [{"n_distinct_exact": int(exact), "hll_within_5pct": bool(within)}]
+    )
 
 
 def _q_events_topk_users(sf_dir: str):
@@ -624,6 +633,12 @@ WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.4
         "events_topk_users": (
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events"
             " GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20"
+        ),
+        # tolerance gate: exact distinct + the HLL-within-5% boolean
+        # (deterministic estimate — a sketch regression flips it)
+        "events_approx_users": (
+            "SELECT count(DISTINCT user_id)::BIGINT AS n_distinct_exact,"
+            " TRUE AS hll_within_5pct FROM events"
         ),
         "events_hist": (
             "SELECT event_type, floor(value)::BIGINT AS bin,"

@@ -222,6 +222,22 @@ def _scaling_child(num_cpus: int) -> None:
     ray.shutdown()
 
 
+def _warm_cache() -> None:
+    """Pre-read the corpus once so NO child pays cold-storage reads —
+    the first (low-parallelism) child would otherwise absorb the whole
+    page-cache warm-up and bias efficiency downward."""
+    _init_ray(NUM_CPUS)
+    import ray
+    import ray.data as rd
+
+    n = rd.read_parquet(
+        SCALE_CORPUS, file_extensions=["parquet"],
+        override_num_blocks=NUM_CPUS * 4,
+    ).count()
+    print(f"warm-cache pass: {n} rows", file=sys.stderr)
+    ray.shutdown()
+
+
 def run_scaling() -> dict:
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--gen-corpus"],
@@ -231,9 +247,16 @@ def run_scaling() -> dict:
     )
     if p.returncode != 0:
         raise RuntimeError(f"corpus generation failed: {p.stderr[-2000:]}")
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--warm-cache"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(f"cache warm-up failed: {p.stderr[-2000:]}")
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
     runs = {}
     for cpus in [c for c in (SCALE_LO, SCALE_HI) for _ in range(repeats)]:
+        time.sleep(10)  # let the previous child's raylet fully tear down
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
             capture_output=True,
@@ -276,6 +299,9 @@ def run_scaling() -> dict:
 def main() -> None:
     if "--gen-corpus" in sys.argv:
         _gen_scale_corpus()
+        return
+    if "--warm-cache" in sys.argv:
+        _warm_cache()
         return
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))

@@ -355,34 +355,53 @@ def parse_properties(properties_text: str | None) -> tuple[dict | None, str | No
     return val, None
 
 
-def _string_list(value) -> list[str]:
+class ListTypeError(ValueError):
+    """A frontmatter field is not a sequence of strings (strict
+    ``Vec<String>`` parity — serde_yml ``from_value::<Vec<String>>?``
+    FAILS THE NOTE on a non-string item / non-sequence value,
+    note_tags.rs:36, note_aliases.rs:86)."""
+
+
+def _string_list(value, *, strict: bool = False) -> list[str]:
     """``serde_yml::from_value::<Vec<String>>`` equivalent.
 
-    The reference deserializes the ``tags`` / ``aliases`` frontmatter
-    fields as ``Vec<String>`` (note_tags.rs:35-38, note_aliases.rs:84-91);
-    scalars inside the list are stringified by YAML before serde sees
-    them only when quoted — unquoted numbers/bools fail in Rust.  We
-    accept str items verbatim and stringify scalar items (lenient
-    superset, documented divergence), drop everything else.
+    ``strict=True`` is exact reference parity: a non-sequence value or
+    any non-string item raises :class:`ListTypeError` (the per-note
+    error the reference surfaces).  ``strict=False`` (default) is the
+    documented lenient superset: str items verbatim, scalar items
+    stringified, everything else dropped, non-list → [].
     """
     if not isinstance(value, list):
+        if strict:
+            raise ListTypeError(
+                f"expected a sequence of strings, got {type(value).__name__}"
+            )
         return []
     out = []
     for v in value:
         if isinstance(v, str):
             out.append(v)
+        elif strict:
+            raise ListTypeError(
+                f"expected a string item, got {type(v).__name__}: {v!r}"
+            )
         elif isinstance(v, (int, float, bool)):
             out.append(str(v))
     return out
 
 
-def frontmatter_tags(props: dict | None) -> list[str]:
-    return _string_list(props.get("tags")) if props else []
+def frontmatter_tags(props: dict | None, *, strict: bool = False) -> list[str]:
+    if not props or "tags" not in props:
+        return []
+    return _string_list(props["tags"], strict=strict)
 
 
-def frontmatter_aliases(props: dict | None) -> list[str]:
-    """note_aliases.rs:81-92 — absent/invalid → []."""
-    return _string_list(props.get("aliases")) if props else []
+def frontmatter_aliases(props: dict | None, *, strict: bool = False) -> list[str]:
+    """note_aliases.rs:81-92 — absent → []; ``strict`` raises
+    :class:`ListTypeError` on invalid values (reference ``?``)."""
+    if not props or "aliases" not in props:
+        return []
+    return _string_list(props["aliases"], strict=strict)
 
 
 def all_tags(props: dict | None, content: str) -> list[str]:

@@ -70,6 +70,7 @@ def build_graph(
     extract_batch_size: int | None = None,
     user_filter=None,
     materialize_notes: bool | None = None,
+    strict_lists: bool = False,
 ):
     """documents Dataset → :class:`GraphResult`.
 
@@ -88,7 +89,8 @@ def build_graph(
     store (≲10^7 notes per 100 GB of aggregate store); pass ``False``
     to force streaming.
     """
-    notes = extract_notes(docs, batch_size=extract_batch_size)
+    notes = extract_notes(docs, batch_size=extract_batch_size,
+                          strict_lists=strict_lists)
     if user_filter is not None:
         notes = notes.map_batches(user_filter, batch_format="pyarrow")
     if materialize_notes is None:

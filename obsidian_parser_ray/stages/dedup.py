@@ -299,15 +299,20 @@ def minhash_lsh_pairs(
         )
 
     def bucket_candidates(g: pd.DataFrame) -> pa.Table:
+        # singleton buckets dropped vectorized; pair fan-out via
+        # numpy triu indices (no O(b²) Python loop)
+        sizes = g.groupby(["band_id", "band_hash"], sort=False)[
+            "doc_id"
+        ].transform("size")
+        g = g[sizes >= 2]
         ia, ib = [], []
         for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
-            if len(sub) < 2:
-                continue
-            ids = sub["doc_id"].sort_values(kind="stable").head(max_bucket).tolist()
-            for i in range(len(ids) - 1):
-                for j in range(i + 1, len(ids)):
-                    ia.append(ids[i])
-                    ib.append(ids[j])
+            ids = (
+                sub["doc_id"].sort_values(kind="stable").head(max_bucket).to_numpy()
+            )
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ia.extend(ids[iu])
+            ib.extend(ids[ju])
         t = pa.table({"id_a": pa.array(ia, id_t), "id_b": pa.array(ib, id_t)})
         if t.num_rows == 0:
             return t
@@ -514,11 +519,15 @@ def ngram_jaccard_pairs(ds, *, text_col="text", id_col="doc_id",
         )
 
     def posting_pairs(g: pd.DataFrame) -> pa.Table:
+        # vectorized prefilter: drop singleton and stop shingles BEFORE
+        # the per-group loop — in a real corpus most shingles are
+        # singletons, so the Python loop only ever sees the (bounded)
+        # candidate-generating groups
+        sizes = g.groupby("shingle", sort=False)["shingle"].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_df)]
         ia, ib, na, nb = [], [], [], []
         for _, sub in g.groupby("shingle", sort=False):
             df_ = len(sub)
-            if df_ < 2 or df_ > max_df:
-                continue
             sub = sub.sort_values(id_col, kind="stable")
             ids = sub[id_col].to_numpy()
             ns = sub["n_sh"].to_numpy()
@@ -594,6 +603,17 @@ def ngram_jaccard_pairs(ds, *, text_col="text", id_col="doc_id",
 
 
 _BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — no per-element Python."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 def simhash64(text: str) -> int:
@@ -674,10 +694,10 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        sizes = g.groupby("block_key", sort=False)[id_col].transform("size")
+        g = g[sizes >= 2]
         ia, ib, hd = [], [], []
         for _, sub in g.groupby("block_key", sort=False):
-            if len(sub) < 2:
-                continue
             sub = sub.sort_values(id_col, kind="stable").head(max_bucket)
             ids = sub[id_col].tolist()
             # bit-reinterpret, NOT arithmetic + 2^63 (which promotes to
@@ -685,8 +705,7 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
             # top-bit flip cancels in XOR
             hs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
             for i in range(len(ids) - 1):
-                x = hs[i + 1 :] ^ hs[i]
-                dist = np.array([bin(int(v)).count("1") for v in x])
+                dist = _popcount64(hs[i + 1 :] ^ hs[i])
                 for j in np.nonzero(dist <= max_hamming)[0]:
                     ia.append(ids[i])
                     ib.append(ids[i + 1 + j])
@@ -779,10 +798,10 @@ def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        sizes = g.groupby("bucket", sort=False)[id_col].transform("size")
+        g = g[sizes >= 2]
         ia, ib, cs = [], [], []
         for _, sub in g.groupby("bucket", sort=False):
-            if len(sub) < 2:
-                continue
             sub = sub.sort_values(id_col, kind="stable").head(max_bucket)
             ids = sub[id_col].tolist()
             vecs = np.stack(sub[vec_col].to_numpy()).astype(np.float64)

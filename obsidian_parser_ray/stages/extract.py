@@ -78,11 +78,18 @@ NOTES_SCHEMA = pa.schema(
 )
 
 
-def extract_note_row(doc_id: str, spans: list[dict]) -> tuple[dict, list[dict]]:
+def extract_note_row(doc_id: str, spans: list[dict],
+                     *, strict_lists: bool = False) -> tuple[dict, list[dict]]:
     """Parse ONE document's spans → (note attrs, mention list).
 
     Pure function shared by the batched stage and the oracle.
+    ``strict_lists=True`` is exact ``Vec<String>`` parity: a non-string
+    tags/aliases item FAILS THE NOTE (recorded in ``parse_error``, like
+    a YAML syntax error — reference note_tags.rs:36 ``?``); the lenient
+    default stringifies scalars.
     """
+    from ..parser import ListTypeError
+
     ordered = sorted(spans, key=lambda s: s["offset"])
     fm_texts = [s for s in ordered if s["kind"] == "frontmatter"]
     text_spans = [s for s in ordered if s["kind"] == "text"]
@@ -92,11 +99,18 @@ def extract_note_row(doc_id: str, spans: list[dict]) -> tuple[dict, list[dict]]:
     props, err = parse_properties(properties_text)
     content = "\n".join(s["text"] for s in text_spans)
 
+    try:
+        fm_tags_checked = frontmatter_tags(props, strict=strict_lists)
+        aliases_checked = frontmatter_aliases(props, strict=strict_lists)
+    except ListTypeError as e:
+        err = err or f"yaml: {e}"
+        fm_tags_checked, aliases_checked = [], []
+
     mentions: list[dict] = []
     occ = 0
     # frontmatter tags first (note_tags.rs:60 ordering)
     fm_offset = fm_texts[0]["offset"] if fm_texts else 0
-    fm_tags = frontmatter_tags(props)
+    fm_tags = fm_tags_checked
     for t in fm_tags:
         mentions.append(
             {
@@ -156,7 +170,7 @@ def extract_note_row(doc_id: str, spans: list[dict]) -> tuple[dict, list[dict]]:
         if props is not None
         else None,
         "tags": tags,
-        "aliases": frontmatter_aliases(props),
+        "aliases": aliases_checked,
         "is_todo": is_todo(tags),
         "n_words": word_count(content, encoded),
         "n_bytes": len(encoded),
@@ -172,15 +186,18 @@ class ExtractNotes:
     but kept callable-class-shaped so callers can opt into an actor
     pool when they add per-actor state (e.g. a compiled BPE)."""
 
-    def __init__(self, keep_spans: bool = False):
+    def __init__(self, keep_spans: bool = False, strict_lists: bool = False):
         self.keep_spans = keep_spans
+        self.strict_lists = strict_lists
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         spans_col = batch["spans"].to_pylist()
         cols: dict[str, list] = {name: [] for name in NOTES_SCHEMA.names}
         for doc_id, spans in zip(doc_ids, spans_col):
-            note, mentions = extract_note_row(doc_id, spans or [])
+            note, mentions = extract_note_row(
+                doc_id, spans or [], strict_lists=self.strict_lists
+            )
             for k, v in note.items():
                 cols[k].append(v)
             cols["mentions"].append(mentions)
@@ -195,7 +212,8 @@ class ExtractNotes:
         return out
 
 
-def extract_notes(docs, *, keep_spans: bool = False, batch_size: int | None = None):
+def extract_notes(docs, *, keep_spans: bool = False, batch_size: int | None = None,
+                  strict_lists: bool = False):
     """``documents`` Dataset → ``notes`` Dataset (stateless task stage).
 
     ``batch_size=None`` (default) processes one input block per task —
@@ -205,7 +223,7 @@ def extract_notes(docs, *, keep_spans: bool = False, batch_size: int | None = No
     controlled upstream via ``override_num_blocks`` on the read.
     """
     return docs.map_batches(
-        ExtractNotes(keep_spans=keep_spans),
+        ExtractNotes(keep_spans=keep_spans, strict_lists=strict_lists),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

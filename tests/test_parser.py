@@ -171,6 +171,40 @@ class TestPropertiesAliasesTodo:
         assert frontmatter_aliases(parse_properties("tags:\n- todo")[0]) == []
         assert frontmatter_aliases(None) == []
 
+    def test_strict_vec_string_parity(self):
+        """serde_yml from_value::<Vec<String>>? fails the note on a
+        non-string item or non-sequence value (note_tags.rs:36,
+        note_aliases.rs:86); the lenient default stringifies scalars."""
+        import pytest
+
+        from obsidian_parser_ray.parser import ListTypeError, frontmatter_tags
+        from obsidian_parser_ray.stages.extract import extract_note_row
+
+        props_num = parse_properties("tags:\n- 42\n- ok")[0]
+        # lenient (default): unquoted scalar stringified
+        assert frontmatter_tags(props_num) == ["42", "ok"]
+        # strict: reference parity — the note fails
+        with pytest.raises(ListTypeError):
+            frontmatter_tags(props_num, strict=True)
+        with pytest.raises(ListTypeError):
+            frontmatter_tags(parse_properties("tags: scalar")[0], strict=True)
+        with pytest.raises(ListTypeError):
+            frontmatter_aliases(parse_properties("aliases:")[0], strict=True)
+        # absent key is fine in strict mode (reference None => default)
+        assert frontmatter_tags(parse_properties("x: 1")[0], strict=True) == []
+
+        # end to end: strict failure lands in parse_error, note kept
+        spans = [{"kind": "frontmatter", "text": "tags:\n- 42", "media_ref": None,
+                  "offset": 0},
+                 {"kind": "text", "text": "Body #ok", "media_ref": None,
+                  "offset": 1}]
+        note, mentions = extract_note_row("n", spans, strict_lists=True)
+        assert note["parse_error"] and "string" in note["parse_error"]
+        assert note["tags"] == ["ok"]  # inline tags still extracted
+        lenient, _ = extract_note_row("n", spans)
+        assert lenient["parse_error"] is None
+        assert lenient["tags"] == ["42", "ok"]
+
     def test_todo(self):
         # note_is_todo.rs:41-42
         assert is_todo(["todo"]) is True
