@@ -192,12 +192,23 @@ def _scaling_child(num_cpus: int) -> None:
     # extract→link→canonicalize (no barrier); the sink is the
     # north_star's sorted materialize (distributed parquet write), not
     # a driver-side stream.
-    g = build_graph(
-        docs,
-        linker_concurrency=max(2, num_cpus // 2),
-        include_child_of=False,
-        materialize_notes=False,
-    )
+    link_mode = os.environ.get("GRAFT_LINK_MODE", "broadcast")
+    if link_mode == "shuffle":
+        # fused single-pass shuffle build: one parse per doc, no
+        # dictionary barrier / driver merge at all
+        g = build_graph(
+            docs,
+            include_child_of=False,
+            link_mode="shuffle",
+            num_link_partitions=num_cpus * 2,
+        )
+    else:
+        g = build_graph(
+            docs,
+            linker_concurrency=max(2, num_cpus // 2),
+            include_child_of=False,
+            materialize_notes=False,
+        )
     t_dict = time.perf_counter() - t0
     sorted_triples(g.triples).write_parquet(out_dir)
     sec = time.perf_counter() - t0

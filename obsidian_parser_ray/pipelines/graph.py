@@ -71,6 +71,8 @@ def build_graph(
     user_filter=None,
     materialize_notes: bool | None = None,
     strict_lists: bool = False,
+    link_mode: str = "broadcast",
+    num_link_partitions: int = 64,
 ):
     """documents Dataset → :class:`GraphResult`.
 
@@ -78,6 +80,14 @@ def build_graph(
     extension surface (SURVEY.md §2.10): a batch-level predicate
     applied to the notes table before graph construction (e.g. drop
     todos / empty notes, examples/analyzer.rs:45-49).
+
+    ``link_mode="broadcast"`` (default) resolves mentions against the
+    broadcast dictionary; ``"shuffle"`` uses the FUSED single-pass
+    shuffle join (:func:`..stages.linking.link_edges_fused`): one
+    parse per document, no driver-side dictionary, no broadcast size
+    ceiling — the mandatory topology at 10^12 docs (requires no
+    ``user_filter``; the notes/mentions/dictionary handles on the
+    result are then lazy derivations).
 
     ``materialize_notes=None`` (default) AUTO-selects: the STREAMING
     path (slim frontmatter dictionary sweep, no notes barrier — the
@@ -89,6 +99,37 @@ def build_graph(
     store (≲10^7 notes per 100 GB of aggregate store); pass ``False``
     to force streaming.
     """
+    if link_mode == "shuffle":
+        if user_filter is not None:
+            raise ValueError(
+                "link_mode='shuffle' is the single-pass fused build — "
+                "a user_filter needs the notes barrier; use the "
+                "broadcast mode"
+            )
+        from ..stages.linking import link_edges_fused
+
+        notes = extract_notes(docs, batch_size=extract_batch_size,
+                              strict_lists=strict_lists)
+        edges = link_edges_fused(
+            docs,
+            num_partitions=num_link_partitions,
+            drop_unresolved=drop_unresolved,
+            include_tags=include_tags,
+            strict_lists=strict_lists,
+            batch_size=extract_batch_size,
+        )
+        if include_child_of:
+            edges = edges.union(child_of_edges(docs))
+        return GraphResult(
+            notes=notes,
+            mentions=explode_mentions(notes),
+            edges=edges,
+            triples=canonicalize(edges, directed=directed),
+            dictionary=None,
+        )
+    if link_mode != "broadcast":
+        raise ValueError(f"unknown link_mode {link_mode!r}")
+
     notes = extract_notes(docs, batch_size=extract_batch_size,
                           strict_lists=strict_lists)
     if user_filter is not None:

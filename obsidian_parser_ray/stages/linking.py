@@ -459,6 +459,52 @@ def child_of_edges(notes):
 # ---------------------------------------------------------------------------
 
 
+def _resolve_link_partition(g: pa.Table) -> pa.Table:
+    """One shuffle partition → edges: first-wins merge of the
+    partition's dictionary partials, then the SAME vectorized
+    resolution kernel as the broadcast path (:func:`link_batch`).
+    Shared by :func:`link_mentions_shuffle` and
+    :func:`link_edges_fused`."""
+    import pyarrow.compute as pc
+
+    is_dict = _arr(g["is_dict"])
+    dict_side = g.filter(is_dict)
+    mention_side = g.filter(pc.invert(is_dict))
+    if mention_side.num_rows == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], t) for t in EDGES_SCHEMA.types],
+            schema=EDGES_SCHEMA,
+        )
+    # global first-wins merge of this partition's dict partials
+    merged = (
+        dict_side.select(["kind", "key", "val"])
+        .group_by(["kind", "key"])
+        .aggregate([("val", "min")])
+    )
+
+    def split(kind: str) -> pa.Table:
+        return merged.filter(pc.equal(merged["kind"], kind)).combine_chunks()
+
+    full, short, alias = split("full"), split("short"), split("alias")
+    d = ArrowLinkDictionary(
+        full_keys=_arr(full["key"]),
+        short_keys=_arr(short["key"]),
+        short_vals=_arr(short["val_min"]),
+        alias_keys=_arr(alias["key"]),
+        alias_vals=_arr(alias["val_min"]),
+    )
+    batch = pa.table(
+        {
+            "kind": _arr(mention_side["kind"]),
+            "target_key": _arr(mention_side["key"]),
+            "subj": _arr(mention_side["subj"]),
+            "span_offset": _arr(mention_side["span_offset"]),
+            "occurrence_idx": _arr(mention_side["occurrence_idx"]),
+        }
+    )
+    return link_batch(batch, d)
+
+
 def link_mentions_shuffle(mentions, docs, *, num_partitions: int = 64,
                           drop_unresolved: bool = True,
                           batch_size: int | None = None):
@@ -538,47 +584,154 @@ def link_mentions_shuffle(mentions, docs, *, num_partitions: int = 64,
         mention_rows, batch_format="pyarrow", batch_size=batch_size
     ).union(docs.map_batches(dict_rows, batch_format="pyarrow", batch_size=batch_size))
 
-    def resolve_partition(g: pa.Table) -> pa.Table:
-        is_dict = _arr(g["is_dict"])
-        dict_side = g.filter(is_dict)
-        mention_side = g.filter(pc.invert(is_dict))
-        if mention_side.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], t) for t in EDGES_SCHEMA.types],
-                schema=EDGES_SCHEMA,
+    edges = tagged.groupby("part").map_groups(
+        _resolve_link_partition, batch_format="pyarrow"
+    ).union(literals)
+    if drop_unresolved:
+        edges = edges.map_batches(
+            lambda t: t.filter(pc.equal(t["resolved"], True)),
+            batch_format="pyarrow",
+        )
+    return edges
+
+
+def link_edges_fused(docs, *, num_partitions: int = 64,
+                     drop_unresolved: bool = True,
+                     include_tags: bool = True,
+                     strict_lists: bool = False,
+                     batch_size: int | None = None):
+    """SINGLE-PASS shuffle-join edge build: docs → edges with ONE read.
+
+    The slim-sweep + broadcast path parses every document TWICE (the
+    frontmatter sweep for Phase A, the full extract for Phase B) and
+    holds the whole dictionary on the driver.  This fused path parses
+    each document ONCE: the extract kernel emits, per doc, BOTH its
+    mention rows and its dictionary partial rows (full/short/alias,
+    min-reduced per block) into one tagged union table, hash-bucketed
+    on the lookup key; each partition then holds every dictionary
+    entry for its keys and resolves with the SAME vectorized kernel
+    (:func:`link_batch`) as every other path.  Literal-kind mentions
+    (tags/media) flow through the shuffle too (they resolve verbatim
+    in any partition) — keeping the pipeline a single consumer of the
+    read, so nothing re-executes.
+
+    No driver-side dictionary, no broadcast ceiling, no second parse:
+    this is the mandatory topology at 10^12 docs and an option
+    everywhere (semantics proven equal to the broadcast path in
+    tests).  Shuffle volume = mentions + pre-reduced dict partials.
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash_bucket_array
+    from .extract import extract_note_row
+
+    tag_kinds = ("tag_inline", "tag_frontmatter")
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        spans_col = t["spans"].to_pylist()
+        m_kind, m_key, m_subj, m_off, m_occ = [], [], [], [], []
+        d_kind, d_key, d_val = [], [], []
+        for doc_id, spans in zip(doc_ids, spans_col):
+            note, mentions = extract_note_row(
+                doc_id, spans or [], strict_lists=strict_lists
             )
-        # global first-wins merge of this partition's dict partials
-        merged = (
-            dict_side.select(["kind", "key", "val"])
+            for m in mentions:
+                if not include_tags and m["kind"] in tag_kinds:
+                    continue
+                m_kind.append(m["kind"])
+                m_key.append(m["target_key"])
+                m_subj.append(doc_id)
+                m_off.append(m["span_offset"])
+                m_occ.append(m["occurrence_idx"])
+            d_kind.append("full")
+            d_key.append(doc_id)
+            d_val.append(doc_id)
+            d_kind.append("short")
+            d_key.append(note["note_name"])
+            d_val.append(doc_id)
+            for a in note["aliases"]:
+                d_kind.append("alias")
+                d_key.append(a)
+                d_val.append(doc_id)
+        # per-block min-reduce of the dictionary partials (first-wins
+        # is a global min, so block partials compose exactly)
+        dict_t = (
+            pa.table(
+                {
+                    "kind": pa.array(d_kind, pa.string()),
+                    "key": pa.array(d_key, pa.string()),
+                    "val": pa.array(d_val, pa.string()),
+                }
+            )
             .group_by(["kind", "key"])
             .aggregate([("val", "min")])
         )
-
-        def split(kind: str) -> pa.Table:
-            return merged.filter(pc.equal(merged["kind"], kind)).combine_chunks()
-
-        full, short, alias = split("full"), split("short"), split("alias")
-        d = ArrowLinkDictionary(
-            full_keys=_arr(full["key"]),
-            short_keys=_arr(short["key"]),
-            short_vals=_arr(short["val_min"]),
-            alias_keys=_arr(alias["key"]),
-            alias_vals=_arr(alias["val_min"]),
+        dict_t = dict_t.rename_columns(
+            ["val" if c == "val_min" else c for c in dict_t.column_names]
         )
-        batch = pa.table(
+        n_d = dict_t.num_rows
+        n_m = len(m_key)
+        m_key_arr = pa.array(m_key, pa.string())
+        d_key_arr = _arr(dict_t["key"])
+        # literal kinds (tags/media) resolve verbatim in ANY partition —
+        # bucket them by subj, not key: a hot tag value ('todo', a
+        # language tag) would otherwise funnel millions of rows into
+        # one key partition
+        m_kind_arr = pa.array(m_kind, pa.string())
+        literal_mask = pc.is_in(m_kind_arr, value_set=_LITERAL_ARR)
+        m_subj_arr = pa.array(m_subj, pa.string())
+        m_part = pc.if_else(
+            literal_mask,
+            hash_bucket_array(m_subj_arr, num_partitions),
+            hash_bucket_array(m_key_arr, num_partitions),
+        )
+        return pa.table(
             {
-                "kind": _arr(mention_side["kind"]),
-                "target_key": _arr(mention_side["key"]),
-                "subj": _arr(mention_side["subj"]),
-                "span_offset": _arr(mention_side["span_offset"]),
-                "occurrence_idx": _arr(mention_side["occurrence_idx"]),
+                "part": pa.concat_arrays(
+                    [
+                        m_part.combine_chunks()
+                        if isinstance(m_part, pa.ChunkedArray)
+                        else m_part,
+                        hash_bucket_array(d_key_arr, num_partitions),
+                    ]
+                ),
+                "is_dict": pa.concat_arrays(
+                    [
+                        pa.array([False] * n_m, pa.bool_()),
+                        pa.array([True] * n_d, pa.bool_()),
+                    ]
+                ),
+                "kind": pa.concat_arrays(
+                    [m_kind_arr, _arr(dict_t["kind"])]
+                ),
+                "key": pa.concat_arrays([m_key_arr, d_key_arr]),
+                "val": pa.concat_arrays(
+                    [pa.nulls(n_m, pa.string()), _arr(dict_t["val"])]
+                ),
+                "subj": pa.concat_arrays(
+                    [m_subj_arr, pa.nulls(n_d, pa.string())]
+                ),
+                "span_offset": pa.concat_arrays(
+                    [
+                        pa.array(m_off, pa.int32()),
+                        pa.nulls(n_d, pa.int32()),
+                    ]
+                ),
+                "occurrence_idx": pa.concat_arrays(
+                    [
+                        pa.array(m_occ, pa.int32()),
+                        pa.nulls(n_d, pa.int32()),
+                    ]
+                ),
             }
         )
-        return link_batch(batch, d)
 
-    edges = tagged.groupby("part").map_groups(
-        resolve_partition, batch_format="pyarrow"
-    ).union(literals)
+    edges = (
+        docs.map_batches(doc_rows, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("part")
+        .map_groups(_resolve_link_partition, batch_format="pyarrow")
+    )
     if drop_unresolved:
         edges = edges.map_batches(
             lambda t: t.filter(pc.equal(t["resolved"], True)),

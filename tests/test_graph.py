@@ -287,6 +287,43 @@ class TestShuffleJoinLinking:
 
         assert as_counter(bcast) == as_counter(shuf)
 
+        # fused single-pass build (docs → edges, one parse, no
+        # broadcast): identical canonical triples again
+        from obsidian_parser_ray.stages.linking import link_edges_fused
+
+        fused = canonicalize(link_edges_fused(docs, num_partitions=4))
+        assert as_counter(bcast) == as_counter(fused)
+
+    def test_build_graph_link_modes_equal(self):
+        from collections import Counter
+
+        from obsidian_parser_ray import build_graph, synth_vault
+
+        sf = "/root/testdata/sf0.001"
+        t_b = build_graph(synth_vault(sf)).triples
+        t_s = build_graph(synth_vault(sf), link_mode="shuffle",
+                          num_link_partitions=4).triples
+
+        def as_counter(ds):
+            return Counter(
+                {(r["subj"], r["pred"], r["obj"]): r["weight"]
+                 for r in ds.take_all()}
+            )
+
+        assert as_counter(t_b) == as_counter(t_s)
+
+    def test_build_graph_shuffle_rejects_user_filter(self):
+        import pytest
+
+        from obsidian_parser_ray import build_graph, synth_vault
+
+        with pytest.raises(ValueError, match="shuffle"):
+            build_graph(
+                synth_vault("/root/testdata/sf0.001"),
+                link_mode="shuffle",
+                user_filter=lambda t: t,
+            )
+
 
 class TestResolutionStats:
     def test_counts(self):
