@@ -251,13 +251,27 @@ def _q_doc_langid(sf_dir: str):
     return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
-def _q_doc_minhash_neardup(sf_dir: str):  # rows-only (LSH, non-SQL)
-    from obsidian_parser_ray.stages.dedup import minhash_lsh_pairs
+def _q_doc_minhash_neardup(sf_dir: str):
+    """MinHash-LSH as a RECALL GATE against the exact n-gram Jaccard
+    pair set (which IS SQL-computable): emits the exact ≥0.5-Jaccard
+    pair count plus a boolean asserting LSH recall ≥ 0.9 over that
+    set.  The signatures/bands are deterministic, so the gate is
+    stable; an LSH regression flips the boolean."""
+    import pandas as pd
 
-    return minhash_lsh_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        threshold=0.4,
-        concurrency=2,
+    from obsidian_parser_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    found = minhash_lsh_pairs(ds, threshold=0.4, concurrency=2).to_pandas()
+    exact = ngram_jaccard_pairs(ds, threshold=0.5, max_df=64).to_pandas()
+    f = {(a, b) for a, b in zip(found["id_a"], found["id_b"])}
+    t = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
+    recall = len(f & t) / len(t) if t else 1.0
+    return pd.DataFrame(
+        [{"n_true_pairs": len(t), "recall_ok": bool(recall >= 0.9)}]
     )
 
 
@@ -275,21 +289,45 @@ def _q_emb_knn(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
-def _q_emb_knn_ivf(sf_dir: str):  # rows-only (approximate, non-SQL)
-    from obsidian_parser_ray.stages.similarity import knn_ivf, load_queries
+def _q_emb_knn_ivf(sf_dir: str):
+    """IVF-flat kNN as a RECALL GATE vs brute force: per query, the
+    ratio of IVF@5 ∩ exact@5; the gate asserts MEAN recall ≥ 0.3
+    (deterministic seeded centroids; random embeddings at nprobe=4/16
+    centroids measure ≈0.46 — a pruning/assignment regression drops it
+    to ~0).  Exact@5 is itself oracle-checked separately (emb_knn)."""
+    import pandas as pd
+
+    from obsidian_parser_ray.stages.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        load_queries,
+    )
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = knn_ivf(ds, load_queries(ds, n_queries=10), k=5, n_centroids=16, nprobe=4)
-    return out.select_columns(["query_id", "neighbor_id", "rank"])
+    q = load_queries(ds, n_queries=10)
+    ivf = knn_ivf(ds, q, k=5, n_centroids=16, nprobe=4).to_pandas()
+    bf = knn_bruteforce(ds, q, k=5, concurrency=2).to_pandas()
+    recalls = []
+    for qid in sorted(set(bf["query_id"])):
+        a = set(ivf[ivf.query_id == qid]["neighbor_id"])
+        b = set(bf[bf.query_id == qid]["neighbor_id"])
+        recalls.append(len(a & b) / len(b))
+    mean_recall = sum(recalls) / len(recalls)
+    return pd.DataFrame(
+        [{"n_queries": len(recalls), "recall_ok": bool(mean_recall >= 0.3)}]
+    )
 
 
-def _q_emb_neardup(sf_dir: str):  # rows-only (LSH, non-SQL)
-    """Embedding near-dup over a derived corpus with PLANTED
-    near-duplicates (the raw table has no pair above cosine 0.52, so
-    an unmodified run would emit zero rows and verify nothing).
-    Planted copies are deterministic: vec_id < 25 re-emitted at
-    vec_id+1_000_000 with a seeded 1% perturbation — recall vs brute
-    force is asserted in tests/test_dedup.py."""
+def _q_emb_neardup(sf_dir: str):
+    """Embedding near-dup RECALL/PRECISION GATE over a derived corpus
+    with PLANTED near-duplicates (the raw table has no pair above
+    cosine 0.52 — an unmodified run would emit zero rows and verify
+    nothing).  Planted copies are deterministic: vec_id < 25
+    re-emitted at vec_id+1_000_000 with a seeded 1% perturbation; the
+    gate compares multi-table LSH output against the exact all-pairs
+    mode of the same operator (num_planes=0) and asserts recall ≥ 0.8
+    and exact precision.  The oracle states the expected true-pair
+    count (one per planted copy) and the TRUE gates in SQL."""
     import numpy as np
     import pyarrow as pa
 
@@ -318,7 +356,27 @@ def _q_emb_neardup(sf_dir: str):  # rows-only (LSH, non-SQL)
         )
 
     corpus = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
-    return embedding_neardup_pairs(corpus, threshold=0.9)
+    lsh = embedding_neardup_pairs(corpus, threshold=0.9).to_pandas()
+    # exact mode: num_planes=0 → single bucket → all-pairs verify
+    # (fine at driver-gate scale; the LSH path is the scale path)
+    exact = embedding_neardup_pairs(
+        corpus, threshold=0.9, num_planes=0, num_tables=1,
+        max_bucket=10_000_000,
+    ).to_pandas()
+    f = {(a, b) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    t = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
+    recall = len(f & t) / len(t) if t else 1.0
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {
+                "n_true_pairs": len(t),
+                "recall_ok": bool(recall >= 0.8),
+                "precision_ok": bool(f <= t),
+            }
+        ]
+    )
 
 
 def _q_events_hourly(sf_dir: str):
@@ -639,6 +697,49 @@ WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.4
         "events_approx_users": (
             "SELECT count(DISTINCT user_id)::BIGINT AS n_distinct_exact,"
             " TRUE AS hll_within_5pct FROM events"
+        ),
+        # recall gate: the exact >=0.5-Jaccard pair count is fully
+        # SQL-computable (same shingle rules as doc_ngram_jaccard);
+        # the boolean asserts deterministic LSH recall >= 0.9 over it
+        "doc_minhash_neardup": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3)
+  UNION
+  SELECT doc_id, array_to_string(ws, ' ') FROM w WHERE len(ws) BETWEEN 1 AND 2
+),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 64),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN ok ON ok.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_true_pairs, TRUE AS recall_ok
+FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.5
+""",
+        # recall gate: mean IVF@5 recall vs the (separately
+        # oracle-checked) exact top-5; a pruning/assignment
+        # regression flips the boolean
+        "emb_knn_ivf": (
+            "SELECT count(*)::BIGINT AS n_queries, TRUE AS recall_ok"
+            " FROM embeddings WHERE vec_id < 10"
+        ),
+        # planted-pair gate: one true pair per planted copy
+        # (vec_id < 25); LSH recall >= 0.8 and exact precision
+        "emb_neardup": (
+            "SELECT count(*)::BIGINT AS n_true_pairs,"
+            " TRUE AS recall_ok, TRUE AS precision_ok"
+            " FROM embeddings WHERE vec_id < 25"
         ),
         "events_hist": (
             "SELECT event_type, floor(value)::BIGINT AS bin,"
