@@ -135,9 +135,20 @@ def build_graph(
     if user_filter is not None:
         notes = notes.map_batches(user_filter, batch_format="pyarrow")
     if materialize_notes is None:
-        # auto: stream unless a filter forces the barrier (checkpoint
-        # handled below — it is its own resume-point barrier)
-        materialize_notes = user_filter is not None
+        # auto: a filter forces the barrier (checkpoint handled below —
+        # it is its own resume-point barrier); otherwise select by
+        # estimated input size — a small vault (<1 GiB) is faster with
+        # the one-parse barrier, while large or UNKNOWN-size inputs
+        # take the streaming path (the scale-safe default: never pin
+        # an unbounded notes table on a size guess)
+        if user_filter is not None:
+            materialize_notes = True
+        else:
+            try:
+                nbytes = docs.size_bytes()
+            except Exception:
+                nbytes = None
+            materialize_notes = nbytes is not None and nbytes < (1 << 30)
 
     if checkpoint_dir:
         from ..state import checkpoint_dataset

@@ -27,19 +27,24 @@ def _epoch_seconds(ts: pd.Series) -> pd.Series:
     )
 
 
-def hourly_counts(events, *, key_col: str = "user_id", ts_col: str = "ts"):
-    """Tumbling 1-hour window counts per key: (key, hour_epoch, n_events).
+def tumbling_counts(events, *, key_col: str = "user_id", ts_col: str = "ts",
+                    window_seconds: int = 3600,
+                    window_col: str = "window_epoch"):
+    """Tumbling fixed-width window counts per key:
+    ``(key, window_epoch, n_events)`` with
+    ``window_epoch = epoch_seconds // window_seconds`` (floor — exact
+    integer window ids, reproducible in SQL).
 
     Partial per-batch combine → small global groupby (shuffle carries
-    one row per (key, hour) per block).
+    one row per (key, window) per block).
     """
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.select([key_col, ts_col]).to_pandas()
-        df["hour_epoch"] = _epoch_seconds(df[ts_col]) // 3600
+        df[window_col] = _epoch_seconds(df[ts_col]) // window_seconds
         g = (
-            df.groupby([key_col, "hour_epoch"], as_index=False)
+            df.groupby([key_col, window_col], as_index=False)
             .size()
             .rename(columns={"size": "_n"})
         )
@@ -47,8 +52,17 @@ def hourly_counts(events, *, key_col: str = "user_id", ts_col: str = "ts"):
 
     return (
         events.map_batches(partial, batch_format="pyarrow")
-        .groupby([key_col, "hour_epoch"])
+        .groupby([key_col, window_col])
         .aggregate(Sum("_n", alias_name="n_events"))
+    )
+
+
+def hourly_counts(events, *, key_col: str = "user_id", ts_col: str = "ts"):
+    """Tumbling 1-hour window counts per key: (key, hour_epoch,
+    n_events) — the 3600 s special case of :func:`tumbling_counts`."""
+    return tumbling_counts(
+        events, key_col=key_col, ts_col=ts_col,
+        window_seconds=3600, window_col="hour_epoch",
     )
 
 

@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--materialize-notes", action="store_true",
                     help="force pinning the notes table (multi-consumer "
                          "small-vault case)")
+    ap.add_argument("--link-mode", choices=["broadcast", "shuffle"],
+                    default="broadcast",
+                    help="'shuffle' = fused single-pass shuffle join (no "
+                         "broadcast dictionary — the topology beyond the "
+                         "broadcast size ceiling)")
     ap.add_argument("--linker-concurrency", type=int, default=8)
     ap.add_argument("--num-blocks", type=int, default=None)
     ap.add_argument("--output-partitions", type=int, default=None,
@@ -74,6 +79,7 @@ def main() -> None:
             else True if args.materialize_notes
             else None
         ),
+        link_mode=args.link_mode,
     )
     manifests = write_graph(g, args.output, num_partitions=args.output_partitions)
     report = {

@@ -35,6 +35,24 @@ class TestWindows:
         h10 = pd.Timestamp("2024-01-01 10:00:00").value // 10**9 // 3600
         assert got == {(1, h10): 2, (1, h10 + 1): 1, (2, h10): 1}
 
+    def test_tumbling_generalized(self):
+        from obsidian_parser_ray.stages.events import tumbling_counts
+
+        ds = _events_ds(
+            [
+                {"user_id": 1, "ts": "2024-01-01 10:05:00"},
+                {"user_id": 1, "ts": "2024-01-01 10:09:30"},
+                {"user_id": 1, "ts": "2024-01-01 10:12:00"},
+            ]
+        )
+        out = tumbling_counts(ds, window_seconds=600).to_pandas()
+        w = pd.Timestamp("2024-01-01 10:00:00").value // 10**9 // 600
+        got = {
+            (int(r.user_id), int(r.window_epoch)): int(r.n_events)
+            for r in out.itertuples()
+        }
+        assert got == {(1, w): 2, (1, w + 1): 1}
+
     def test_sessionize_gap_semantics(self):
         ds = _events_ds(
             [

@@ -417,6 +417,22 @@ class TestAdjacencyLayout:
         rows = read_adjacency(out, "a").take_all()
         assert len(rows) == 1 and rows[0]["obj"] == "b" and rows[0]["weight"] == 1
 
+    def test_lookup_with_hostile_doc_id(self, tmp_path):
+        """doc_ids are arbitrary vault paths: quotes, backslashes and
+        newlines must round-trip through the bucketed lookup (the
+        filter is a pc.equal kernel, never an interpolated expr)."""
+        from obsidian_parser_ray import build_graph, read_adjacency, write_adjacency
+        from obsidian_parser_ray.sources import from_markdown_items
+
+        evil = "we'ird\"note\\x"
+        docs = from_markdown_items([(evil, "[[plain]]"), ("plain", "body")])
+        out = str(tmp_path / "adj3")
+        g = build_graph(docs, include_child_of=False)
+        write_adjacency(g, out, num_buckets=2)
+        rows = read_adjacency(out, evil).take_all()
+        assert {(r["subj"], r["obj"]) for r in rows} == {(evil, "plain")}
+        assert read_adjacency(out, "no'such").take_all() == []
+
 
 class TestShuffleJoinEmptyPartitions:
     def test_dict_only_partitions_do_not_crash(self):

@@ -72,3 +72,12 @@ class TestMarkdownFileRoundTrip:
     def test_empty_dir(self, tmp_path):
         out = read_markdown_dir(str(tmp_path))
         assert out.count() == 0
+
+    def test_lance_gate_message(self):
+        """pylance is absent in this container: the .lance read path
+        must fail with the actionable gate message, not a bare
+        ModuleNotFoundError deep inside Ray."""
+        from obsidian_parser_ray.sources import read_documents
+
+        with pytest.raises(ImportError, match="pylance"):
+            read_documents("/tmp/nonexistent.lance")

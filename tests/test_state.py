@@ -83,3 +83,17 @@ class TestWriteGraph:
         stamp = m["triples"]["written_at"]
         m2 = write_graph(build_graph(_docs()), out)
         assert m2["triples"]["written_at"] == stamp
+
+    def test_dataset_id_invalidates_stale_output(self, tmp_path, ray_session):
+        """An input fingerprint in dataset_id must force a rewrite over
+        the same out_dir — the stale-manifest escape hatch ADVICE asked
+        for (lineage alone would silently serve the old data)."""
+        out = str(tmp_path / "kg_fp")
+        m1 = write_graph(build_graph(_docs()), out, dataset_id="corpus-v1")
+        stamp = m1["triples"]["written_at"]
+        # same dataset_id → resume (no rewrite)
+        m2 = write_graph(build_graph(_docs()), out, dataset_id="corpus-v1")
+        assert m2["triples"]["written_at"] == stamp
+        # different dataset_id → rewrite
+        m3 = write_graph(build_graph(_docs()), out, dataset_id="corpus-v2")
+        assert m3["triples"]["written_at"] != stamp
