@@ -189,6 +189,19 @@ def _q_doc_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.4, max_df=64)
 
 
+def _q_doc_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per language by
+    smallest md5(doc_id) — reproducible in SQL, oracle-checked."""
+    from obsidian_parser_ray.stages.chunking import deterministic_sample_per_key
+
+    return deterministic_sample_per_key(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        key_col="lang",
+        id_col="doc_id",
+        k=5,
+    )
+
+
 def _q_doc_chunks(sf_dir: str):
     from obsidian_parser_ray.stages.chunking import chunk_documents
 
@@ -424,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_profile": _q_doc_profile,
         "doc_quality": _q_doc_quality,
         "doc_chunks": _q_doc_chunks,
+        "doc_sample": _q_doc_sample,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "events_topk_users": _q_events_topk_users,
         "events_hist": _q_events_hist,
@@ -633,6 +647,16 @@ SELECT 'extra/note_'||d, 'Shadow body.' FROM m WHERE d % 10 = 0
         "doc_dedup_drop": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        # deterministic stratified sample: smallest-k md5(id) per key
+        "doc_sample": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+""",
         # word-window chunking: window=200, stride=150; last window
         # truncated; single-space-joined chunk text
         "doc_chunks": r"""

@@ -94,3 +94,48 @@ def export_training_shards(ds, out_dir: str, *, num_shards: int = 16,
         )
     shuffled = ds.random_shuffle(seed=seed).repartition(num_shards)
     return write_partitioned_output(shuffled, out_dir, lineage=lineage)
+
+
+def deterministic_sample_per_key(ds, *, key_col: str, id_col: str,
+                                 k: int, batch_size: int | None = None):
+    """Deterministic stratified sample: the ``k`` rows with the
+    smallest ``md5(id)`` per key — the balanced per-source /
+    per-language subset a training-data pipeline draws.
+
+    Hash-ordered selection makes the sample (a) deterministic across
+    runs and cluster sizes, (b) uniform (md5 is effectively a random
+    permutation of ids), and (c) EXACTLY reproducible in SQL
+    (``row_number() over (partition by key order by md5(id), id)``),
+    so the op is oracle-checked — unlike seeded RNG sampling, which no
+    SQL engine can replay.
+
+    Dataflow: per-block partial top-k per key inside ``map_batches``
+    (the shuffle carries at most k rows per key per block), then a
+    tiny ``groupby(key)`` merge — the same partial-top-k shape as
+    ``knn_bruteforce``, never a global sort.
+    """
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids]
+        return t.append_column("_h", pa.array(h, pa.string()))
+
+    def partial_topk(p: pd.DataFrame) -> pd.DataFrame:
+        return (
+            p.sort_values(["_h", id_col], kind="stable")
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["_h", id_col], kind="stable").head(k)
+        return out.drop(columns=["_h"])
+
+    partials = ds.map_batches(
+        add_rank, batch_format="pyarrow", batch_size=batch_size
+    ).map_batches(partial_topk, batch_format="pandas", batch_size=batch_size)
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")

@@ -92,3 +92,56 @@ class TestChunkCountFormula:
             got = len(chunk_rows(text, 200, 150))
             exp = 0 if n == 0 else (1 if n <= 200 else 1 + math.ceil((n - 200) / 150))
             assert got == exp, n
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeterministicSample:
+    def test_k_per_key_and_determinism(self):
+        import hashlib
+
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.chunking import (
+            deterministic_sample_per_key,
+        )
+
+        rows = [
+            {"doc_id": i, "lang": ["en", "de", "fr"][i % 3]} for i in range(60)
+        ]
+        ds = rd.from_pandas(pd.DataFrame(rows))
+        out = deterministic_sample_per_key(
+            ds, key_col="lang", id_col="doc_id", k=4
+        ).to_pandas()
+        assert len(out) == 12
+        assert out.groupby("lang").size().to_dict() == {"en": 4, "de": 4, "fr": 4}
+        # matches the analytic rule: smallest-4 md5(str(id)) per lang
+        df = pd.DataFrame(rows)
+        df["_h"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]
+        ]
+        expect = set(
+            df.sort_values(["_h", "doc_id"]).groupby("lang").head(4)["doc_id"]
+        )
+        assert set(out["doc_id"]) == expect
+        # independent of partitioning
+        out2 = deterministic_sample_per_key(
+            ds.repartition(7), key_col="lang", id_col="doc_id", k=4
+        ).to_pandas()
+        assert set(out2["doc_id"]) == expect
+
+    def test_k_larger_than_group(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.chunking import (
+            deterministic_sample_per_key,
+        )
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "lang": ["en", "en"]})
+        )
+        out = deterministic_sample_per_key(
+            ds, key_col="lang", id_col="doc_id", k=10
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]
