@@ -183,7 +183,11 @@ def _scaling_child(num_cpus: int) -> None:
         file_extensions=["parquet"],
         override_num_blocks=num_cpus * 4,
     )
-    out_dir = f"/tmp/graft_scale_out_{num_cpus}"
+    # default under /dev/shm: the sink on a real cluster is distributed
+    # storage whose bandwidth scales with node count — a single shared
+    # virtual disk is a fixed cost that would contaminate the ratio
+    out_base = os.environ.get("GRAFT_SCALE_OUT_BASE", "/dev/shm")
+    out_dir = f"{out_base}/graft_scale_out_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     # fixed-size actor pool (int) — all linker actors spin up at

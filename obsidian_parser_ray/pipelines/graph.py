@@ -177,11 +177,25 @@ def build_graph(
             dictionary = build_dictionary_from_docs(docs)
 
     mentions = explode_mentions(notes)
-    link_input = mentions
-    if not include_tags:
-        link_input = mentions.filter(
-            expr="kind == 'link' or kind == 'embed' or kind == 'media'"
+    if not (materialize_notes or checkpoint_dir or user_filter is not None):
+        # streaming mode: the triples lineage reads mentions STRAIGHT
+        # from the documents (parse_doc fast mode — no md5/word-count/
+        # JSON, no intermediate notes table); `mentions`/`notes` above
+        # remain the lazy full-attribute views for other consumers
+        from ..stages.extract import extract_mentions_direct
+
+        link_input = extract_mentions_direct(
+            docs,
+            batch_size=extract_batch_size,
+            strict_lists=strict_lists,
+            include_tags=include_tags,
         )
+    else:
+        link_input = mentions
+        if not include_tags:
+            link_input = mentions.filter(
+                expr="kind == 'link' or kind == 'embed' or kind == 'media'"
+            )
     edges = link_mentions(
         link_input,
         dictionary,

@@ -78,15 +78,22 @@ NOTES_SCHEMA = pa.schema(
 )
 
 
-def extract_note_row(doc_id: str, spans: list[dict],
-                     *, strict_lists: bool = False) -> tuple[dict, list[dict]]:
+def parse_doc(doc_id: str, spans: list[dict], *, strict_lists: bool = False,
+              with_attrs: bool = True) -> tuple[dict, list[dict]]:
     """Parse ONE document's spans → (note attrs, mention list).
 
-    Pure function shared by the batched stage and the oracle.
+    Pure function shared by the batched stages and the oracle.
     ``strict_lists=True`` is exact ``Vec<String>`` parity: a non-string
     tags/aliases item FAILS THE NOTE (recorded in ``parse_error``, like
     a YAML syntax error — reference note_tags.rs:36 ``?``); the lenient
     default stringifies scalars.
+
+    ``with_attrs=False`` is the LINK-PATH fast mode: mention
+    extraction, note_name and aliases only — skipping the content
+    md5, word/byte counts and properties JSON (measured ~35% of
+    extract CPU) that the triples lineage never reads.  The returned
+    note dict then carries only (doc_id, note_name, aliases,
+    parse_error).
     """
     from ..parser import ListTypeError
 
@@ -97,7 +104,6 @@ def extract_note_row(doc_id: str, spans: list[dict],
 
     properties_text = fm_texts[0]["text"] if fm_texts else None
     props, err = parse_properties(properties_text)
-    content = "\n".join(s["text"] for s in text_spans)
 
     try:
         fm_tags_checked = frontmatter_tags(props, strict=strict_lists)
@@ -159,6 +165,18 @@ def extract_note_row(doc_id: str, spans: list[dict],
         )
         occ += 1
 
+    if not with_attrs:
+        return (
+            {
+                "doc_id": doc_id,
+                "note_name": note_name(doc_id),
+                "aliases": aliases_checked,
+                "parse_error": err,
+            },
+            mentions,
+        )
+
+    content = "\n".join(s["text"] for s in text_spans)
     tags = fm_tags + inline_tags
     # single UTF-8 encode serves both byte_count and content_md5
     # (semantics identical to the standalone kernels in ..parser)
@@ -179,6 +197,12 @@ def extract_note_row(doc_id: str, spans: list[dict],
         "order_key": doc_id,
     }
     return note, mentions
+
+
+def extract_note_row(doc_id: str, spans: list[dict],
+                     *, strict_lists: bool = False) -> tuple[dict, list[dict]]:
+    """Full-attribute parse (back-compat name for :func:`parse_doc`)."""
+    return parse_doc(doc_id, spans, strict_lists=strict_lists)
 
 
 class ExtractNotes:
@@ -239,6 +263,53 @@ MENTIONS_SCHEMA = pa.schema(
         ("occurrence_idx", pa.int32()),
     ]
 )
+
+
+def extract_mentions_direct(docs, *, batch_size: int | None = None,
+                            strict_lists: bool = False,
+                            include_tags: bool = True):
+    """documents → mention rows DIRECTLY (the link-path fast lane).
+
+    Skips the note-attribute work (`parse_doc(with_attrs=False)`: no
+    content md5, word/byte counts, properties JSON — ~35% of extract
+    CPU) and the intermediate notes table entirely; semantically
+    identical mention rows to ``explode_mentions(extract_notes(docs))``
+    (asserted in tests).  Use when only the edges/triples lineage is
+    consumed — ``build_graph``'s streaming mode does.
+    """
+    tag_kinds = ("tag_inline", "tag_frontmatter")
+
+    def rows(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        subj, kind, key, raw, off, occ = [], [], [], [], [], []
+        for doc_id, spans in zip(doc_ids, spans_col):
+            _, mentions = parse_doc(
+                doc_id, spans or [], strict_lists=strict_lists,
+                with_attrs=False,
+            )
+            for m in mentions:
+                if not include_tags and m["kind"] in tag_kinds:
+                    continue
+                subj.append(doc_id)
+                kind.append(m["kind"])
+                key.append(m["target_key"])
+                raw.append(m["raw_text"])
+                off.append(m["span_offset"])
+                occ.append(m["occurrence_idx"])
+        return pa.Table.from_arrays(
+            [
+                pa.array(subj, pa.string()),
+                pa.array(kind, pa.string()),
+                pa.array(key, pa.string()),
+                pa.array(raw, pa.string()),
+                pa.array(off, pa.int32()),
+                pa.array(occ, pa.int32()),
+            ],
+            schema=MENTIONS_SCHEMA,
+        )
+
+    return docs.map_batches(rows, batch_format="pyarrow", batch_size=batch_size)
 
 
 def explode_mentions_batch(batch: pa.Table) -> pa.Table:

@@ -623,7 +623,7 @@ def link_edges_fused(docs, *, num_partitions: int = 64,
     import pyarrow.compute as pc
 
     from ..hashing import hash_bucket_array
-    from .extract import extract_note_row
+    from .extract import parse_doc
 
     tag_kinds = ("tag_inline", "tag_frontmatter")
 
@@ -633,8 +633,11 @@ def link_edges_fused(docs, *, num_partitions: int = 64,
         m_kind, m_key, m_subj, m_off, m_occ = [], [], [], [], []
         d_kind, d_key, d_val = [], [], []
         for doc_id, spans in zip(doc_ids, spans_col):
-            note, mentions = extract_note_row(
-                doc_id, spans or [], strict_lists=strict_lists
+            # fast mode: mention + dictionary fields only (no
+            # md5/word-count/JSON — the edge lineage never reads them)
+            note, mentions = parse_doc(
+                doc_id, spans or [], strict_lists=strict_lists,
+                with_attrs=False,
             )
             for m in mentions:
                 if not include_tags and m["kind"] in tag_kinds:

@@ -172,3 +172,45 @@ class TestProjectProperties:
         # absent frontmatter → all null, no error
         c = rows["c"]
         assert c["prop_id"] is None and c["projection_error"] is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMentionsDirect:
+    def test_equivalent_to_explode_of_extract(self):
+        """The link-path fast lane (parse_doc with_attrs=False, no
+        notes table) must emit EXACTLY the mention rows of
+        explode_mentions(extract_notes(docs))."""
+        import ray.data as rd
+
+        from obsidian_parser_ray.corpus import spans_from_raw, spans_table
+        from obsidian_parser_ray.stages.extract import (
+            explode_mentions,
+            extract_mentions_direct,
+            extract_notes,
+        )
+
+        items = [
+            ("a", "---\ntags:\n- t1\n---\nBody [[b|al]] #x and ![[c]]"),
+            ("sub/b", "Plain [[a]] [[a]] #y"),
+            ("c", ""),
+        ]
+        docs = rd.from_arrow(
+            spans_table([(i, spans_from_raw(r)) for i, r in items])
+        )
+
+        def rows(ds):
+            return sorted(
+                (
+                    r["subj"], r["kind"], r["target_key"], r["raw_text"],
+                    r["span_offset"], r["occurrence_idx"],
+                )
+                for r in ds.take_all()
+            )
+
+        classic = rows(explode_mentions(extract_notes(docs)))
+        direct = rows(extract_mentions_direct(docs))
+        assert direct == classic and len(direct) > 0
+
+        # include_tags=False drops exactly the tag kinds
+        no_tags = rows(extract_mentions_direct(docs, include_tags=False))
+        assert no_tags == [r for r in classic if not r[1].startswith("tag")]
