@@ -279,13 +279,29 @@ def write_graph(result: GraphResult, out_dir: str,
 
 
 def write_adjacency(result: GraphResult, out_dir: str, *,
-                    num_buckets: int = 64) -> dict:
+                    num_buckets: int = 64, mode: str = "fused") -> dict:
     """Bucketed adjacency layout: canonical triples hash-partitioned on
     ``subj`` (hive ``subj_bucket=`` dirs), sorted within buckets.
 
     The storage-side half of "pick ONE partitioning key and reuse it":
     per-subject adjacency reads prune to a single bucket directory —
     at 10^12 triples a lookup touches 1/num_buckets of the table.
+
+    ``mode``:
+
+    * ``"fused"`` (default) — single-shuffle sort-write fusion: tag each
+      row with its int32 bucket, shuffle ONCE on that single int key
+      (``groupby``), and in the reduce task sort the bucket locally with
+      one Arrow ``sort_by`` and write its parquet file directly.  The
+      global ``Dataset.sort`` merge (which compares full
+      (subj, pred, obj) string tuples across the whole dataset) and the
+      separate write stage collapse into the reduce side of one
+      exchange.  At cluster scale ``out_dir`` must be shared storage
+      (same caveat as ``write_markdown_files``).
+    * ``"sort"`` — global ``Dataset.sort`` on (bucket, subj, pred, obj)
+      then hive-partitioned write; byte-identical layout, kept as the
+      oracle for the equivalence test and for sinks where the writer
+      must not touch the filesystem from worker tasks.
     """
     import json
     import os
@@ -309,9 +325,44 @@ def write_adjacency(result: GraphResult, out_dir: str, *,
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     tri = result.triples.map_batches(add_bucket, batch_format="pyarrow")
-    tri = tri.sort(["subj_bucket", "subj", "pred", "obj"])
-    tri.write_parquet(os.path.join(tmp, "data"), partition_cols=["subj_bucket"])
     manifest = {"num_buckets": num_buckets, "hash": "pd.util.hash_array"}
+    if mode == "fused":
+        data_dir = os.path.join(tmp, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        sort_keys = [(k, "ascending") for k in ("subj", "pred", "obj")]
+
+        def sort_and_write(g: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            b = g["subj_bucket"][0].as_py()
+            body = g.drop_columns(["subj_bucket"]).sort_by(sort_keys)
+            bdir = os.path.join(data_dir, f"subj_bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            fp = os.path.join(bdir, "part-00000.parquet")
+            pq.write_table(body, fp)
+            return pa.table(
+                {
+                    "bucket": pa.array([b], pa.int32()),
+                    "rows": pa.array([body.num_rows], pa.int64()),
+                    "bytes": pa.array([os.path.getsize(fp)], pa.int64()),
+                }
+            )
+
+        # ≤ num_buckets tiny manifest rows come back to the driver
+        parts = (
+            tri.groupby("subj_bucket")
+            .map_groups(sort_and_write, batch_format="pyarrow")
+            .take_all()
+        )
+        manifest["partitions"] = sorted(
+            ({k: int(r[k]) for k in ("bucket", "rows", "bytes")} for r in parts),
+            key=lambda r: r["bucket"],
+        )
+    elif mode == "sort":
+        tri = tri.sort(["subj_bucket", "subj", "pred", "obj"])
+        tri.write_parquet(os.path.join(tmp, "data"), partition_cols=["subj_bucket"])
+    else:
+        raise ValueError(f"unknown write_adjacency mode: {mode!r}")
     with open(os.path.join(tmp, "_ADJ_MANIFEST.json"), "w") as f:
         json.dump(manifest, f)
     shutil.rmtree(out_dir, ignore_errors=True)

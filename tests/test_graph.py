@@ -417,6 +417,51 @@ class TestAdjacencyLayout:
         rows = read_adjacency(out, "a").take_all()
         assert len(rows) == 1 and rows[0]["obj"] == "b" and rows[0]["weight"] == 1
 
+    def test_fused_mode_equivalent_to_sort_mode(self, tmp_path):
+        """mode="fused" (single-shuffle groupby + reduce-side local sort
+        + direct write) must produce the exact same bucket layout and
+        per-bucket row order as the mode="sort" oracle (global
+        Dataset.sort then hive write)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from obsidian_parser_ray import build_graph
+        from obsidian_parser_ray.pipelines.graph import read_adjacency, write_adjacency
+        from obsidian_parser_ray.sources import from_markdown_items
+
+        docs = from_markdown_items(
+            [
+                (f"n{i}", f"[[n{(i * 7 + 1) % 23}]] x [[n{(i * 3 + 2) % 23}]] [[hub]]")
+                for i in range(23)
+            ]
+            + [("hub", "[[n0]]")]
+        )
+        g = build_graph(docs, include_child_of=False)
+        out_f = str(tmp_path / "adj_fused")
+        out_s = str(tmp_path / "adj_sort")
+        man_f = write_adjacency(g, out_f, num_buckets=4, mode="fused")
+        write_adjacency(g, out_s, num_buckets=4, mode="sort")
+
+        for b in range(4):
+            df = os.path.join(out_f, "data", f"subj_bucket={b}")
+            ds = os.path.join(out_s, "data", f"subj_bucket={b}")
+            assert os.path.isdir(df) == os.path.isdir(ds)
+            if not os.path.isdir(df):
+                continue
+            tf = pq.read_table(df).select(["subj", "pred", "obj", "weight"])
+            ts = pq.read_table(ds).select(["subj", "pred", "obj", "weight"])
+            assert tf.to_pylist() == ts.to_pylist()  # same rows, same order
+
+        # fused manifest records per-bucket stats that add up
+        parts = man_f["partitions"]
+        assert sum(p["rows"] for p in parts) == g.triples.count()
+        assert all(p["bytes"] > 0 for p in parts)
+        # and pruned reads behave identically on both layouts
+        rf = read_adjacency(out_f, "hub").take_all()
+        rs = read_adjacency(out_s, "hub").take_all()
+        assert rf == rs and len(rf) == 1
+
     def test_lookup_with_hostile_doc_id(self, tmp_path):
         """doc_ids are arbitrary vault paths: quotes, backslashes and
         newlines must round-trip through the bucketed lookup (the
