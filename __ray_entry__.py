@@ -288,10 +288,27 @@ def _q_doc_minhash_neardup(sf_dir: str):
     )
 
 
-def _q_doc_simhash_neardup(sf_dir: str):  # rows-only (LSH, non-SQL)
-    from obsidian_parser_ray.stages.dedup import simhash_pairs
+def _q_doc_simhash_neardup(sf_dir: str):
+    """SimHash (Hamming ≤ 3) as a RECALL GATE against the exact
+    ≥0.5-Jaccard pair set (SQL-computable, same truth set as the
+    MinHash gate).  SimHash targets cosine-style similarity so its
+    recall over the Jaccard set is structurally below 1 — measured
+    0.73–0.80 across sf0.001/0.01/0.1; the gate asserts ≥ 0.6.  A
+    hash/bucketing regression (bit corruption, block-permutation bug)
+    drops it to ~0 and flips the boolean."""
+    import pandas as pd
 
-    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+    from obsidian_parser_ray.stages.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    found = simhash_pairs(ds).to_pandas()
+    exact = ngram_jaccard_pairs(ds, threshold=0.5, max_df=64).to_pandas()
+    f = {tuple(sorted(p)) for p in zip(found["id_a"], found["id_b"])}
+    t = {tuple(sorted(p)) for p in zip(exact["id_a"], exact["id_b"])}
+    recall = len(f & t) / len(t) if t else 1.0
+    return pd.DataFrame(
+        [{"n_true_pairs": len(t), "recall_ok": bool(recall >= 0.6)}]
+    )
 
 
 def _q_emb_knn(sf_dir: str):
@@ -410,13 +427,19 @@ def _q_events_type_stats(sf_dir: str):
     return type_stats(_read(sf_dir, "events", ["event_type", "value"]))
 
 
-def _q_media_features(sf_dir: str):  # rows-only (stubbed decoder, non-SQL)
+def _q_media_features(sf_dir: str):
+    """Media decode features, hash-checked: the fake decoder derives
+    media_type / n_bytes / width / height / duration_ms from md5 of
+    the asset id, which the SQL oracle re-derives in DuckDB — so the
+    ref-extraction, distributed dedup, payload synthesis, and decode
+    metadata passthrough are all value-verified.  phash/embedding
+    (functions of the RNG payload bytes) stay test-only columns."""
     from obsidian_parser_ray import synth_vault
     from obsidian_parser_ray.stages.multimodal import decode_media, media_from_vault
 
     feats = decode_media(media_from_vault(synth_vault(sf_dir)), concurrency=1)
     return feats.select_columns(
-        ["asset_id", "media_type", "n_bytes", "width", "height", "duration_ms", "phash"]
+        ["asset_id", "media_type", "n_bytes", "width", "height", "duration_ms"]
     )
 
 
@@ -751,6 +774,34 @@ SELECT count(*)::BIGINT AS n_true_pairs, TRUE AS recall_ok
 FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
 WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.5
 """,
+        # same exact-Jaccard truth set as the MinHash gate; the Ray
+        # side checks SimHash recall over it (>= 0.6, see query doc)
+        "doc_simhash_neardup": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3)
+  UNION
+  SELECT doc_id, array_to_string(ws, ' ') FROM w WHERE len(ws) BETWEEN 1 AND 2
+),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 64),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN ok ON ok.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_true_pairs, TRUE AS recall_ok
+FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.5
+""",
         # recall gate: mean IVF@5 recall vs the (separately
         # oracle-checked) exact top-5; a pruning/assignment
         # regression flips the boolean
@@ -830,4 +881,31 @@ FROM y GROUP BY 1, 2
             " min(value) AS min_value, max(value) AS max_value"
             " FROM events GROUP BY event_type"
         ),
+        # re-derives the fake decoder's md5-based metadata in SQL
+        # (synth_media_batch, stages/multimodal.py) over the asset set
+        # the vault derivation plants (corpus.py SPEC: media span with
+        # ref 'assets/img_{d%10}.png' when d%6==0) — value-checks
+        # ref extraction + dedup + decode metadata end-to-end
+        "media_features": r"""
+WITH assets AS (
+  SELECT DISTINCT 'assets/img_' || (doc_id % 10) || '.png' AS asset_id
+  FROM documents WHERE doc_id % 6 = 0
+),
+h AS (
+  SELECT asset_id,
+         ('0x' || substr(md5(asset_id), 1, 2))::INT AS b0,
+         ('0x' || substr(md5(asset_id), 3, 2))::INT AS b1,
+         ('0x' || substr(md5(asset_id), 5, 2))::INT AS b2,
+         ('0x' || substr(md5(asset_id), 7, 2))::INT AS b3,
+         ('0x' || substr(md5(asset_id), 9, 2))::INT AS b4
+  FROM assets
+)
+SELECT asset_id,
+       CASE WHEN b0 % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+       (256 + b1 * 8)::BIGINT AS n_bytes,
+       CASE WHEN b0 % 2 = 0 THEN 16 + b2 % 64 ELSE 0 END::BIGINT AS width,
+       CASE WHEN b0 % 2 = 0 THEN 16 + b3 % 64 ELSE 0 END::BIGINT AS height,
+       CASE WHEN b0 % 2 = 0 THEN 0 ELSE 1000 + b4 * 100 END::BIGINT AS duration_ms
+FROM h
+""",
     }

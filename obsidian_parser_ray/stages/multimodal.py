@@ -63,7 +63,11 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
     ids = batch["asset_id"].to_pylist()
     types, payloads, metas = [], [], []
     for a in ids:
-        h = hashlib.blake2b(a.encode(), digest_size=16).digest()
+        # md5 (not blake2b) on purpose: DuckDB has md5(), so the
+        # driver's SQL oracle can re-derive media_type / n_bytes /
+        # width / height / duration_ms from the asset id and
+        # hash-check the decode output end-to-end
+        h = hashlib.md5(a.encode()).digest()
         is_img = h[0] % 2 == 0
         size = 256 + h[1] * 8
         rng = np.random.RandomState(int.from_bytes(h[2:6], "little"))
