@@ -57,6 +57,35 @@ class GraphResult:
         return degree_top_k(self.triples, pred=pred, by=by, k=k)
 
 
+def _estimate_input_bytes(ds) -> int | None:
+    """Source-size estimate WITHOUT executing the dataset.
+
+    Walks the logical plan to its source operators and sums their
+    metadata-level size estimates (parquet footer stats for reads,
+    object sizes for in-memory sources).  Returns None when any
+    source cannot be sized cheaply — callers must treat None as
+    "large" (the scale-safe reading).  ``Dataset.size_bytes()`` is NOT
+    usable here: on a lazy derived dataset it executes the whole
+    upstream pipeline.
+    """
+    try:
+        total = 0
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            deps = op.input_dependencies
+            if deps:
+                stack.extend(deps)
+                continue
+            meta = op.infer_metadata()
+            if meta.size_bytes is None:
+                return None
+            total += meta.size_bytes
+        return total
+    except Exception:
+        return None
+
+
 def build_graph(
     docs,
     *,
@@ -144,11 +173,12 @@ def build_graph(
         if user_filter is not None:
             materialize_notes = True
         else:
-            try:
-                nbytes = docs.size_bytes()
-            except Exception:
-                nbytes = None
-            materialize_notes = nbytes is not None and nbytes < (1 << 30)
+            # NEVER call docs.size_bytes() here — on a lazy derived
+            # dataset it EXECUTES the whole upstream pipeline (a full
+            # extra pass over the input just to pick a path)
+            materialize_notes = (
+                nbytes := _estimate_input_bytes(docs)
+            ) is not None and nbytes < (1 << 30)
 
     if checkpoint_dir:
         from ..state import checkpoint_dataset
