@@ -427,6 +427,85 @@ def _q_events_type_stats(sf_dir: str):
     return type_stats(_read(sf_dir, "events", ["event_type", "value"]))
 
 
+def _events_seconds(sf_dir: str, *, event_type: str, columns: list):
+    """Events of one type with ts as exact integer epoch seconds."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_s(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        return t.append_column("s", s)
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+        .filter(expr=f"event_type == '{event_type}'")
+        .map_batches(to_s, batch_format="pyarrow")
+        .select_columns(columns)
+    )
+
+
+def _q_events_asof(sf_dir: str):
+    """As-of join: each click matched to the user's latest prior (or
+    simultaneous) purchase.  The right side is pre-aggregated to one
+    row per (user, second) — max(value) — which makes the as-of match
+    deterministic (DuckDB ASOF JOIN has the same uniqueness
+    requirement).  Unmatched rows are coalesced to -1 so the compared
+    output is null-free."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from obsidian_parser_ray.stages.events import asof_join
+
+    left = _events_seconds(
+        sf_dir, event_type="click", columns=["event_id", "user_id", "s"]
+    )
+    right = (
+        _events_seconds(sf_dir, event_type="purchase",
+                        columns=["user_id", "s", "value"])
+        .groupby(["user_id", "s"])
+        .aggregate(Max("value", alias_name="p_value"))
+    )
+    j = asof_join(left, right, key_col="user_id", ts_col="s")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "s": t["s"],
+                "p_s": pc.fill_null(t["s_r"], -1),
+                "p_value": pc.fill_null(t["p_value"], -1.0),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_events_purchases_in_session(sf_dir: str):
+    """Interval (range) join: purchases matched into the session window
+    containing them, then counted per session — (user_id, session_idx,
+    n_purchases) for sessions with at least one purchase."""
+    from ray.data.aggregate import Count
+
+    from obsidian_parser_ray.stages.events import interval_join, sessionize
+
+    sessions = sessionize(_read(sf_dir, "events", ["user_id", "ts"])).drop_columns(
+        ["n_events"]
+    )
+    pts = _events_seconds(
+        sf_dir, event_type="purchase", columns=["event_id", "user_id", "s"]
+    )
+    j = interval_join(
+        pts, sessions, key_col="user_id", ts_col="s",
+        start_col="start_s", end_col="end_s",
+    )
+    return (
+        j.groupby(["user_id", "session_idx"])
+        .aggregate(Count(alias_name="n_purchases"))
+    )
+
+
 def _q_media_features(sf_dir: str):
     """Media decode features, hash-checked: the fake decoder derives
     media_type / n_bytes / width / height / duration_ms from md5 of
@@ -475,6 +554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "events_type_stats": _q_events_type_stats,
+        "events_asof": _q_events_asof,
+        "events_purchases_in_session": _q_events_purchases_in_session,
         "media_features": _q_media_features,
     }
 
@@ -881,6 +962,51 @@ FROM y GROUP BY 1, 2
             " min(value) AS min_value, max(value) AS max_value"
             " FROM events GROUP BY event_type"
         ),
+        # DuckDB's native ASOF JOIN is the oracle for the co-partitioned
+        # merge_asof operator (stages/events.py asof_join)
+        "events_asof": """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts)//1000000 AS s
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, epoch_us(ts)//1000000 AS s, max(value) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.s,
+       coalesce(r.s, -1)::BIGINT AS p_s,
+       coalesce(r.p_value, -1.0) AS p_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.s >= r.s
+""",
+        # inequality join re-derives the interval_join + sessionize pair
+        "events_purchases_in_session": """
+WITH s AS (SELECT user_id, epoch_us(ts)//1000000 AS sec FROM events),
+x AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+),
+y AS (
+  SELECT user_id, sec,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM x
+),
+sess AS (
+  SELECT user_id, session_idx,
+         min(sec)::BIGINT AS start_s, max(sec)::BIGINT AS end_s
+  FROM y GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, epoch_us(ts)//1000000 AS sec
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT sess.user_id, sess.session_idx, count(*)::BIGINT AS n_purchases
+FROM sess JOIN p
+  ON p.user_id = sess.user_id AND p.sec BETWEEN sess.start_s AND sess.end_s
+GROUP BY 1, 2
+""",
         # re-derives the fake decoder's md5-based metadata in SQL
         # (synth_media_batch, stages/multimodal.py) over the asset set
         # the vault derivation plants (corpus.py SPEC: media span with

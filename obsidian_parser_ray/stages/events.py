@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _epoch_seconds(ts: pd.Series) -> pd.Series:
@@ -181,3 +182,204 @@ def value_histogram(events, *, type_col: str = "event_type",
         .groupby([type_col, "bin"])
         .aggregate(Sum("_n", alias_name="n_events"))
     )
+
+# ---------------------------------------------------------------------------
+# Temporal joins: as-of join + interval (range) join
+#
+# Ray Data has no native as-of/range join.  Both are expressed with the
+# same co-partitioning shape as sessionize: hash-partition BOTH sides on
+# the join key (one bounded shuffle), then resolve each partition with a
+# single vectorized pandas sweep (merge_asof) — no per-key Python loop,
+# no driver materialization.  Partitioning assumption: every row of a
+# given key lands in one partition (the groupby guarantees it), so skew
+# is bounded by the hottest key, same as any keyed join.
+# ---------------------------------------------------------------------------
+
+
+def _co_partition(left, right, *, key_col: str, num_partitions: int):
+    """Union-tag two datasets into one, hash-partitioned on key_col.
+
+    Returns (grouped, left_schema, right_schema): the union carries a
+    ``_side`` flag (0=left, 1=right) and each side's missing columns
+    padded with typed nulls so the schemas align exactly.
+    """
+    from ..hashing import hash_bucket_array
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_arrow = pa.schema(
+        [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+    )
+    r_arrow = pa.schema(
+        [pa.field(n, t) for n, t in zip(r_schema.names, r_schema.types)]
+    )
+    shared = set(l_arrow.names) & set(r_arrow.names)
+    for n in shared:
+        if l_arrow.field(n).type != r_arrow.field(n).type:
+            raise ValueError(
+                f"column {n!r} has different types on the two sides: "
+                f"{l_arrow.field(n).type} vs {r_arrow.field(n).type}"
+            )
+    # combined schema: left fields, then right-only fields, then markers
+    combined = list(l_arrow) + [
+        f for f in r_arrow if f.name not in set(l_arrow.names)
+    ]
+    combined_schema = pa.schema(
+        combined
+        + [pa.field("_side", pa.int8()), pa.field("part", pa.int32())]
+    )
+
+    def _pad(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = []
+            for f in combined_schema:
+                if f.name == "_side":
+                    cols.append(pa.array([side] * t.num_rows, pa.int8()))
+                elif f.name == "part":
+                    cols.append(hash_bucket_array(t[key_col], num_partitions))
+                elif f.name in t.column_names:
+                    cols.append(t[f.name].cast(f.type))
+                else:
+                    cols.append(pa.nulls(t.num_rows, f.type))
+            return pa.Table.from_arrays(cols, schema=combined_schema)
+
+        return fn
+
+    tagged = left.map_batches(_pad(0), batch_format="pyarrow").union(
+        right.map_batches(_pad(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("part"), l_arrow, r_arrow
+
+
+def _pandas_dtype_map(schema: pa.Schema) -> dict:
+    """Stable post-merge dtypes: integer columns become nullable Int64 so
+    partitions with unmatched rows emit the SAME arrow type (int64 with
+    nulls) as fully-matched partitions — never a silent int→float block."""
+    out = {}
+    for f in schema:
+        if pa.types.is_integer(f.type):
+            out[f.name] = "Int64"
+        elif pa.types.is_floating(f.type):
+            out[f.name] = "float64"
+    return out
+
+
+def asof_join(left, right, *, key_col: str, ts_col: str,
+              direction: str = "backward", suffix: str = "_r",
+              num_partitions: int = 64):
+    """As-of join: for each left row, the single right row of the same
+    key with the largest ``ts_col`` <= left's (direction='backward';
+    'forward' = smallest >=).  Left-join semantics: unmatched left rows
+    keep typed nulls on the right columns.
+
+    Requirements (same as DuckDB ASOF JOIN determinism): the right side
+    must be unique per (key, ts) — pre-aggregate otherwise.  ``ts_col``
+    must exist on both sides with the same type (integer epoch seconds
+    recommended: exact, oracle-reproducible).
+
+    Output: all left columns + each right non-key/ts column + the
+    matched right timestamp as ``ts_col + suffix``.  Right value columns
+    that collide with a left name are suffixed too.
+    """
+    grouped, l_arrow, r_arrow = _co_partition(
+        left, right, key_col=key_col, num_partitions=num_partitions
+    )
+    l_cols = list(l_arrow.names)
+    r_value_cols = [n for n in r_arrow.names if n not in (key_col, ts_col)]
+    rename = {
+        n: (n + suffix if n in set(l_cols) else n) for n in r_value_cols
+    }
+    rename[ts_col] = ts_col + suffix
+    out_r_cols = [rename[ts_col]] + [rename[n] for n in r_value_cols]
+    out_schema = pa.schema(
+        [l_arrow.field(n) for n in l_cols]
+        + [pa.field(rename[ts_col], r_arrow.field(ts_col).type)]
+        + [pa.field(rename[n], r_arrow.field(n).type) for n in r_value_cols]
+    )
+    dtypes = _pandas_dtype_map(out_schema)
+    empty = pa.table(
+        {f.name: pa.nulls(0, f.type) for f in out_schema}
+    ).to_pandas().astype(dtypes)
+
+    def join_partition(t: pa.Table) -> pd.DataFrame:
+        # split sides at the ARROW level: the union's null padding never
+        # touches a real row's columns, so ints stay exact int64 in
+        # pandas (no NaN-driven float64 round-trip of id columns)
+        side = t["_side"]
+        lf = t.filter(pc.equal(side, 0)).select(l_cols).to_pandas()
+        if not len(lf):
+            return empty.copy()
+        rf = (
+            t.filter(pc.equal(side, 1))
+            .select([key_col, ts_col] + r_value_cols)
+            .rename_columns(
+                [key_col, ts_col] + [rename[n] for n in r_value_cols]
+            )
+            .to_pandas()
+        )
+        rf[rename[ts_col]] = rf[ts_col]
+        lf = lf.sort_values(ts_col, kind="stable")
+        rf = rf.sort_values(ts_col, kind="stable")
+        m = pd.merge_asof(
+            lf, rf, on=ts_col, by=key_col, direction=direction
+        )
+        m = m[l_cols + out_r_cols]
+        for c, dt in dtypes.items():
+            m[c] = m[c].astype(dt)
+        return m
+
+    return grouped.map_groups(join_partition, batch_format="pyarrow")
+
+
+def interval_join(points, intervals, *, key_col: str, ts_col: str,
+                  start_col: str, end_col: str,
+                  num_partitions: int = 64):
+    """Interval (range) join: each point row is matched to the interval
+    of the same key with ``start_col <= ts < = end_col`` (inclusive both
+    ends, inner join).
+
+    Partitioning/semantic assumption (documented per the north rule):
+    intervals of one key must be NON-OVERLAPPING (e.g. session windows)
+    — then "the containing interval" is exactly "the latest interval
+    starting at or before the point", i.e. an as-of match on
+    ``start_col`` followed by an ``end_col >= ts`` filter, one
+    vectorized sweep per partition.  Overlapping intervals would need an
+    interval tree and a different operator.
+
+    Output: all point columns + all interval columns except the key.
+    """
+    grouped, p_arrow, i_arrow = _co_partition(
+        points, intervals, key_col=key_col, num_partitions=num_partitions
+    )
+    p_cols = list(p_arrow.names)
+    i_cols = [n for n in i_arrow.names if n != key_col]
+    out_schema = pa.schema(
+        [p_arrow.field(n) for n in p_cols]
+        + [i_arrow.field(n) for n in i_cols]
+    )
+    dtypes = _pandas_dtype_map(out_schema)
+    empty = pa.table(
+        {f.name: pa.nulls(0, f.type) for f in out_schema}
+    ).to_pandas().astype(dtypes)
+
+    def join_partition(t: pa.Table) -> pd.DataFrame:
+        side = t["_side"]
+        pf = t.filter(pc.equal(side, 0)).select(p_cols).to_pandas()
+        itf = (
+            t.filter(pc.equal(side, 1)).select([key_col] + i_cols).to_pandas()
+        )
+        if not len(pf) or not len(itf):
+            return empty.copy()
+        pf = pf.sort_values(ts_col, kind="stable")
+        itf = itf.sort_values(start_col, kind="stable")
+        m = pd.merge_asof(
+            pf, itf, left_on=ts_col, right_on=start_col, by=key_col,
+            direction="backward",
+        )
+        m = m[m[end_col] >= m[ts_col]]
+        m = m[p_cols + i_cols]
+        for c, dt in dtypes.items():
+            m[c] = m[c].astype(dt)
+        return m
+
+    return grouped.map_groups(join_partition, batch_format="pyarrow")

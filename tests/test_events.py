@@ -118,3 +118,181 @@ class TestStringUserIds:
         rows = {(r["user_id"], r["session_idx"]): r["n_events"]
                 for r in sessionize(ds).take_all()}
         assert rows == {("alice", 1): 2, ("alice", 2): 1, ("bob", 1): 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTemporalJoins:
+    """asof_join + interval_join (stages/events.py): co-partitioned
+    merge_asof semantics vs hand-computed expectations."""
+
+    def _sides(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                    "s": pa.array([100, 200, 300, 150, 50], pa.int64()),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 2], pa.int64()),
+                    "s": pa.array([150, 250, 150], pa.int64()),
+                    "p_value": pa.array([10.0, 20.0, 30.0], pa.float64()),
+                }
+            )
+        )
+        return left, right
+
+    def test_asof_backward_with_misses(self):
+        from obsidian_parser_ray.stages.events import asof_join
+
+        left, right = self._sides()
+        out = (
+            asof_join(left, right, key_col="user_id", ts_col="s",
+                      num_partitions=4)
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert len(out) == 5
+        # event 1 (u1, s=100): no purchase at or before 100 → null
+        assert pd.isna(out.loc[1, "s_r"])
+        # event 2 (u1, s=200): latest prior is s=150
+        assert out.loc[2, "s_r"] == 150 and out.loc[2, "p_value"] == 10.0
+        # event 3 (u1, s=300): s=250
+        assert out.loc[3, "s_r"] == 250 and out.loc[3, "p_value"] == 20.0
+        # event 4 (u2, s=150): EXACT tie matches (>= semantics)
+        assert out.loc[4, "s_r"] == 150 and out.loc[4, "p_value"] == 30.0
+        # event 5 (u3): key absent on the right → null
+        assert pd.isna(out.loc[5, "s_r"])
+
+    def test_asof_forward(self):
+        from obsidian_parser_ray.stages.events import asof_join
+
+        left, right = self._sides()
+        out = (
+            asof_join(left, right, key_col="user_id", ts_col="s",
+                      direction="forward", num_partitions=4)
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert out.loc[1, "s_r"] == 150  # next purchase at/after 100
+        assert pd.isna(out.loc[3, "s_r"])  # nothing at/after 300
+
+    def test_asof_name_collision_suffixed(self):
+        """A right value column named like a left column gets the suffix."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import asof_join
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1], pa.int64()),
+                    "s": pa.array([10], pa.int64()),
+                    "value": pa.array([1.0], pa.float64()),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1], pa.int64()),
+                    "s": pa.array([5], pa.int64()),
+                    "value": pa.array([99.0], pa.float64()),
+                }
+            )
+        )
+        out = asof_join(left, right, key_col="user_id", ts_col="s").to_pandas()
+        assert set(out.columns) == {"user_id", "s", "value", "s_r", "value_r"}
+        assert out.loc[0, "value"] == 1.0 and out.loc[0, "value_r"] == 99.0
+
+    def test_interval_join_containment(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import interval_join
+
+        pts = rd.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                    "s": pa.array([5, 15, 25, 5], pa.int64()),
+                }
+            )
+        )
+        # u1: [0,10] and [20,30] (non-overlapping); u2 has no intervals
+        ivs = rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1], pa.int64()),
+                    "iv_id": pa.array([7, 8], pa.int64()),
+                    "start_s": pa.array([0, 20], pa.int64()),
+                    "end_s": pa.array([10, 30], pa.int64()),
+                }
+            )
+        )
+        out = (
+            interval_join(pts, ivs, key_col="user_id", ts_col="s",
+                          start_col="start_s", end_col="end_s",
+                          num_partitions=4)
+            .to_pandas()
+            .set_index("event_id")
+        )
+        # inner join: point 2 (gap) and point 4 (no intervals) drop
+        assert sorted(out.index) == [1, 3]
+        assert out.loc[1, "iv_id"] == 7
+        assert out.loc[3, "iv_id"] == 8
+
+    def test_interval_join_boundaries_inclusive(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import interval_join
+
+        pts = rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1], pa.int64()),
+                    "s": pa.array([0, 10], pa.int64()),
+                }
+            )
+        )
+        ivs = rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1], pa.int64()),
+                    "start_s": pa.array([0], pa.int64()),
+                    "end_s": pa.array([10], pa.int64()),
+                }
+            )
+        )
+        out = interval_join(
+            pts, ivs, key_col="user_id", ts_col="s",
+            start_col="start_s", end_col="end_s", num_partitions=2
+        ).to_pandas()
+        assert len(out) == 2  # both boundary points included
+
+    def test_type_mismatch_rejected(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import asof_join
+
+        left = rd.from_arrow(
+            pa.table({"user_id": pa.array([1], pa.int64()),
+                      "s": pa.array([1], pa.int64())})
+        )
+        right = rd.from_arrow(
+            pa.table({"user_id": pa.array(["1"], pa.string()),
+                      "s": pa.array([1], pa.int64())})
+        )
+        with pytest.raises(ValueError, match="different types"):
+            asof_join(left, right, key_col="user_id", ts_col="s")
