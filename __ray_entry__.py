@@ -444,6 +444,17 @@ def _events_seconds(sf_dir: str, *, event_type: str, columns: list):
     )
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping (sliding) windows: 1 h window, 15 min hop — each event
+    counted into 4 overlapping windows."""
+    from obsidian_parser_ray.stages.events import hopping_counts
+
+    return hopping_counts(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        window_seconds=3600, hop_seconds=900,
+    )
+
+
 def _q_events_asof(sf_dir: str):
     """As-of join: each click matched to the user's latest prior (or
     simultaneous) purchase.  The right side is pre-aggregated to one
@@ -556,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": _q_events_type_stats,
         "events_asof": _q_events_asof,
         "events_purchases_in_session": _q_events_purchases_in_session,
+        "events_hopping": _q_events_hopping,
         "media_features": _q_media_features,
     }
 
@@ -962,6 +974,16 @@ FROM y GROUP BY 1, 2
             " min(value) AS min_value, max(value) AS max_value"
             " FROM events GROUP BY event_type"
         ),
+        # k-way window explode re-derived with a range() cross join
+        "events_hopping": """
+WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS s FROM events),
+w AS (
+  SELECT user_id, (s//900 - i.range) * 900 AS ws, s
+  FROM e CROSS JOIN range(4) i
+)
+SELECT user_id, ws::BIGINT AS window_start_s, count(*)::BIGINT AS n_events
+FROM w WHERE ws <= s AND s < ws + 3600 GROUP BY 1, 2
+""",
         # DuckDB's native ASOF JOIN is the oracle for the co-partitioned
         # merge_asof operator (stages/events.py asof_join)
         "events_asof": """

@@ -383,3 +383,52 @@ def interval_join(points, intervals, *, key_col: str, ts_col: str,
         return m
 
     return grouped.map_groups(join_partition, batch_format="pyarrow")
+
+
+def hopping_counts(events, *, key_col: str = "user_id", ts_col: str = "ts",
+                   window_seconds: int = 3600, hop_seconds: int = 900,
+                   window_col: str = "window_start_s"):
+    """Hopping (sliding) window counts per key: every event lands in
+    ``window_seconds / hop_seconds`` overlapping windows whose starts
+    are multiples of ``hop_seconds``.  Output: (key, window_start_s,
+    n_events) — exact integer window starts, SQL-reproducible.
+
+    Same partial-combine shape as :func:`tumbling_counts`: the k-way
+    explode happens inside the batch (numpy repeat/tile, no Python
+    loop) and is pre-aggregated per block, so the shuffle carries at
+    most k rows per (key, window) per block — not k× the event count.
+
+    ``window_seconds`` must be a multiple of ``hop_seconds`` (the
+    standard hopping-window constraint; enforced).
+    """
+    if window_seconds % hop_seconds:
+        raise ValueError(
+            "window_seconds must be a multiple of hop_seconds "
+            f"(got {window_seconds} / {hop_seconds})"
+        )
+    k = window_seconds // hop_seconds
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, ts_col]).to_pandas()
+        secs = _epoch_seconds(df[ts_col]).to_numpy()
+        keys = df[key_col].to_numpy()
+        n = len(df)
+        # window starts: (s//hop - i)*hop for i in 0..k-1 — every one
+        # satisfies ws <= s < ws + window by construction
+        base = secs // hop_seconds
+        offs = np.arange(k, dtype=np.int64)
+        ws = (np.repeat(base, k) - np.tile(offs, n)) * hop_seconds
+        g = (
+            pd.DataFrame({key_col: np.repeat(keys, k), window_col: ws})
+            .groupby([key_col, window_col], as_index=False)
+            .size()
+            .rename(columns={"size": "_n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, window_col])
+        .aggregate(Sum("_n", alias_name="n_events"))
+    )

@@ -296,3 +296,63 @@ class TestTemporalJoins:
         )
         with pytest.raises(ValueError, match="different types"):
             asof_join(left, right, key_col="user_id", ts_col="s")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHoppingWindows:
+    def test_every_event_in_k_windows(self):
+        from obsidian_parser_ray.stages.events import hopping_counts
+
+        ds = _events_ds([{"user_id": 1, "ts": "2024-01-01 10:07:00"}])
+        out = hopping_counts(ds, window_seconds=3600, hop_seconds=900).to_pandas()
+        # one event → exactly window/hop = 4 windows, all counting it
+        assert len(out) == 4
+        assert set(out["n_events"]) == {1}
+        s = pd.Timestamp("2024-01-01 10:07:00").value // 10**9
+        starts = sorted(int(x) for x in out["window_start_s"])
+        assert starts == [(s // 900 - i) * 900 for i in range(3, -1, -1)]
+        # containment: ws <= s < ws + window for every emitted window
+        assert all(w <= s < w + 3600 for w in starts)
+
+    def test_overlap_counting(self):
+        from obsidian_parser_ray.stages.events import hopping_counts
+
+        # two events 15 min apart share 3 of their 4 windows
+        ds = _events_ds(
+            [
+                {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+                {"user_id": 1, "ts": "2024-01-01 10:15:00"},
+            ]
+        )
+        out = hopping_counts(ds, window_seconds=3600, hop_seconds=900).to_pandas()
+        counts = sorted(int(x) for x in out["n_events"])
+        assert counts == [1, 1, 2, 2, 2]
+
+    def test_non_divisible_hop_rejected(self):
+        from obsidian_parser_ray.stages.events import hopping_counts
+
+        ds = _events_ds([{"user_id": 1, "ts": "2024-01-01 10:00:00"}])
+        with pytest.raises(ValueError, match="multiple"):
+            hopping_counts(ds, window_seconds=3600, hop_seconds=700)
+
+    def test_hop_equals_window_is_tumbling(self):
+        from obsidian_parser_ray.stages.events import (
+            hopping_counts,
+            tumbling_counts,
+        )
+
+        rows = [
+            {"user_id": u, "ts": f"2024-01-01 {h:02d}:{m:02d}:00"}
+            for u in (1, 2) for h in (9, 10) for m in (5, 35, 55)
+        ]
+        hop = hopping_counts(
+            _events_ds(rows), window_seconds=1800, hop_seconds=1800,
+            window_col="w",
+        ).to_pandas()
+        tum = tumbling_counts(
+            _events_ds(rows), window_seconds=1800, window_col="w",
+        ).to_pandas()
+        hop["w"] = hop["w"] // 1800  # tumbling emits window INDEX
+        a = hop.sort_values(["user_id", "w"]).reset_index(drop=True)
+        b = tum.sort_values(["user_id", "w"]).reset_index(drop=True)
+        assert a.astype("int64").equals(b.astype("int64"))

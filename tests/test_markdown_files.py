@@ -81,3 +81,39 @@ class TestMarkdownFileRoundTrip:
 
         with pytest.raises(ImportError, match="pylance"):
             read_documents("/tmp/nonexistent.lance")
+
+    def test_lance_read_path_exercised(self, monkeypatch, ray_session):
+        """Exercise the .lance branch end-to-end with a stub reader:
+        our wrapper must route .lance URIs to ray.data.read_lance,
+        forward override_num_blocks, and hand the resulting Dataset to
+        the normal pipeline unchanged.  (pylance itself is absent in
+        this container; the stub stands in for the Ray-side reader,
+        everything downstream of it is the real engine.)"""
+        import ray.data as rd
+
+        from obsidian_parser_ray.corpus import spans_table
+        from obsidian_parser_ray.pipelines.graph import build_graph
+        from obsidian_parser_ray.sources import read_documents
+
+        calls = {}
+
+        def fake_read_lance(uri, **kwargs):
+            calls["uri"] = uri
+            calls["kwargs"] = kwargs
+            rows = [
+                ("a", [("frontmatter", "id: 1", "", 0),
+                        ("text", "links [[b]]", "", 7)]),
+                ("b", [("text", "plain body", "", 0)]),
+            ]
+            return rd.from_arrow(spans_table(rows))
+
+        monkeypatch.setattr(rd, "read_lance", fake_read_lance)
+        docs = read_documents("/data/corpus.lance", override_num_blocks=4)
+        assert calls["uri"] == "/data/corpus.lance"
+        assert calls["kwargs"] == {"override_num_blocks": 4}
+
+        g = build_graph(docs, linker_concurrency=None)
+        triples = g.triples.take_all()
+        assert {(t["subj"], t["pred"], t["obj"]) for t in triples} == {
+            ("a", "links_to", "b")
+        }
