@@ -356,3 +356,104 @@ class TestHoppingWindows:
         a = hop.sort_values(["user_id", "w"]).reset_index(drop=True)
         b = tum.sort_values(["user_id", "w"]).reset_index(drop=True)
         assert a.astype("int64").equals(b.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTemporalJoinRandomizedParity:
+    """Seeded randomized parity: asof_join / interval_join vs a
+    brute-force per-row reference on data with key skew, timestamp
+    ties, and keys missing from either side."""
+
+    def test_asof_random_vs_bruteforce(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import asof_join
+
+        rng = np.random.default_rng(42)
+        n_l, n_r = 400, 150
+        # zipf-ish skew: key 1 is hot; right side misses some keys
+        l_keys = rng.choice([1, 1, 1, 2, 3, 4, 5], size=n_l).astype(np.int64)
+        l_ts = rng.integers(0, 500, size=n_l).astype(np.int64)
+        r_keys = rng.choice([1, 1, 2, 3, 9], size=n_r).astype(np.int64)
+        r_ts = rng.integers(0, 500, size=n_r).astype(np.int64)
+        # enforce right uniqueness per (key, ts) — operator contract
+        seen = set()
+        keep = []
+        for i in range(n_r):
+            kk = (int(r_keys[i]), int(r_ts[i]))
+            keep.append(kk not in seen)
+            seen.add(kk)
+        r_keys, r_ts = r_keys[keep], r_ts[keep]
+        r_val = np.arange(len(r_keys), dtype=np.float64)
+
+        left = rd.from_arrow(
+            pa.table({"event_id": pa.array(np.arange(n_l, dtype=np.int64)),
+                      "k": pa.array(l_keys), "s": pa.array(l_ts)})
+        )
+        right = rd.from_arrow(
+            pa.table({"k": pa.array(r_keys), "s": pa.array(r_ts),
+                      "v": pa.array(r_val)})
+        )
+        out = (
+            asof_join(left, right, key_col="k", ts_col="s", num_partitions=8)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == n_l
+        for i in range(n_l):
+            kk, ss = int(l_keys[i]), int(l_ts[i])
+            cand = [
+                (int(r_ts[j]), float(r_val[j]))
+                for j in range(len(r_keys))
+                if int(r_keys[j]) == kk and int(r_ts[j]) <= ss
+            ]
+            row = out.iloc[i]
+            if cand:
+                bs, bv = max(cand)
+                assert int(row["s_r"]) == bs and float(row["v"]) == bv
+            else:
+                assert pd.isna(row["s_r"])
+
+    def test_interval_random_vs_bruteforce(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import interval_join
+
+        rng = np.random.default_rng(7)
+        # non-overlapping intervals per key: consecutive [10i, 10i+5]
+        ivs_rows = [
+            (k, i, 10 * i, 10 * i + 5)
+            for k in (1, 2, 3) for i in range(10)
+        ]
+        n_p = 300
+        p_keys = rng.choice([1, 2, 3, 4], size=n_p).astype(np.int64)
+        p_ts = rng.integers(0, 110, size=n_p).astype(np.int64)
+        pts = rd.from_arrow(
+            pa.table({"pid": pa.array(np.arange(n_p, dtype=np.int64)),
+                      "k": pa.array(p_keys), "s": pa.array(p_ts)})
+        )
+        ivs = rd.from_arrow(
+            pa.table({
+                "k": pa.array([r[0] for r in ivs_rows], pa.int64()),
+                "iv": pa.array([r[1] for r in ivs_rows], pa.int64()),
+                "lo": pa.array([r[2] for r in ivs_rows], pa.int64()),
+                "hi": pa.array([r[3] for r in ivs_rows], pa.int64()),
+            })
+        )
+        out = interval_join(
+            pts, ivs, key_col="k", ts_col="s", start_col="lo",
+            end_col="hi", num_partitions=8,
+        ).to_pandas()
+        got = {(int(r.pid), int(r.iv)) for r in out.itertuples()}
+        want = {
+            (i, int(p_ts[i]) // 10)
+            for i in range(n_p)
+            if int(p_keys[i]) in (1, 2, 3)
+            and int(p_ts[i]) % 10 <= 5 and int(p_ts[i]) // 10 < 10
+        }
+        assert got == want
