@@ -444,6 +444,78 @@ def _events_seconds(sf_dir: str, *, event_type: str, columns: list):
     )
 
 
+def _q_events_value_quantiles(sf_dir: str):
+    """Mergeable quantile sketch as a TOLERANCE GATE (same pattern as
+    events_approx_users): the query estimates q10/q50/q90 of `value`
+    with the per-block compaction summary, then verifies each estimate
+    DISTRIBUTEDLY — the true rank of the estimate (one counting pass)
+    must be within ±2% of the requested quantile (sketch bound: ≤1/k =
+    0.2%).  The oracle expects (n_rows, TRUE, TRUE, TRUE)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from obsidian_parser_ray.stages.sketch import approx_quantiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    qs = [0.1, 0.5, 0.9]
+    est = approx_quantiles(ev, "value", qs, k=512)
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = t["value"]
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                **{
+                    f"le{i}": pa.array(
+                        [pc.sum(pc.less_equal(v, e)).as_py() or 0], pa.int64()
+                    )
+                    for i, e in enumerate(est)
+                },
+            }
+        )
+
+    # one distributed counting pass for all three rank checks
+    parts = ev.map_batches(rank_partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    row = {"n_rows": n}
+    for i, q in enumerate(qs):
+        rank = parts[f"le{i}"].sum() / n
+        row[f"q{int(q * 100)}_ok"] = bool(abs(rank - q) <= 0.02)
+    return pd.DataFrame([row])
+
+
+def _q_events_heavy_users(sf_dir: str):
+    """Misra–Gries heavy hitters as a TOLERANCE GATE: the exact top-10
+    users (distributed groupby + deterministic tie-break) each must be
+    present in the k=512 sketch with an estimate within the documented
+    bound (undercount ≤ n/(k+1), never overcount).  Oracle expects the
+    exact top-10 with TRUE booleans."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from obsidian_parser_ray.stages.sketch import frequent_items
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    sketch = frequent_items(ev, "user_id", k=512)
+    top = (
+        ev.groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+        .sort(["n_events", "user_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    n = int(ev.count())
+    bound = n / (512 + 1)
+    top["in_sketch"] = [int(u) in sketch for u in top["user_id"]]
+    top["within_bound"] = [
+        bool(0 <= c - sketch.get(int(u), 0) <= bound)
+        for u, c in zip(top["user_id"], top["n_events"])
+    ]
+    return top
+
+
 def _q_events_hopping(sf_dir: str):
     """Hopping (sliding) windows: 1 h window, 15 min hop — each event
     counted into 4 overlapping windows."""
@@ -568,6 +640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_purchases_in_session": _q_events_purchases_in_session,
         "events_hopping": _q_events_hopping,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "events_heavy_users": _q_events_heavy_users,
         "media_features": _q_media_features,
     }
 
@@ -974,6 +1048,18 @@ FROM y GROUP BY 1, 2
             " min(value) AS min_value, max(value) AS max_value"
             " FROM events GROUP BY event_type"
         ),
+        # gate oracles (HLL pattern): exact quantities + expected-TRUE
+        # booleans that a sketch regression would flip
+        "events_value_quantiles": (
+            "SELECT count(*)::BIGINT AS n_rows, TRUE AS q10_ok,"
+            " TRUE AS q50_ok, TRUE AS q90_ok FROM events"
+        ),
+        "events_heavy_users": """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       TRUE AS in_sketch, TRUE AS within_bound
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 10
+""",
         # k-way window explode re-derived with a range() cross join
         "events_hopping": """
 WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS s FROM events),

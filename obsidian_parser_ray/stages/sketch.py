@@ -93,3 +93,171 @@ def approx_distinct(ds, column: str, *, p: int = 12,
                 HllSketch(p, np.frombuffer(blob, dtype=np.uint8).copy())
             )
     return float(merged.estimate())
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (uniform per-block compaction)
+# ---------------------------------------------------------------------------
+
+
+class QuantileSummary:
+    """Weighted sorted sample: each block compacts its sorted values
+    into ≤ k (value, weight) points — chunk i of the sorted block is
+    represented by its last value with weight = chunk size, so a rank
+    query is misplaced by at most one chunk per block.  Across the
+    whole dataset at most ONE chunk per block straddles any query
+    point, giving total rank error ≤ n/k (relative error ≤ 1/k).
+
+    The driver CONCATENATES partials without recompacting (no error
+    accumulation); memory is blocks × k × 16 B — hierarchical merge
+    (merge(compact=True)) is available when that matters.
+    """
+
+    def __init__(self, k: int = 512,
+                 values: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.k = k
+        self.values = values if values is not None else np.empty(0, np.float64)
+        self.weights = weights if weights is not None else np.empty(0, np.int64)
+
+    @classmethod
+    def from_array(cls, arr: np.ndarray, k: int = 512) -> "QuantileSummary":
+        arr = np.sort(arr[~np.isnan(arr)].astype(np.float64))
+        n = len(arr)
+        if n <= k:
+            return cls(k, arr, np.ones(n, np.int64))
+        # chunk boundaries: k chunks of near-equal size; representative
+        # = chunk's LAST value (an upper bound of every rank it covers)
+        bounds = (np.arange(1, k + 1, dtype=np.int64) * n) // k
+        weights = np.diff(np.concatenate(([0], bounds)))
+        return cls(k, arr[bounds - 1], weights)
+
+    def merge(self, other: "QuantileSummary", *, compact: bool = False
+              ) -> "QuantileSummary":
+        v = np.concatenate([self.values, other.values])
+        w = np.concatenate([self.weights, other.weights])
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        out = QuantileSummary(self.k, v, w)
+        if compact and len(v) > self.k:
+            cum = np.cumsum(w)
+            total = cum[-1]
+            bounds = (np.arange(1, self.k + 1, dtype=np.int64) * total) // self.k
+            idx = np.searchsorted(cum, bounds, side="left")
+            idx = np.minimum(idx, len(v) - 1)
+            cw = np.diff(np.concatenate(([0], cum[idx])))
+            keep = cw > 0
+            out = QuantileSummary(self.k, v[idx][keep], cw[keep])
+        return out
+
+    def quantile(self, q: float) -> float:
+        if not len(self.values):
+            raise ValueError("empty summary")
+        cum = np.cumsum(self.weights)
+        target = q * cum[-1]
+        i = int(np.searchsorted(cum, target, side="left"))
+        return float(self.values[min(i, len(self.values) - 1)])
+
+    def to_blob(self) -> bytes:
+        return self.values.tobytes() + self.weights.tobytes()
+
+    @classmethod
+    def from_blob(cls, blob: bytes, k: int) -> "QuantileSummary":
+        half = len(blob) // 16 * 8
+        v = np.frombuffer(blob[:half], np.float64).copy()
+        w = np.frombuffer(blob[half: 2 * half], np.int64).copy()
+        return cls(k, v, w)
+
+
+def approx_quantiles(ds, column: str, qs: list, *, k: int = 512,
+                     batch_size: int | None = None) -> list:
+    """Approximate quantiles of a numeric column: per-block compaction
+    partials (≤ k points/block cross the cluster), concatenated on the
+    driver.  Rank error ≤ 1/k relative (k=512 → 0.2%)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[column].to_numpy(zero_copy_only=False)
+        sk = QuantileSummary.from_array(np.asarray(arr, np.float64), k)
+        return pa.table({"blob": pa.array([sk.to_blob()], pa.binary())})
+
+    merged = QuantileSummary(k)
+    for b in ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in b["blob"].to_pylist():
+            merged = merged.merge(QuantileSummary.from_blob(blob, k))
+    return [merged.quantile(q) for q in qs]
+
+
+# ---------------------------------------------------------------------------
+# Mergeable frequent-items sketch (Misra–Gries)
+# ---------------------------------------------------------------------------
+
+
+class MisraGries:
+    """k-counter heavy-hitters summary.  Estimates UNDERCOUNT the true
+    frequency by at most n/(k+1); every item with true frequency
+    > n/(k+1) is guaranteed present.  Merging (counter-wise sum, then
+    one reduction back to k) preserves the bound (Agarwal et al. 2013,
+    "Mergeable Summaries")."""
+
+    def __init__(self, k: int = 512, counters: dict | None = None):
+        self.k = k
+        self.counters = counters or {}
+
+    def add_counts(self, values, counts) -> None:
+        for v, c in zip(values, counts):
+            self.counters[v] = self.counters.get(v, 0) + int(c)
+        self._reduce()
+
+    def _reduce(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        cs = sorted(self.counters.values(), reverse=True)
+        dec = cs[self.k]  # (k+1)-th largest
+        self.counters = {
+            v: c - dec for v, c in self.counters.items() if c - dec > 0
+        }
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.k, dict(self.counters))
+        out.add_counts(list(other.counters.keys()), list(other.counters.values()))
+        return out
+
+    def estimate(self, value) -> int:
+        return int(self.counters.get(value, 0))
+
+
+def frequent_items(ds, column: str, *, k: int = 512,
+                   batch_size: int | None = None) -> dict:
+    """Heavy hitters of a column: per-block EXACT value counts (arrow
+    ``value_counts``) reduced to a k-counter Misra–Gries partial, all
+    partials merged on the driver.  Traffic: ≤ k (value, count) pairs
+    per block.  Returns {value: estimated_count} with the standard
+    MG guarantee (undercount ≤ n/(k+1))."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[column].combine_chunks())
+        sk = MisraGries(k)
+        sk.add_counts(
+            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+        )
+        vals = list(sk.counters.keys())
+        cnts = [sk.counters[v] for v in vals]
+        # typed list arrays: an EMPTY block must still emit the column
+        # type, or the union of block schemas degrades to list<null>
+        return pa.table(
+            {
+                "values": pa.array([vals], pa.list_(t[column].type)),
+                "counts": pa.array([cnts], pa.list_(pa.int64())),
+            }
+        )
+
+    merged = MisraGries(k)
+    for b in ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        for vals, cnts in zip(b["values"].to_pylist(), b["counts"].to_pylist()):
+            merged.add_counts(vals, cnts)
+    return dict(merged.counters)

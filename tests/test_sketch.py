@@ -39,3 +39,120 @@ def test_int_column(ray_session):
     )
     est = approx_distinct(ds, "u", p=12)
     assert abs(est - 777) / 777 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# QuantileSummary
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_rank_error_bound():
+    from obsidian_parser_ray.stages.sketch import QuantileSummary
+
+    rng = np.random.default_rng(3)
+    data = rng.exponential(10.0, size=50_000)
+    # simulate 40 blocks compacted to k=256, concatenated on the driver
+    merged = QuantileSummary(256)
+    for chunk in np.array_split(data, 40):
+        merged = merged.merge(QuantileSummary.from_array(chunk, 256))
+    s = np.sort(data)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = merged.quantile(q)
+        rank = np.searchsorted(s, est, side="right") / len(s)
+        assert abs(rank - q) <= 1 / 256 + 1e-9, (q, rank)
+
+
+def test_quantile_exact_when_small():
+    from obsidian_parser_ray.stages.sketch import QuantileSummary
+
+    sk = QuantileSummary.from_array(np.arange(100, dtype=np.float64), k=512)
+    assert sk.quantile(0.5) == 49.0  # no compaction below k
+    assert sk.quantile(0.0) == 0.0
+    assert sk.quantile(1.0) == 99.0
+
+
+def test_quantile_compact_merge_and_blob_roundtrip():
+    from obsidian_parser_ray.stages.sketch import QuantileSummary
+
+    a = QuantileSummary.from_array(np.arange(0, 5000, dtype=np.float64), 128)
+    b = QuantileSummary.from_array(np.arange(5000, 10000, dtype=np.float64), 128)
+    m = a.merge(b, compact=True)
+    assert len(m.values) <= 128
+    assert int(m.weights.sum()) == 10000
+    rt = QuantileSummary.from_blob(m.to_blob(), 128)
+    assert np.array_equal(rt.values, m.values)
+    assert np.array_equal(rt.weights, m.weights)
+    assert abs(m.quantile(0.5) - 5000) / 10000 <= 1 / 64
+
+
+def test_approx_quantiles_distributed(ray_session):
+    from obsidian_parser_ray.stages.sketch import approx_quantiles
+
+    vals = np.arange(10_000, dtype=np.float64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(16)
+    q10, q50, q90 = approx_quantiles(ds, "v", [0.1, 0.5, 0.9], k=256)
+    assert abs(q10 - 1000) <= 10000 / 256 + 1
+    assert abs(q50 - 5000) <= 10000 / 256 + 1
+    assert abs(q90 - 9000) <= 10000 / 256 + 1
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries frequent items
+# ---------------------------------------------------------------------------
+
+
+def test_mg_guarantee_heavy_items_present():
+    from obsidian_parser_ray.stages.sketch import MisraGries
+
+    # 3 heavy items over a long uniform tail, k small enough to force
+    # many reductions
+    vals = ["heavy_a"] * 3000 + ["heavy_b"] * 2000 + ["heavy_c"] * 1500 + [
+        f"tail_{i}" for i in range(8000)
+    ]
+    n = len(vals)
+    k = 64
+    sk = MisraGries(k)
+    # feed in chunks like per-block partials
+    for i in range(0, n, 500):
+        chunk = vals[i: i + 500]
+        uniq, counts = np.unique(chunk, return_counts=True)
+        sk.add_counts(uniq.tolist(), counts.tolist())
+    bound = n / (k + 1)
+    for item, true in (("heavy_a", 3000), ("heavy_b", 2000), ("heavy_c", 1500)):
+        est = sk.estimate(item)
+        assert true - bound <= est <= true, (item, est)
+
+
+def test_mg_merge_preserves_bound():
+    from obsidian_parser_ray.stages.sketch import MisraGries
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [np.zeros(5000, np.int64), rng.integers(1, 2000, size=20_000)]
+    )
+    n = len(vals)
+    k = 128
+    parts = []
+    for chunk in np.array_split(vals, 10):
+        sk = MisraGries(k)
+        uniq, counts = np.unique(chunk, return_counts=True)
+        sk.add_counts(uniq.tolist(), counts.tolist())
+        parts.append(sk)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    est = merged.estimate(0)
+    assert 5000 - n / (k + 1) <= est <= 5000
+
+
+def test_frequent_items_distributed_with_empty_blocks(ray_session):
+    from obsidian_parser_ray.stages.sketch import frequent_items
+
+    t = pa.table(
+        {"u": pa.array([7] * 500 + list(range(100, 400)), pa.int64())}
+    )
+    ds = rd.from_arrow(t).repartition(32)  # some blocks will be tiny/empty
+    out = frequent_items(ds, "u", k=64)
+    n = 800
+    assert 7 in out
+    assert 500 - n / 65 <= out[7] <= 500
