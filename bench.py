@@ -121,6 +121,13 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
 
         return _consume(sessionize(read("events", ["user_id", "ts"])))
 
+    # warm-up no-op dataset: spawn the worker pool BEFORE timing, so
+    # cold-start process forking (~4-5 s) is not attributed to the
+    # first query (same rationale as the scaling child's warm-up)
+    rd.range(num_cpus * 1000, override_num_blocks=num_cpus).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
     out: dict[str, float] = {}
     for name, fn in [
         ("kg_build", q_kg_build),
