@@ -93,6 +93,80 @@ def _q_kg_degree(sf_dir: str):
     return _graph(sf_dir).top_hubs(k=10, pred="links_to", by="obj")
 
 
+def _q_kg_top_links(sf_dir: str):
+    """Per-note top-2 outbound links (weight desc, obj asc) via the
+    two-phase partial top-k — no global sort, shuffle ≤ k rows per
+    (key, block)."""
+    from obsidian_parser_ray.stages.ranking import grouped_topk
+
+    return grouped_topk(
+        _graph(sf_dir).triples.filter(expr="pred == 'links_to'"),
+        ["subj"], "weight", 2, tiebreak=["obj"], rank_col="rn",
+    ).select_columns(["subj", "obj", "weight", "rn"])
+
+
+def _q_kg_cocitation(sf_dir: str):
+    """Related notes by co-citation: pairs linking to the same target,
+    scored by shared-target count (hub-capped pair explosion)."""
+    from obsidian_parser_ray.stages.ranking import cocitation
+
+    return cocitation(_graph(sf_dir).triples)
+
+
+def _q_kg_pagerank(sf_dir: str):
+    """PageRank as a TOLERANCE GATE (HLL pattern): the distributed
+    power iteration must agree with an exact dense power iteration
+    (same iteration count, numpy, driver-side — gate scale only) to
+    1e-9, and total rank mass must be 1.  The oracle expects the
+    SQL-exact node count with TRUE booleans."""
+    import numpy as np
+    import pandas as pd
+
+    from obsidian_parser_ray.pipelines.pagerank import pagerank
+
+    # coalesce: the triples lineage ends in a wide shuffle whose many
+    # tiny output blocks would multiply every pagerank stage's task
+    # count at gate scale
+    edges = (
+        _graph(sf_dir)
+        .triples.filter(expr="pred == 'links_to'")
+        .repartition(4, shuffle=False)
+        .materialize()
+    )
+    iters, d = 6, 0.85
+    ranks, _ = pagerank(edges, damping=d, iterations=iters,
+                        num_partitions=4)
+    got = {r["node"]: r["rank"] for r in ranks.take_all()}
+
+    # exact dense oracle — collect is gate-scale-only by design
+    el = edges.select_columns(["subj", "obj", "weight"]).take_all()
+    nodes = sorted({r["subj"] for r in el} | {r["obj"] for r in el})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    out_w = np.zeros(n)
+    for r in el:
+        out_w[idx[r["subj"]]] += r["weight"]
+    for r in el:
+        M[idx[r["obj"]], idx[r["subj"]]] += r["weight"] / out_w[idx[r["subj"]]]
+    vec = np.full(n, 1.0 / n)
+    has_out = out_w > 0
+    for _ in range(iters):
+        vec = (1 - d) / n + d * (M @ vec + vec[~has_out].sum() / n)
+    exp = dict(zip(nodes, vec))
+
+    max_diff = max(abs(got[v] - exp[v]) for v in exp) if exp else 0.0
+    return pd.DataFrame(
+        [
+            {
+                "n_nodes": len(got),
+                "sum_ok": bool(abs(sum(got.values()) - 1.0) < 1e-9),
+                "match_ok": bool(set(got) == set(exp) and max_diff < 1e-9),
+            }
+        ]
+    )
+
+
 def _q_kg_dup_name(sf_dir: str):
     from obsidian_parser_ray.pipelines.graph import duplicates_by_name
 
@@ -611,6 +685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_mentions": _q_kg_mentions,
         "kg_degree": _q_kg_degree,
+        "kg_top_links": _q_kg_top_links,
+        "kg_cocitation": _q_kg_cocitation,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_dup_name": _q_kg_dup_name,
         "kg_dup_content": _q_kg_dup_content,
         "kg_components": _q_kg_components,
@@ -779,6 +856,28 @@ UNION ALL SELECT 'tag_inline', count(*)::BIGINT FROM m
         + "\nSELECT obj, sum(weight)::BIGINT AS degree FROM exp_triples"
         " WHERE pred = 'links_to' GROUP BY obj"
         " ORDER BY degree DESC, obj LIMIT 10",
+        "kg_top_links": cte
+        + """
+SELECT subj, obj, weight, rn FROM (
+  SELECT subj, obj, weight,
+         row_number() OVER (PARTITION BY subj ORDER BY weight DESC, obj)
+           ::BIGINT AS rn
+  FROM exp_triples WHERE pred = 'links_to') WHERE rn <= 2
+""",
+        "kg_cocitation": cte
+        + """
+, l AS (SELECT subj, obj FROM exp_triples WHERE pred = 'links_to')
+SELECT a.subj AS note_a, b.subj AS note_b, count(*)::BIGINT AS n_shared
+FROM l a JOIN l b ON a.obj = b.obj AND a.subj < b.subj
+GROUP BY 1, 2
+""",
+        "kg_pagerank": cte
+        + """
+SELECT count(DISTINCT node)::BIGINT AS n_nodes, TRUE AS sum_ok,
+       TRUE AS match_ok
+FROM (SELECT subj AS node FROM exp_triples WHERE pred = 'links_to'
+      UNION SELECT obj FROM exp_triples WHERE pred = 'links_to')
+""",
         "kg_dup_name": cte
         + "\nSELECT note_name, count(*)::BIGINT AS n_docs, min(doc_key) AS keeper"
         " FROM exp_notes GROUP BY note_name HAVING count(*) > 1",

@@ -48,15 +48,9 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
     their own component).  ``component`` = min node id in the
     component (deterministic canonical representative).
     """
-    import ray
     from ray.data.aggregate import Count, Min
 
-    # Dataset.join's JoinOperator allocates num_partitions CONCURRENT
-    # 1-CPU actors; requesting more partitions than cluster CPUs
-    # deadlocks the streaming executor — clamp defensively
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", num_partitions) or 1)
-        num_partitions = max(1, min(num_partitions, cpus))
+    from ..stages.joins import hash_join_unique
 
     msgs = _norm_edges(edges).materialize()
 
@@ -82,12 +76,15 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
     converged = False
     for _ in range(max_iters):
         # neighbor labels: msg (src,dst) ⋈ labels(node=src) → (dst, label)
-        joined = msgs.join(
+        # — hash_join_unique (labels are unique per node) instead of
+        # Dataset.join: robust to empty hash partitions (small graphs
+        # on many-CPU clusters) and free of per-partition join actors
+        joined = hash_join_unique(
+            msgs,
             labels,
-            join_type="inner",
+            left_key="src",
+            right_key="node",
             num_partitions=num_partitions,
-            on=("src",),
-            right_on=("node",),
         ).select_columns(["dst", "label"])
 
         def as_node(t: pa.Table) -> pa.Table:
@@ -99,18 +96,21 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
         new_labels = (
             candidates.groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            # coalesce (metadata-level): the union + aggregate would
+            # otherwise grow the label table's block count every round
+            .repartition(num_partitions, shuffle=False)
             .materialize()
         )
         # converged iff no node's label changed — tiny anti-join check
         changed = (
-            new_labels.join(
+            hash_join_unique(
+                new_labels,
                 labels.map_batches(
                     lambda t: pa.table({"node": t["node"], "old": t["label"]}),
                     batch_format="pyarrow",
                 ),
-                join_type="inner",
+                left_key="node",
                 num_partitions=num_partitions,
-                on=("node",),
             )
             .filter(expr="label != old")
             .count()

@@ -1,0 +1,130 @@
+"""Generic hash equi-join against a unique-keyed build side.
+
+``Dataset.join`` in Ray 2.49 crashes when a hash partition receives no
+blocks for one input sequence (the aggregator builds a ZERO-COLUMN
+empty table and Acero then fails with "No match ... for key field" —
+ray/data/_internal/execution/operators/join.py:104-125), which any
+small or skewed join can trigger.  It also allocates ``num_partitions``
+concurrent 1-CPU actors.  For the dominant join shape in this engine —
+probe a fact table against a side that is UNIQUE per key (a dictionary,
+an aggregate, a rank/label table) — this module provides a
+partition-robust, actor-free alternative built from the repo's standard
+primitives: union-tag the two sides, hash-partition on the key, and
+resolve each partition with one vectorized ``pc.index_in`` probe (the
+same pattern as dedup's candidate↔signature join, dedup.py:380-401).
+
+Shuffle volume is |left| + |right| rows, the per-partition work is
+O(rows) Arrow kernels, and empty partitions are simply absent groups.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None,
+                     how: str = "inner", suffix: str = "_r",
+                     num_partitions: int = 64):
+    """Equi-join ``left`` against a ``right`` side unique per key.
+
+    ``right`` MUST have at most one row per ``right_key`` value (an
+    aggregate / dictionary / rank table); rows beyond the first per key
+    would be silently ignored, so callers own that invariant.  ``how``
+    is ``"inner"`` or ``"left"`` (unmatched left rows keep typed nulls
+    on the right value columns).  Right value columns colliding with a
+    left column name get ``suffix``.
+
+    Output columns: all left columns, then each right non-key column.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_key = right_key or left_key
+
+    from ..hashing import hash_bucket_array
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_fields = [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+    l_names = [f.name for f in l_fields]
+    r_value = [
+        pa.field(n, t)
+        for n, t in zip(r_schema.names, r_schema.types)
+        if n != right_key
+    ]
+    rename = {
+        f.name: (f.name + suffix if f.name in set(l_names) else f.name)
+        for f in r_value
+    }
+    out_schema = pa.schema(
+        l_fields + [pa.field(rename[f.name], f.type) for f in r_value]
+    )
+    kt = l_schema.types[l_schema.names.index(left_key)]
+    rkt = r_schema.types[r_schema.names.index(right_key)]
+    if kt != rkt:
+        raise ValueError(f"key type mismatch: {kt} vs {rkt}")
+
+    # combined carrier schema: key + left values + right values + markers
+    carrier = pa.schema(
+        [pa.field("_k", kt)]
+        + l_fields
+        + [pa.field("_rv_" + f.name, f.type) for f in r_value]
+        + [pa.field("_side", pa.int8()), pa.field("part", pa.int32())]
+    )
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        cols = [t[left_key]]
+        cols += [t[n] for n in l_names]
+        cols += [pa.nulls(t.num_rows, f.type) for f in r_value]
+        cols += [
+            pa.array([0] * t.num_rows, pa.int8()),
+            hash_bucket_array(t[left_key], num_partitions),
+        ]
+        return pa.Table.from_arrays(
+            [c.cast(f.type) if hasattr(c, "cast") else c
+             for c, f in zip(cols, carrier)],
+            schema=carrier,
+        )
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        cols = [t[right_key]]
+        cols += [pa.nulls(t.num_rows, f.type) for f in l_fields]
+        cols += [t[f.name] for f in r_value]
+        cols += [
+            pa.array([1] * t.num_rows, pa.int8()),
+            hash_bucket_array(t[right_key], num_partitions),
+        ]
+        return pa.Table.from_arrays(
+            [c.cast(f.type) if hasattr(c, "cast") else c
+             for c, f in zip(cols, carrier)],
+            schema=carrier,
+        )
+
+    tagged = left.map_batches(pad_left, batch_format="pyarrow").union(
+        right.map_batches(pad_right, batch_format="pyarrow")
+    )
+
+    empty = pa.table({f.name: pa.nulls(0, f.type) for f in out_schema})
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        side = t["_side"]
+        lf = t.filter(pc.equal(side, 0))
+        if lf.num_rows == 0:
+            return empty
+        rf = t.filter(pc.equal(side, 1))
+        rkeys = rf["_k"].combine_chunks()
+        idx = pc.index_in(lf["_k"], rkeys)
+        if how == "inner":
+            keep = pc.is_valid(idx)
+            lf = lf.filter(keep)
+            idx = idx.filter(keep)
+            if lf.num_rows == 0:
+                return empty
+        cols = [lf[n] for n in l_names]
+        for f in r_value:
+            cols.append(pc.take(rf["_rv_" + f.name], idx))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return tagged.groupby("part").map_groups(
+        join_partition, batch_format="pyarrow"
+    )

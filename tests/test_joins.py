@@ -1,0 +1,97 @@
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from obsidian_parser_ray.stages.joins import hash_join_unique
+
+
+def _left():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "b", "c", "a", "x"], pa.string()),
+                "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            }
+        )
+    )
+
+
+def _right():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "kk": pa.array(["a", "b", "c"], pa.string()),
+                "w": pa.array([10.0, 20.0, 30.0], pa.float64()),
+            }
+        )
+    )
+
+
+def test_inner_join_matches_pandas(ray_session):
+    got = (
+        hash_join_unique(_left(), _right(), left_key="k", right_key="kk")
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _left()
+        .to_pandas()
+        .merge(
+            _right().to_pandas().rename(columns={"kk": "k"}), on="k",
+            how="inner",
+        )
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_left_join_keeps_unmatched_with_nulls(ray_session):
+    got = (
+        hash_join_unique(
+            _left(), _right(), left_key="k", right_key="kk", how="left"
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 5
+    x_row = got[got["k"] == "x"]
+    assert x_row["w"].isna().all()
+
+
+def test_empty_partitions_do_not_crash(ray_session):
+    # regression: Dataset.join crashes when a hash partition receives
+    # no blocks for one side (zero-column empty table into Acero);
+    # 64 partitions over 5 rows guarantees many empty partitions
+    got = hash_join_unique(
+        _left(), _right(), left_key="k", right_key="kk",
+        num_partitions=64,
+    ).to_pandas()
+    assert len(got) == 4
+
+
+def test_collision_suffix_and_semi_join(ray_session):
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "b"], pa.string()),
+                "v": pa.array([100, 200], pa.int64()),
+            }
+        )
+    )
+    got = hash_join_unique(_left(), right, left_key="k").to_pandas()
+    assert set(got.columns) == {"k", "v", "v_r"}
+    # key-only right side = distributed semi-join
+    semi = hash_join_unique(
+        _left(), right.select_columns(["k"]), left_key="k"
+    ).to_pandas()
+    assert sorted(semi["k"]) == ["a", "a", "b"]
+
+
+def test_key_type_mismatch_raises(ray_session):
+    bad = rd.from_arrow(pa.table({"kk": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="key type mismatch"):
+        hash_join_unique(_left(), bad, left_key="k", right_key="kk")
