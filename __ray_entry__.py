@@ -113,6 +113,60 @@ def _q_kg_cocitation(sf_dir: str):
     return cocitation(_graph(sf_dir).triples)
 
 
+def _q_events_never_purchased(sf_dir: str):
+    """Distributed anti-join at (user, hour) grain: active user-hours
+    with NO purchase in that hour — distinct user-hours ▷ distinct
+    purchase user-hours via hash_join_unique(how='anti', presence
+    check on a composite key).  User-level would be vacuous (every
+    user purchases at every sf)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.joins import hash_join_unique
+
+    from ray.data.aggregate import Max
+
+    def distinct_uh(only_purchase: bool):
+        def prep(t: pa.Table) -> pa.Table:
+            if only_purchase:
+                t = t.filter(pc.equal(t["event_type"], "purchase"))
+            hour = pc.divide(
+                pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000), 3600
+            )
+            key = pc.binary_join_element_wise(
+                pc.cast(t["user_id"], pa.string()),
+                pc.cast(hour, pa.string()),
+                "\x00",
+            )
+            return pa.table(
+                {"_uh": key, "user_id": t["user_id"], "hour_s": hour}
+            )
+
+        return (
+            _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_uh")
+            .aggregate(
+                Max("user_id", alias_name="user_id"),
+                Max("hour_s", alias_name="hour_s"),
+            )
+        )
+
+    active = distinct_uh(False)
+    bought = distinct_uh(True).select_columns(["_uh"])
+    return hash_join_unique(
+        active, bought, left_key="_uh", how="anti"
+    ).select_columns(["user_id", "hour_s"])
+
+
+def _q_doc_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF keywords (linear idf: IEEE-exact
+    cross-engine scores — see stages/text.py tfidf_top_terms)."""
+    from obsidian_parser_ray.stages.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]), 3)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """PageRank as a TOLERANCE GATE (HLL pattern): the distributed
     power iteration must agree with an exact dense power iteration
@@ -697,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_drop": _q_doc_dedup_drop,
         "doc_profile": _q_doc_profile,
+        "doc_top_terms": _q_doc_top_terms,
         "doc_quality": _q_doc_quality,
         "doc_chunks": _q_doc_chunks,
         "doc_sample": _q_doc_sample,
@@ -717,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_purchases_in_session": _q_events_purchases_in_session,
         "events_hopping": _q_events_hopping,
+        "events_never_purchased": _q_events_never_purchased,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_heavy_users": _q_events_heavy_users,
         "media_features": _q_media_features,
@@ -1086,6 +1142,22 @@ WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.5
             "SELECT event_type, floor(value)::BIGINT AS bin,"
             " count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
         ),
+        "doc_top_terms": """
+WITH toks AS (
+  SELECT doc_id, lower(t.term) AS term FROM documents,
+    unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT doc_id, term, tf, df, score, rn FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (n.n::DOUBLE / df.df) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf * (n.n::DOUBLE / df.df) DESC, tf.term)
+           ::BIGINT AS rn
+  FROM tf JOIN df USING (term), n) WHERE rn <= 3
+""",
         "doc_profile": r"""
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
@@ -1147,6 +1219,14 @@ FROM y GROUP BY 1, 2
             " min(value) AS min_value, max(value) AS max_value"
             " FROM events GROUP BY event_type"
         ),
+        "events_never_purchased": """
+WITH uh AS (SELECT DISTINCT user_id,
+                   epoch_us(ts)//1000000//3600 AS hour_s FROM events),
+p AS (SELECT DISTINCT user_id, epoch_us(ts)//1000000//3600 AS hour_s
+      FROM events WHERE event_type = 'purchase')
+SELECT user_id, hour_s FROM uh
+EXCEPT SELECT user_id, hour_s FROM p
+""",
         # gate oracles (HLL pattern): exact quantities + expected-TRUE
         # booleans that a sketch regression would flip
         "events_value_quantiles": (

@@ -30,15 +30,21 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
 
     ``right`` MUST have at most one row per ``right_key`` value (an
     aggregate / dictionary / rank table); rows beyond the first per key
-    would be silently ignored, so callers own that invariant.  ``how``
-    is ``"inner"`` or ``"left"`` (unmatched left rows keep typed nulls
-    on the right value columns).  Right value columns colliding with a
-    left column name get ``suffix``.
+    would be silently ignored, so callers own that invariant — except
+    for ``how="semi"``/``"anti"``, which are pure presence checks and
+    accept any right side.  ``how`` is ``"inner"``, ``"left"``
+    (unmatched left rows keep typed nulls on the right value columns),
+    ``"semi"`` (left rows WITH a match, left columns only) or
+    ``"anti"`` (left rows WITHOUT a match, left columns only).  Right
+    value columns colliding with a left column name get ``suffix``.
 
-    Output columns: all left columns, then each right non-key column.
+    Output columns: all left columns, then (inner/left only) each
+    right non-key column.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+        )
     right_key = right_key or left_key
 
     from ..hashing import hash_bucket_array
@@ -47,11 +53,15 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     r_schema = right.schema()
     l_fields = [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
     l_names = [f.name for f in l_fields]
-    r_value = [
-        pa.field(n, t)
-        for n, t in zip(r_schema.names, r_schema.types)
-        if n != right_key
-    ]
+    r_value = (
+        []
+        if how in ("semi", "anti")
+        else [
+            pa.field(n, t)
+            for n, t in zip(r_schema.names, r_schema.types)
+            if n != right_key
+        ]
+    )
     rename = {
         f.name: (f.name + suffix if f.name in set(l_names) else f.name)
         for f in r_value
@@ -114,8 +124,10 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
         rf = t.filter(pc.equal(side, 1))
         rkeys = rf["_k"].combine_chunks()
         idx = pc.index_in(lf["_k"], rkeys)
-        if how == "inner":
+        if how in ("inner", "semi", "anti"):
             keep = pc.is_valid(idx)
+            if how == "anti":
+                keep = pc.invert(keep)
             lf = lf.filter(keep)
             idx = idx.filter(keep)
             if lf.num_rows == 0:

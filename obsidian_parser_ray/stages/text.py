@@ -236,3 +236,102 @@ def lang_stats(ds, *, lang_col: str = "lang", text_col: str = "text"):
             Sum("_words", alias_name="total_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+# ASCII alnum tokens: RE2-parity with the DuckDB oracle's
+# regexp_extract_all(text, '[A-Za-z0-9]+'); tokens are pure ASCII so
+# per-token lower() is engine-independent (unlike lower() on the raw
+# unicode text)
+_TERM_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def term_frequencies(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     batch_size: int | None = 512):
+    """Explode documents into ``(id, term, tf)`` rows (one per distinct
+    lowercased ASCII-alnum token per document)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_id: list = []
+        out_term: list = []
+        out_tf: list = []
+        for i, x in zip(ids, texts):
+            c = Counter(tok.lower() for tok in _TERM_RE.findall(x))
+            out_id.extend([i] * len(c))
+            out_term.extend(c.keys())
+            out_tf.extend(c.values())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, t.schema.field(id_col).type),
+                "term": pa.array(out_term, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def tfidf_top_terms(ds, k: int = 3, *, idf: str = "linear",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_partitions: int = 64, batch_size: int | None = 512):
+    """Per-document top-k terms by TF-IDF → ``(id, term, tf, df,
+    score, rn)``.
+
+    The canonical two-shuffle plan: explode to (id, term, tf), groupby
+    term for document frequencies (vocabulary-sized exchange), join tf
+    rows back against the unique df table
+    (:func:`..joins.hash_join_unique` — one exchange of the tf table),
+    then :func:`..ranking.grouped_topk` on the document key.  Nothing
+    materializes on the driver; corpus size enters as one scalar.
+
+    ``idf="linear"`` scores ``tf · (n/df)`` — rank-equivalent to the
+    log form for a fixed corpus and EXACTLY reproducible across
+    engines (IEEE division/multiplication are fully specified; ``ln``
+    is libm-dependent, so a log-scored top-k boundary could pick
+    different tied terms on different engines).  ``idf="log"`` gives
+    the textbook ``tf · ln(n/df)``.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import hash_join_unique
+    from .ranking import grouped_topk
+
+    if idf not in ("linear", "log"):
+        raise ValueError(f"idf must be 'linear' or 'log', got {idf!r}")
+    tf = term_frequencies(ds, text_col=text_col, id_col=id_col,
+                          batch_size=batch_size)
+    df_t = tf.groupby("term").count()
+    df_t = df_t.map_batches(
+        lambda t: pa.table(
+            {"term": t["term"], "df": pc.cast(t["count()"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    n = float(ds.count())
+
+    joined = hash_join_unique(
+        tf, df_t, left_key="term", num_partitions=num_partitions
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ratio = pc.divide(
+            pa.scalar(n, pa.float64()), pc.cast(t["df"], pa.float64())
+        )
+        if idf == "log":
+            ratio = pc.ln(ratio)
+        s = pc.multiply(pc.cast(t["tf"], pa.float64()), ratio)
+        return t.append_column("score", s)
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, [id_col], "score", k, tiebreak=["term"], rank_col="rn",
+        num_partitions=num_partitions,
+    )

@@ -95,3 +95,19 @@ def test_key_type_mismatch_raises(ray_session):
     bad = rd.from_arrow(pa.table({"kk": pa.array([1, 2], pa.int64())}))
     with pytest.raises(ValueError, match="key type mismatch"):
         hash_join_unique(_left(), bad, left_key="k", right_key="kk")
+
+
+def test_semi_and_anti_join(ray_session):
+    right_dup = rd.from_arrow(
+        pa.table({"kk": pa.array(["a", "a", "b"], pa.string())})
+    )
+    # semi/anti are presence checks: a NON-unique right side is fine
+    semi = hash_join_unique(
+        _left(), right_dup, left_key="k", right_key="kk", how="semi"
+    ).to_pandas()
+    assert sorted(semi["k"]) == ["a", "a", "b"]
+    assert list(semi.columns) == ["k", "v"]
+    anti = hash_join_unique(
+        _left(), right_dup, left_key="k", right_key="kk", how="anti"
+    ).to_pandas()
+    assert sorted(anti["k"]) == ["c", "x"]

@@ -97,3 +97,51 @@ class TestStages:
         assert out.loc["en", "n_docs"] == 2
         assert out.loc["en", "total_words"] == 5
         assert out.loc["de", "total_chars"] == 1
+
+
+class TestTfidf:
+    def test_term_frequencies(self, ray_session):
+        from obsidian_parser_ray.stages.text import term_frequencies
+
+        out = term_frequencies(
+            _ds([{"doc_id": 7, "text": "Cat cat DOG! cat-dog 42"}])
+        ).to_pandas()
+        got = dict(zip(out["term"], out["tf"]))
+        assert got == {"cat": 3, "dog": 2, "42": 1}
+        assert out["doc_id"].unique().tolist() == [7]
+
+    def test_tfidf_ranks_rare_terms_higher(self, ray_session):
+        from obsidian_parser_ray.stages.text import tfidf_top_terms
+
+        docs = _ds(
+            [
+                {"doc_id": 0, "text": "common rare0 common common"},
+                {"doc_id": 1, "text": "common rare1"},
+                {"doc_id": 2, "text": "common rare2"},
+            ]
+        )
+        out = tfidf_top_terms(docs, 1).to_pandas()
+        top = dict(zip(out["doc_id"], out["term"]))
+        # 'common' has df=3 (idf=1); each rare term df=1 (idf=3).
+        # doc 0: common tf=3 ties rare0 tf=1*3 -> tiebreak term asc
+        assert top == {0: "common", 1: "rare1", 2: "rare2"}
+        assert (out["rn"] == 1).all()
+
+    def test_tfidf_log_idf_and_k(self, ray_session):
+        import numpy as np
+
+        from obsidian_parser_ray.stages.text import tfidf_top_terms
+
+        docs = _ds(
+            [
+                {"doc_id": 0, "text": "alpha beta beta gamma"},
+                {"doc_id": 1, "text": "alpha delta"},
+            ]
+        )
+        out = tfidf_top_terms(docs, 2, idf="log").to_pandas()
+        d0 = out[out["doc_id"] == 0].sort_values("rn")
+        # alpha: df=2 -> ln(1)=0 score; beta tf=2 df=1 -> 2ln2 top
+        assert d0["term"].tolist() == ["beta", "gamma"]
+        assert np.isclose(
+            d0["score"].iloc[0], 2 * np.log(2.0), atol=1e-12
+        )
