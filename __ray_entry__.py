@@ -113,6 +113,39 @@ def _q_kg_cocitation(sf_dir: str):
     return cocitation(_graph(sf_dir).triples)
 
 
+def _q_events_running_spend(sf_dir: str):
+    """Per-user running spend: SQL windowed SUM/row_number twin.
+    Value is integer cents (floor(value·100)) — float window sums have
+    no cross-engine accumulation-order guarantee; integer sums do."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.events import running_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "s": pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000),
+                "event_id": t["event_id"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return running_sum(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["s", "event_id"],
+        value_col="cents",
+        cum_col="cum_cents",
+        idx_col="rn",
+    )
+
+
 def _q_events_never_purchased(sf_dir: str):
     """Distributed anti-join at (user, hour) grain: active user-hours
     with NO purchase in that hour — distinct user-hours ▷ distinct
@@ -772,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_purchases_in_session": _q_events_purchases_in_session,
         "events_hopping": _q_events_hopping,
+        "events_running_spend": _q_events_running_spend,
         "events_never_purchased": _q_events_never_purchased,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_heavy_users": _q_events_heavy_users,
@@ -1219,6 +1253,16 @@ FROM y GROUP BY 1, 2
             " min(value) AS min_value, max(value) AS max_value"
             " FROM events GROUP BY event_type"
         ),
+        "events_running_spend": """
+WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS s, event_id,
+                  floor(value*100)::BIGINT AS cents FROM events)
+SELECT user_id, s, event_id, cents,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents,
+       row_number() OVER (PARTITION BY user_id ORDER BY s, event_id)
+         ::BIGINT AS rn
+FROM e
+""",
         "events_never_purchased": """
 WITH uh AS (SELECT DISTINCT user_id,
                    epoch_us(ts)//1000000//3600 AS hour_s FROM events),

@@ -432,3 +432,64 @@ def hopping_counts(events, *, key_col: str = "user_id", ts_col: str = "ts",
         .groupby([key_col, window_col])
         .aggregate(Sum("_n", alias_name="n_events"))
     )
+
+
+def running_sum(events, *, key_col: str = "user_id",
+                order_cols: list | None = None, value_col: str = "value",
+                cum_col: str = "cum_value", idx_col: str = "rn",
+                num_partitions: int = 64):
+    """Per-key running aggregate: cumulative sum of ``value_col`` and
+    1-based row index in ``order_cols`` order (the SQL
+    ``SUM(...) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` / ``row_number()`` pair).
+
+    ``order_cols`` (default ``["s", "event_id"]``) MUST be a total
+    order within each key, or the prefix sums are nondeterministic.
+    ``value_col`` should be an INTEGER column when the result is
+    compared across engines — float window sums have no specified
+    accumulation order (DuckDB may use segment trees), so only integer
+    sums are exactly reproducible.
+
+    One hash shuffle on the key; each partition is one vectorized
+    sweep: sort by (key, order), full-column cumsum, then subtract the
+    running total carried in from each key's previous rows (offset =
+    cumsum value just before the key's first row).  No per-key loop.
+    """
+    order_cols = order_cols or ["s", "event_id"]
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from ..hashing import hash_bucket_array
+
+        return t.append_column(
+            "part", hash_bucket_array(t[key_col], num_partitions)
+        )
+
+    def sweep(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.drop(columns=["part"])
+        if not len(p):
+            out = p.copy()
+            out[cum_col] = pd.Series([], dtype="int64")
+            out[idx_col] = pd.Series([], dtype="int64")
+            return out
+        p = p.sort_values([key_col] + order_cols, kind="stable").reset_index(
+            drop=True
+        )
+        keys = p[key_col].to_numpy()
+        vals = p[value_col].to_numpy()
+        n = len(p)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new_key)
+        gid = np.cumsum(new_key.astype(np.int64)) - 1
+        total = np.cumsum(vals)
+        # offset[g] = running total just BEFORE group g's first row
+        offset = np.concatenate(([0], total[starts[1:] - 1]))
+        p[cum_col] = total - offset[gid]
+        p[idx_col] = np.arange(n, dtype=np.int64) - starts[gid] + 1
+        return p
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pandas")
+    )

@@ -457,3 +457,40 @@ class TestTemporalJoinRandomizedParity:
             and int(p_ts[i]) % 10 <= 5 and int(p_ts[i]) // 10 < 10
         }
         assert got == want
+
+
+def test_running_sum_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from obsidian_parser_ray.stages.events import running_sum
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 9, 400),
+            "s": rng.integers(0, 50, 400),
+            "event_id": np.arange(400),
+            "v": rng.integers(-5, 20, 400),
+        }
+    )
+    got = (
+        running_sum(
+            rd.from_pandas(df).repartition(7),
+            key_col="user_id", order_cols=["s", "event_id"],
+            value_col="v", cum_col="cum_v", idx_col="rn",
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "s", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["user_id", "s", "event_id"]).reset_index(drop=True)
+    exp["cum_v"] = exp.groupby("user_id")["v"].cumsum()
+    exp["rn"] = exp.groupby("user_id").cumcount() + 1
+    pd.testing.assert_frame_equal(
+        got[["user_id", "s", "event_id", "v", "cum_v", "rn"]],
+        exp[["user_id", "s", "event_id", "v", "cum_v", "rn"]],
+        check_dtype=False,
+    )
