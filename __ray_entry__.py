@@ -647,6 +647,56 @@ def _q_events_value_quantiles(sf_dir: str):
     return pd.DataFrame([row])
 
 
+def _q_events_type_quantiles(sf_dir: str):
+    """Grouped quantile sketch as a TOLERANCE GATE: per event_type
+    q25/q50/q75 of `value` estimated with approx_quantiles_by, each
+    verified DISTRIBUTEDLY — the true within-type rank of the estimate
+    (one counting pass for all types × quantiles) must be within ±2%
+    (sketch bound ≤ 1/k = 0.2%).  Oracle: exact per-type counts +
+    expected-TRUE booleans."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.sketch import approx_quantiles_by
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    qs = [0.25, 0.5, 0.75]
+    est = approx_quantiles_by(ev, "event_type", "value", qs, k=512).to_pandas()
+    thresholds = {
+        r["event_type"]: [r["q25"], r["q50"], r["q75"]]
+        for _, r in est.iterrows()
+    }
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        types, ns = [], []
+        les: list[list] = [[] for _ in qs]
+        for et, th in thresholds.items():
+            sub = t.filter(pc.equal(t["event_type"], et))["value"]
+            types.append(et)
+            ns.append(len(sub))
+            for i, e in enumerate(th):
+                les[i].append(pc.sum(pc.less_equal(sub, e)).as_py() or 0)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                **{
+                    f"le{i}": pa.array(le, pa.int64())
+                    for i, le in enumerate(les)
+                },
+            }
+        )
+
+    parts = ev.map_batches(rank_partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("event_type", as_index=False).sum()
+    out = {"event_type": g["event_type"], "n_events": g["n"].astype("int64")}
+    for i, q in enumerate(qs):
+        rank = g[f"le{i}"] / g["n"]
+        out[f"q{int(q * 100)}_ok"] = (rank - q).abs() <= 0.02
+    return pd.DataFrame(out)
+
+
 def _q_events_heavy_users(sf_dir: str):
     """Misra–Gries heavy hitters as a TOLERANCE GATE: the exact top-10
     users (distributed groupby + deterministic tie-break) each must be
@@ -809,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_never_purchased": _q_events_never_purchased,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_heavy_users": _q_events_heavy_users,
+        "events_type_quantiles": _q_events_type_quantiles,
         "media_features": _q_media_features,
     }
 
@@ -1277,6 +1328,11 @@ EXCEPT SELECT user_id, hour_s FROM p
             "SELECT count(*)::BIGINT AS n_rows, TRUE AS q10_ok,"
             " TRUE AS q50_ok, TRUE AS q90_ok FROM events"
         ),
+        "events_type_quantiles": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+FROM events GROUP BY event_type
+""",
         "events_heavy_users": """
 SELECT user_id, count(*)::BIGINT AS n_events,
        TRUE AS in_sketch, TRUE AS within_bound

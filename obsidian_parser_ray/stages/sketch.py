@@ -261,3 +261,64 @@ def frequent_items(ds, column: str, *, k: int = 512,
         for vals, cnts in zip(b["values"].to_pylist(), b["counts"].to_pylist()):
             merged.add_counts(vals, cnts)
     return dict(merged.counters)
+
+
+def approx_quantiles_by(ds, key_col: str, value_col: str, qs: list, *,
+                        k: int = 512, batch_size: int | None = None):
+    """Per-group approximate quantiles: ``(key, q<percent>...)`` rows.
+
+    Phase 1 compacts each block's values PER KEY into ≤ k-point
+    summaries (loop over distinct keys in the block, numpy per group —
+    never per row); phase 2 is a groupby(key) merge of the blobs.
+    Shuffle volume is ≤ k points per (key, block) — the grouped twin
+    of :func:`approx_quantiles`, same ≤ 1/k rank-error bound per group.
+
+    Returns a Ray Dataset (stays distributed; group cardinality can be
+    the vocabulary, not the driver's memory).
+    """
+    qs = list(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.sort_by([(key_col, "ascending")])
+        keys = t[key_col].combine_chunks()
+        vals = np.asarray(
+            t[value_col].to_numpy(zero_copy_only=False), np.float64
+        )
+        if not len(keys):
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "blob": pa.array([], pa.binary()),
+                }
+            )
+        same = pc.equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+        starts = np.flatnonzero(
+            np.concatenate(([True], ~same.to_numpy(zero_copy_only=False)))
+        )
+        bounds = np.concatenate((starts, [len(keys)]))
+        out_keys = keys.take(pa.array(starts, pa.int64()))
+        blobs = [
+            QuantileSummary.from_array(vals[a:b], k).to_blob()
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        return pa.table({key_col: out_keys, "blob": pa.array(blobs, pa.binary())})
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        merged = QuantileSummary(k)
+        for blob in g["blob"].to_pylist():
+            merged = merged.merge(QuantileSummary.from_blob(blob, k))
+        cols = {key_col: g[key_col].slice(0, 1)}
+        for q in qs:
+            cols[f"q{int(round(q * 100))}"] = pa.array(
+                [merged.quantile(q)], pa.float64()
+            )
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pyarrow")
+    )

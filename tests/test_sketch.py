@@ -156,3 +156,36 @@ def test_frequent_items_distributed_with_empty_blocks(ray_session):
     n = 800
     assert 7 in out
     assert 500 - n / 65 <= out[7] <= 500
+
+
+def test_approx_quantiles_by_groups(ray_session):
+    from obsidian_parser_ray.stages.sketch import approx_quantiles_by
+
+    rng = np.random.default_rng(21)
+    n = 20_000
+    keys = rng.integers(0, 4, n)
+    # each group has a different distribution (shifted uniforms)
+    vals = rng.uniform(0, 100, n) + keys * 1000
+    t = pa.table({"g": pa.array([f"k{int(x)}" for x in keys]),
+                  "v": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(t).repartition(16)
+    out = approx_quantiles_by(ds, "g", "v", [0.1, 0.5, 0.9], k=256).to_pandas()
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        gi = int(r["g"][1])
+        gvals = np.sort(vals[keys == gi])
+        for q, col in [(0.1, "q10"), (0.5, "q50"), (0.9, "q90")]:
+            rank = np.searchsorted(gvals, r[col], side="right") / len(gvals)
+            assert abs(rank - q) <= 1 / 256 + 1e-9, (r["g"], col, rank)
+
+
+def test_approx_quantiles_by_tiny_groups_exact(ray_session):
+    from obsidian_parser_ray.stages.sketch import approx_quantiles_by
+
+    t = pa.table({"g": pa.array(["a"] * 3 + ["b"]),
+                  "v": pa.array([1.0, 2.0, 3.0, 7.0])})
+    out = approx_quantiles_by(
+        rd.from_arrow(t).repartition(4), "g", "v", [0.5], k=64
+    ).to_pandas().set_index("g")
+    assert out.loc["a", "q50"] == 2.0
+    assert out.loc["b", "q50"] == 7.0
