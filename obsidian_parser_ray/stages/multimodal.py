@@ -6,14 +6,16 @@ The media table schema::
     asset_id: string, media_type: string ('image'|'audio'),
     payload: binary, meta_json: string
 
-Real decoders (PIL / torchaudio / ffmpeg) are NOT in this container, so
-the decode kernel is STUBBED behind :class:`MediaDecoder`:
-``strict=True`` raises ``NotImplementedError`` (the production hook —
-drop in a real library there), ``strict=False`` (default) runs a
-deterministic fake decode that derives plausible features from the
-payload bytes.  Everything AROUND the stub — schema, Arrow binary
-round-trip, small-batch actor-pool sizing, output layout — is real and
-tested; swapping in a real decoder touches only ``_decode_impl``.
+:class:`MediaDecoder` decodes 8-bit non-interlaced PNG images FOR REAL
+with the pure-stdlib codec in :mod:`.png` (true dimensions, perceptual
+average-hash, pixel-histogram embedding).  Other formats (JPEG, audio)
+need PIL / torchaudio / ffmpeg, which are NOT in this container:
+``strict=False`` (default) falls back to a deterministic fake decode
+derived from the payload bytes, ``strict=True`` raises
+``NotImplementedError`` for them (the production hook — drop a real
+library into ``_decode_impl``).  The surrounding plumbing — schema,
+Arrow binary round-trip, small-batch actor-pool sizing, output
+layout — is shared by both paths and tested.
 
 Scale notes: binary payloads make rows wide → the stage runs with a
 small ``batch_size`` (payload bytes × batch_size × concurrency must
@@ -130,11 +132,29 @@ class MediaDecoder:
         self.schema = features_schema(embed_dim)
 
     def _decode_impl(self, media_type: str, payload: bytes, meta: dict):
+        # REAL decode path: PNG images are decoded with the pure-stdlib
+        # codec (stages/png.py) — true dimensions, perceptual
+        # average-hash, pixel-histogram embedding.  Non-PNG payloads
+        # fall through to the deterministic fake (strict=True raises
+        # instead: audio codecs aren't in this container).
+        if media_type == "image":
+            from .png import average_hash, decode_png, is_png
+
+            if is_png(payload):
+                img = decode_png(payload)
+                h_px, w_px = img.shape[:2]
+                flat = img.reshape(-1) if img.ndim == 2 else img.reshape(-1)
+                hist = np.bincount(flat, minlength=256)[:256].astype(
+                    np.float32
+                )
+                emb = hist @ self.proj
+                norm = float(np.linalg.norm(emb)) or 1.0
+                return w_px, h_px, 0, average_hash(img), emb / norm
         if self.strict:
             raise NotImplementedError(
-                "real image/audio decoding requires PIL/torchaudio — "
-                "not available in this container; run with strict=False "
-                "for the deterministic fake decoder"
+                "strict decode: only 8-bit non-interlaced PNG is decodable "
+                "without PIL/torchaudio in this container — payload is "
+                f"{media_type!r} and not a supported PNG"
             )
         # deterministic fake: byte-histogram "embedding" + meta passthrough
         hist = np.bincount(
