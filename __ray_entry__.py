@@ -113,6 +113,23 @@ def _q_kg_cocitation(sf_dir: str):
     return cocitation(_graph(sf_dir).triples)
 
 
+def _q_emb_label_by_lang(sf_dir: str):
+    """Cross-table fact↔dimension join: embeddings ⋈ documents on the
+    int id (hash_join_unique — docs unique per doc_id), then a grouped
+    count per (lang, label)."""
+    from ray.data.aggregate import Count
+
+    from obsidian_parser_ray.stages.joins import hash_join_unique
+
+    embs = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return (
+        hash_join_unique(embs, docs, left_key="vec_id", right_key="doc_id")
+        .groupby(["lang", "label"])
+        .aggregate(Count(alias_name="n_vecs"))
+    )
+
+
 def _q_events_running_spend(sf_dir: str):
     """Per-user running spend: SQL windowed SUM/row_number twin.
     Value is integer cents (floor(value·100)) — float window sums have
@@ -855,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_purchases_in_session": _q_events_purchases_in_session,
         "events_hopping": _q_events_hopping,
+        "emb_label_by_lang": _q_emb_label_by_lang,
         "events_running_spend": _q_events_running_spend,
         "events_never_purchased": _q_events_never_purchased,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -1303,6 +1321,11 @@ FROM y GROUP BY 1, 2
             "SELECT event_type, count(*)::BIGINT AS n_events,"
             " min(value) AS min_value, max(value) AS max_value"
             " FROM events GROUP BY event_type"
+        ),
+        "emb_label_by_lang": (
+            "SELECT d.lang, e.label, count(*)::BIGINT AS n_vecs"
+            " FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id"
+            " GROUP BY 1, 2"
         ),
         "events_running_spend": """
 WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS s, event_id,
