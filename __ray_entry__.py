@@ -714,6 +714,31 @@ def _q_events_type_quantiles(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def _q_events_type_approx_users(sf_dir: str):
+    """Grouped HLL as a TOLERANCE GATE: per event_type approximate
+    distinct users, each within 5% of the exact distinct count
+    (p=12 → σ≈1.6%).  Oracle: exact per-type distincts + TRUE."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from obsidian_parser_ray.stages.sketch import approx_distinct_by
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    est = approx_distinct_by(ev, "event_type", "user_id", p=12).to_pandas()
+    exact = (
+        ev.groupby(["event_type", "user_id"])
+        .count()
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    m = exact.merge(est, on="event_type")
+    m["within_5pct"] = (
+        (m["approx_distinct"] - m["n_users"]).abs() / m["n_users"] <= 0.05
+    )
+    return m[["event_type", "n_users", "within_5pct"]]
+
+
 def _q_events_heavy_users(sf_dir: str):
     """Misra–Gries heavy hitters as a TOLERANCE GATE: the exact top-10
     users (distributed groupby + deterministic tie-break) each must be
@@ -878,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "events_heavy_users": _q_events_heavy_users,
         "events_type_quantiles": _q_events_type_quantiles,
+        "events_type_approx_users": _q_events_type_approx_users,
         "media_features": _q_media_features,
     }
 
@@ -1350,6 +1376,10 @@ EXCEPT SELECT user_id, hour_s FROM p
         "events_value_quantiles": (
             "SELECT count(*)::BIGINT AS n_rows, TRUE AS q10_ok,"
             " TRUE AS q50_ok, TRUE AS q90_ok FROM events"
+        ),
+        "events_type_approx_users": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,"
+            " TRUE AS within_5pct FROM events GROUP BY event_type"
         ),
         "events_type_quantiles": """
 SELECT event_type, count(*)::BIGINT AS n_events,

@@ -322,3 +322,69 @@ def approx_quantiles_by(ds, key_col: str, value_col: str, qs: list, *,
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pyarrow")
     )
+
+
+def approx_distinct_by(ds, key_col: str, column: str, *, p: int = 12,
+                       batch_size: int | None = None):
+    """Per-group approximate COUNT(DISTINCT column): ``(key,
+    approx_distinct)`` Dataset.
+
+    Grouped twin of :func:`approx_distinct`: each block folds its rows
+    into one 2^p-byte register blob PER KEY (sort block by key, slice
+    per group — loop over distinct keys, vectorized hashing once per
+    block), then a groupby(key) merges blobs with elementwise max.
+    Stays distributed: group cardinality bounds the shuffle, not
+    driver memory.  Error ≈ ±1.04/sqrt(2^p) per group.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.sort_by([(key_col, "ascending")])
+        keys = t[key_col].combine_chunks()
+        if not len(keys):
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "registers": pa.array([], pa.binary()),
+                }
+            )
+        hashes = _hash64_bytes(t[column].to_pylist())
+        same = pc.equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+        starts = np.flatnonzero(
+            np.concatenate(([True], ~same.to_numpy(zero_copy_only=False)))
+        )
+        bounds = np.concatenate((starts, [len(keys)]))
+        blobs = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            sk = HllSketch(p)
+            sk.add_hashes(hashes[a:b])
+            blobs.append(sk.registers.tobytes())
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(starts, pa.int64())),
+                "registers": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        merged = HllSketch(p)
+        for blob in g["registers"].to_pylist():
+            merged = merged.merge(
+                HllSketch(p, np.frombuffer(blob, dtype=np.uint8).copy())
+            )
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "approx_distinct": pa.array(
+                    [float(merged.estimate())], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, column])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pyarrow")
+    )

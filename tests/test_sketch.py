@@ -189,3 +189,22 @@ def test_approx_quantiles_by_tiny_groups_exact(ray_session):
     ).to_pandas().set_index("g")
     assert out.loc["a", "q50"] == 2.0
     assert out.loc["b", "q50"] == 7.0
+
+
+def test_approx_distinct_by_groups(ray_session):
+    from obsidian_parser_ray.stages.sketch import approx_distinct_by
+
+    rng = np.random.default_rng(33)
+    n = 30_000
+    keys = rng.integers(0, 3, n)
+    truth = {0: 500, 1: 3000, 2: 40}
+    vals = np.array([rng.integers(0, truth[int(k)]) for k in keys])
+    t = pa.table({"g": pa.array([f"k{int(x)}" for x in keys]),
+                  "u": pa.array(vals, pa.int64())})
+    out = approx_distinct_by(
+        rd.from_arrow(t).repartition(12), "g", "u", p=12
+    ).to_pandas().set_index("g")
+    for k, tr in truth.items():
+        exact = len(np.unique(vals[keys == k]))
+        est = out.loc[f"k{k}", "approx_distinct"]
+        assert abs(est - exact) / exact < 0.05, (k, est, exact)
