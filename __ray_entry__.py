@@ -113,6 +113,19 @@ def _q_kg_cocitation(sf_dir: str):
     return cocitation(_graph(sf_dir).triples)
 
 
+def _q_doc_prep_pipeline(sf_dir: str):
+    """Composed prep pipeline (quality+lang filter → exact dedup →
+    chunking) hash-checked END TO END against the chained SQL twins of
+    its stages."""
+    from obsidian_parser_ray.pipelines.prepare import prepare_training_corpus
+
+    return prepare_training_corpus(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        min_quality_micro=650000,
+        langs=("en", "de"),
+    )
+
+
 def _q_emb_label_by_lang(sf_dir: str):
     """Cross-table fact↔dimension join: embeddings ⋈ documents on the
     int id (hash_join_unique — docs unique per doc_id), then a grouped
@@ -897,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_purchases_in_session": _q_events_purchases_in_session,
         "events_hopping": _q_events_hopping,
+        "doc_prep_pipeline": _q_doc_prep_pipeline,
         "emb_label_by_lang": _q_emb_label_by_lang,
         "events_running_spend": _q_events_running_spend,
         "events_never_purchased": _q_events_never_purchased,
@@ -1348,6 +1362,65 @@ FROM y GROUP BY 1, 2
             " min(value) AS min_value, max(value) AS max_value"
             " FROM events GROUP BY event_type"
         ),
+        # composed pipeline: the quality / dedup / chunk stage twins
+        # chained in one statement (same literals as their own oracles)
+        "doc_prep_pipeline": rf"""
+WITH qs AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT
+      AS nw0,
+    length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        x -> x IN ({_sql_list("en")})))::BIGINT AS n_stop
+  FROM documents
+),
+qx AS (
+  SELECT doc_id, CASE WHEN nw0 = 0 THEN 1 ELSE nw0 END AS nw,
+         n_chars, n_punct, n_stop FROM qs
+),
+qy AS (
+  SELECT doc_id,
+    least(1.0, nw / 50.0) * (CASE WHEN nw < 2000 THEN 1.0 ELSE 0.5 END)
+      AS len_score,
+    CASE WHEN n_punct / greatest(1, n_chars) < 0.1 THEN 1.0 ELSE 0.5 END
+      AS punct_score,
+    least(1.0, n_stop / nw * 5) AS stop_score
+  FROM qx
+),
+q AS (
+  SELECT doc_id,
+    floor((len_score + punct_score + stop_score) / 3 * 1000000.0)::BIGINT
+      AS qm
+  FROM qy
+),
+f AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+  WHERE q.qm >= 650000 AND d.lang IN ('en', 'de')
+),
+k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+kd AS (SELECT f.doc_id, f.text FROM f JOIN k USING (doc_id)),
+w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM kd WHERE trim(text) <> ''
+),
+c AS (
+  SELECT doc_id, ws, array_length(ws) AS n,
+         CASE WHEN array_length(ws) <= 200 THEN 1
+              ELSE 1 + CAST(ceil((array_length(ws) - 200) / 150.0) AS INT)
+         END AS kk
+  FROM w
+),
+xx AS (
+  SELECT doc_id, ws, n, unnest(generate_series(1, kk)) AS i FROM c
+)
+SELECT doc_id,
+       (i - 1)::BIGINT AS chunk_idx,
+       array_to_string(ws[(i-1)*150 + 1 : least((i-1)*150 + 200, n)], ' ')
+         AS chunk_text,
+       (least((i-1)*150 + 200, n) - (i-1)*150)::BIGINT AS n_tokens
+FROM xx
+""",
         "emb_label_by_lang": (
             "SELECT d.lang, e.label, count(*)::BIGINT AS n_vecs"
             " FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id"
