@@ -113,6 +113,15 @@ def _q_kg_cocitation(sf_dir: str):
     return cocitation(_graph(sf_dir).triples)
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Per-node triangle participation counts over the undirected
+    canonical graph (ALL predicates — tag/media hubs close the
+    wedges), exact via degree-oriented wedge counting."""
+    from obsidian_parser_ray.stages.graphops import triangle_counts
+
+    return triangle_counts(_graph(sf_dir).triples)
+
+
 def _q_doc_prep_pipeline(sf_dir: str):
     """Composed prep pipeline (quality+lang filter → exact dedup →
     chunking) hash-checked END TO END against the chained SQL twins of
@@ -279,6 +288,57 @@ def _q_kg_pagerank(sf_dir: str):
                 "n_nodes": len(got),
                 "sum_ok": bool(abs(sum(got.values()) - 1.0) < 1e-9),
                 "match_ok": bool(set(got) == set(exp) and max_diff < 1e-9),
+            }
+        ]
+    )
+
+
+def _q_emb_kmeans(sf_dir: str):
+    """Distributed k-means as a TOLERANCE GATE (pagerank pattern):
+    the map_batches/groupby Lloyd iteration must agree with an exact
+    driver-side numpy twin (same seeded init, same iteration count,
+    same first-hit argmin tie-break) — assignments exactly, centroids
+    to 1e-9.  Oracle expects the SQL row count with TRUE booleans."""
+    import numpy as np
+    import pandas as pd
+
+    from obsidian_parser_ray.stages.clustering import (
+        _assign, kmeans_assign, kmeans_fit,
+    )
+    from obsidian_parser_ray.stages.similarity import _sample_centroids
+
+    k, iters = 8, 5
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k, n_iter=iters)
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(ds, cents).take_all()
+    }
+
+    # exact driver twin — collect is gate-scale-only by design
+    rows = ds.take_all()
+    ids = [r["vec_id"] for r in rows]
+    x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    c = np.asarray(
+        _sample_centroids(ds, k, 42, "embedding", "vec_id"),
+        dtype=np.float64,
+    )
+    for _ in range(iters):
+        a = _assign(x, c)
+        nc = c.copy()
+        for cid in range(k):
+            m = a == cid
+            if m.any():
+                nc[cid] = x[m].sum(axis=0) / m.sum()
+        c = nc
+    exp = dict(zip(ids, _assign(x, c)))
+    cent_diff = float(np.abs(cents - c).max())
+    return pd.DataFrame(
+        [
+            {
+                "n_vecs": len(got),
+                "assign_ok": bool(got == exp),
+                "centroid_ok": bool(cent_diff < 1e-9),
             }
         ]
     )
@@ -612,6 +672,26 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered 3-step funnel signup → view → purchase: per user the
+    earliest strictly-increasing completion times (integer epoch
+    seconds; -1 = step not reached)."""
+    from obsidian_parser_ray.stages.events import funnel
+
+    return funnel(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        ["signup", "view", "purchase"],
+    )
+
+
+def _q_events_retention(sf_dir: str):
+    """Daily cohort retention matrix: users active N days after their
+    first-ever active day."""
+    from obsidian_parser_ray.stages.events import retention_cohorts
+
+    return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def _q_events_type_stats(sf_dir: str):
     from obsidian_parser_ray.stages.events import type_stats
 
@@ -879,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree": _q_kg_degree,
         "kg_top_links": _q_kg_top_links,
         "kg_cocitation": _q_kg_cocitation,
+        "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         "kg_dup_name": _q_kg_dup_name,
         "kg_dup_content": _q_kg_dup_content,
@@ -904,8 +985,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_neardup": _q_emb_neardup,
+        "emb_kmeans": _q_emb_kmeans,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "events_type_stats": _q_events_type_stats,
         "events_asof": _q_events_asof,
         "events_purchases_in_session": _q_events_purchases_in_session,
@@ -1069,6 +1153,25 @@ SELECT subj, obj, weight, rn FROM (
 SELECT a.subj AS note_a, b.subj AS note_b, count(*)::BIGINT AS n_shared
 FROM l a JOIN l b ON a.obj = b.obj AND a.subj < b.subj
 GROUP BY 1, 2
+""",
+        "kg_triangles": cte
+        + """
+, ue AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM exp_triples WHERE subj <> obj
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1
+  JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, count(*)::BIGINT AS n_triangles FROM corners GROUP BY 1
 """,
         "kg_pagerank": cte
         + """
@@ -1281,6 +1384,10 @@ WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.5
             " TRUE AS recall_ok, TRUE AS precision_ok"
             " FROM embeddings WHERE vec_id < 25"
         ),
+        "emb_kmeans": (
+            "SELECT count(*)::BIGINT AS n_vecs, TRUE AS assign_ok,"
+            " TRUE AS centroid_ok FROM embeddings"
+        ),
         "events_hist": (
             "SELECT event_type, floor(value)::BIGINT AS bin,"
             " count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
@@ -1356,6 +1463,38 @@ y AS (
 SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
        min(sec)::BIGINT AS start_s, max(sec)::BIGINT AS end_s
 FROM y GROUP BY 1, 2
+""",
+        "events_funnel": """
+WITH e AS (SELECT user_id, event_type,
+                  epoch_us(ts)//1000000 AS s FROM events),
+u AS (SELECT DISTINCT user_id FROM e),
+s1 AS (SELECT user_id, min(s) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.s) AS t2 FROM e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'view' AND e.s > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.s) AS t3 FROM e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.s > s2.t2 GROUP BY 1)
+SELECT u.user_id,
+       (CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+             WHEN t3 IS NULL THEN 2 ELSE 3 END)::BIGINT
+         AS steps_completed,
+       coalesce(t1, -1)::BIGINT AS t1_s,
+       coalesce(t2, -1)::BIGINT AS t2_s,
+       coalesce(t3, -1)::BIGINT AS t3_s
+FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+       LEFT JOIN s2 ON s2.user_id = u.user_id
+       LEFT JOIN s3 ON s3.user_id = u.user_id
+""",
+        "events_retention": """
+WITH e AS (SELECT DISTINCT user_id,
+                  epoch_us(ts)//1000000//86400 AS bucket FROM events),
+c AS (SELECT user_id, min(bucket) AS cohort FROM e GROUP BY 1)
+SELECT c.cohort::BIGINT AS cohort_bucket,
+       (e.bucket - c.cohort)::BIGINT AS bucket_offset,
+       count(*)::BIGINT AS n_users
+FROM e JOIN c ON c.user_id = e.user_id GROUP BY 1, 2
 """,
         "events_type_stats": (
             "SELECT event_type, count(*)::BIGINT AS n_events,"

@@ -493,3 +493,124 @@ def running_sum(events, *, key_col: str = "user_id",
         .groupby("part")
         .map_groups(sweep, batch_format="pandas")
     )
+
+
+def funnel(events, steps: list[str], *, key_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type",
+           num_partitions: int = 64):
+    """Ordered funnel: per key, the earliest strictly-increasing
+    completion of the ``steps`` event-type sequence.
+
+    Output one row per key seen in the stream: ``(key,
+    steps_completed, t1_s .. tk_s)`` — ``ti_s`` is the epoch second
+    of the earliest step-i event AFTER (strict) the chosen step-(i-1)
+    time, or ``-1``.  All integers, so a DuckDB twin of nested
+    min-filter joins reproduces the result bit-exactly.
+
+    One hash shuffle on the key; each partition is resolved with k
+    vectorized pandas grouped-min / merge passes (no per-key loop).
+    """
+    step_cols = [f"t{i + 1}_s" for i in range(len(steps))]
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from ..hashing import hash_bucket_array
+
+        return t.append_column(
+            "part", hash_bucket_array(t[key_col], num_partitions)
+        )
+
+    def resolve(p: pd.DataFrame) -> pd.DataFrame:
+        num_cols = {"steps_completed": "int64",
+                    **{c: "int64" for c in step_cols}}
+        order = [key_col, "steps_completed", *step_cols]
+        if not len(p):
+            e = pd.DataFrame(
+                {c: pd.Series([], dtype=d) for c, d in num_cols.items()}
+            )
+            e.insert(0, key_col,
+                     pd.Series([], dtype=p[key_col].dtype))
+            return e[order]
+        p = p.copy()
+        p["_s"] = _epoch_seconds(p[ts_col])
+        out = (
+            p[[key_col]].drop_duplicates().set_index(key_col).sort_index()
+        )
+        prev: pd.Series | None = None
+        for step, col in zip(steps, step_cols):
+            sub = p[p[type_col] == step]
+            if prev is not None:
+                # index-free lookup of the previous step's time per key
+                pv = sub[key_col].map(prev)
+                sub = sub[pv.notna() & (sub["_s"] > pv)]
+            tk = sub.groupby(key_col)["_s"].min()
+            out[col] = tk
+            prev = tk
+        # monotone: t_i is defined only if t_{i-1} was, so the count
+        # of non-null step columns IS the furthest step reached
+        out["steps_completed"] = out[step_cols].notna().sum(axis=1)
+        out = out.fillna(-1).reset_index()
+        return out[order].astype(num_cols)
+
+    return (
+        events.select_columns([key_col, ts_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def retention_cohorts(events, *, key_col: str = "user_id",
+                      ts_col: str = "ts", bucket_seconds: int = 86400,
+                      num_partitions: int = 64):
+    """Cohort retention matrix: ``(cohort_bucket, bucket_offset,
+    n_users)`` — distinct keys active ``bucket_offset`` buckets after
+    their first-ever active bucket (cohort = floor-div epoch bucket of
+    the key's first event).
+
+    Per-block distinct (key, bucket) partials shrink the shuffle to
+    one row per (key, bucket, block); ONE hash shuffle co-locates each
+    key's buckets, so cohort assignment and offset emission are local;
+    the final (cohort, offset) count is a tiny groupby because keys
+    never span partitions (each key counted exactly once per offset).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..hashing import hash_bucket_array
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, ts_col]).to_pandas()
+        df["bucket"] = _epoch_seconds(df[ts_col]) // bucket_seconds
+        g = df[[key_col, "bucket"]].drop_duplicates()
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        return out.append_column(
+            "part", hash_bucket_array(out[key_col], num_partitions)
+        )
+
+    def offsets(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({
+                "cohort_bucket": pd.Series([], dtype="int64"),
+                "bucket_offset": pd.Series([], dtype="int64"),
+                "_n": pd.Series([], dtype="int64"),
+            })
+        p = p[[key_col, "bucket"]].drop_duplicates()
+        cohort = p.groupby(key_col)["bucket"].transform("min")
+        g = (
+            pd.DataFrame({
+                "cohort_bucket": cohort,
+                "bucket_offset": p["bucket"] - cohort,
+            })
+            .groupby(["cohort_bucket", "bucket_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "_n"})
+        )
+        return g.astype({"cohort_bucket": "int64",
+                         "bucket_offset": "int64", "_n": "int64"})
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(offsets, batch_format="pandas")
+        .groupby(["cohort_bucket", "bucket_offset"])
+        .aggregate(Sum("_n", alias_name="n_users"))
+    )

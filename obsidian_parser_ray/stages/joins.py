@@ -51,6 +51,21 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
 
     l_schema = left.schema()
     r_schema = right.schema()
+    # a fully-empty input can surface as a block-less dataset whose
+    # schema is unknown (e.g. a map_groups stage that emitted only
+    # empty tables) — the join result is then determined without it
+    if l_schema is None:
+        return left  # empty: inner/semi/anti/left results are all empty
+    if r_schema is None:
+        if how == "anti":
+            return left  # nothing to subtract
+        if how in ("semi", "inner"):
+            return left.limit(0)
+        raise ValueError(
+            "hash_join_unique(how='left'): right side has no schema "
+            "(block-less empty dataset) — cannot type the null value "
+            "columns; materialize an empty typed table instead"
+        )
     l_fields = [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
     l_names = [f.name for f in l_fields]
     r_value = (

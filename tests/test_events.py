@@ -494,3 +494,89 @@ def test_running_sum_matches_pandas(ray_session):
         exp[["user_id", "s", "event_id", "v", "cum_v", "rn"]],
         check_dtype=False,
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnel:
+    def _run(self, rows, steps):
+        import pandas as pd
+        import ray
+
+        from obsidian_parser_ray.stages.events import funnel
+
+        df = pd.DataFrame(rows)
+        df["ts"] = pd.to_datetime(df["ts"], unit="s")
+        out = funnel(ray.data.from_pandas(df), steps, num_partitions=4)
+        return {
+            r["user_id"]: (r["steps_completed"],
+                           *[r[f"t{i+1}_s"] for i in range(len(steps))])
+            for r in out.take_all()
+        }
+
+    def test_ordered_completion(self):
+        rows = [
+            # u1 completes in order
+            {"user_id": 1, "event_type": "a", "ts": 10},
+            {"user_id": 1, "event_type": "b", "ts": 20},
+            {"user_id": 1, "event_type": "c", "ts": 30},
+            # u2: b BEFORE a only → stops at step 1
+            {"user_id": 2, "event_type": "b", "ts": 5},
+            {"user_id": 2, "event_type": "a", "ts": 10},
+            # u3: never does step a
+            {"user_id": 3, "event_type": "b", "ts": 1},
+        ]
+        got = self._run(rows, ["a", "b", "c"])
+        assert got == {
+            1: (3, 10, 20, 30),
+            2: (1, 10, -1, -1),
+            3: (0, -1, -1, -1),
+        }
+
+    def test_strict_order_same_second(self):
+        # step 2 at the SAME second as step 1 does not count (strict >)
+        rows = [
+            {"user_id": 7, "event_type": "a", "ts": 100},
+            {"user_id": 7, "event_type": "b", "ts": 100},
+            {"user_id": 7, "event_type": "b", "ts": 101},
+        ]
+        got = self._run(rows, ["a", "b"])
+        assert got == {7: (2, 100, 101)}
+
+    def test_earliest_chain_not_greedy(self):
+        # earliest t1 then earliest b AFTER it — later a's are ignored
+        rows = [
+            {"user_id": 9, "event_type": "a", "ts": 10},
+            {"user_id": 9, "event_type": "a", "ts": 50},
+            {"user_id": 9, "event_type": "b", "ts": 40},
+        ]
+        got = self._run(rows, ["a", "b"])
+        assert got == {9: (2, 10, 40)}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRetention:
+    def test_cohort_offsets(self):
+        import pandas as pd
+        import ray
+
+        from obsidian_parser_ray.stages.events import retention_cohorts
+
+        day = 86400
+        rows = [
+            # u1: cohort day 0, active days 0, 1, 3 (two events day 0)
+            {"user_id": 1, "ts": 10}, {"user_id": 1, "ts": 20},
+            {"user_id": 1, "ts": day + 5}, {"user_id": 1, "ts": 3 * day},
+            # u2: cohort day 1, active days 1, 3
+            {"user_id": 2, "ts": day + 1}, {"user_id": 2, "ts": 3 * day},
+        ]
+        df = pd.DataFrame(rows)
+        df["ts"] = pd.to_datetime(df["ts"], unit="s")
+        out = retention_cohorts(
+            ray.data.from_pandas(df), num_partitions=4
+        )
+        got = {(r["cohort_bucket"], r["bucket_offset"]): r["n_users"]
+               for r in out.take_all()}
+        assert got == {
+            (0, 0): 1, (0, 1): 1, (0, 3): 1,
+            (1, 0): 1, (1, 2): 1,
+        }

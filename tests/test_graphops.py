@@ -1,0 +1,88 @@
+"""triangle_counts: exact parity vs brute force + normalization."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pyarrow as pa
+import pytest
+
+
+def _brute_force(edges: set[tuple[str, str]]) -> dict[str, int]:
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp: dict[str, int] = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                exp[n] = exp.get(n, 0) + 1
+    return exp
+
+
+def _run(rows, num_partitions=8):
+    import ray
+
+    from obsidian_parser_ray.stages.graphops import triangle_counts
+
+    t = pa.table(
+        {k: [r[k] for r in rows] for k in ("subj", "pred", "obj")}
+        if rows
+        else {
+            "subj": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj": pa.array([], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = triangle_counts(ds, num_partitions=num_partitions)
+    return {r["node"]: r["n_triangles"] for r in out.take_all()}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangles:
+    def test_random_graph_parity(self):
+        random.seed(11)
+        nodes = [f"n{i}" for i in range(40)]
+        edges = set()
+        while len(edges) < 130:
+            a, b = random.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        rows = [{"subj": a, "pred": "p", "obj": b} for a, b in edges]
+        # duplicates, reversed duplicates and self loops must not
+        # change the distinct undirected edge set
+        rows += [{"subj": b, "pred": "q", "obj": a}
+                 for a, b in list(edges)[:40]]
+        rows += [{"subj": "n1", "pred": "q", "obj": "n1"}]
+        exp = _brute_force(edges)
+        assert _run(rows) == exp
+        assert sum(exp.values()) % 3 == 0 and sum(exp.values()) > 0
+
+    def test_hub_star_no_triangles(self):
+        # a pure star has wedges but no closing edges
+        rows = [{"subj": "hub", "pred": "p", "obj": f"leaf{i}"}
+                for i in range(50)]
+        assert _run(rows) == {}
+
+    def test_hub_with_rim(self):
+        # star + one rim edge = exactly one triangle; the hub's high
+        # degree must not inflate the count (degree orientation puts
+        # both wedge edges at the low-degree rim nodes)
+        rows = [{"subj": "hub", "pred": "p", "obj": f"leaf{i}"}
+                for i in range(50)]
+        rows.append({"subj": "leaf0", "pred": "p", "obj": "leaf1"})
+        assert _run(rows) == {"hub": 1, "leaf0": 1, "leaf1": 1}
+
+    def test_clique(self):
+        nodes = [f"k{i}" for i in range(6)]
+        rows = [
+            {"subj": a, "pred": "p", "obj": b}
+            for a, b in itertools.combinations(nodes, 2)
+        ]
+        # K6: each node in C(5,2) = 10 triangles
+        assert _run(rows) == {n: 10 for n in nodes}
+
+    def test_empty(self):
+        assert _run([]) == {}
