@@ -293,6 +293,84 @@ def _q_kg_pagerank(sf_dir: str):
     )
 
 
+def _q_kg_bfs(sf_dir: str):
+    """BFS hop distances from note_0 over the undirected links_to
+    graph (≤ 6 hops) — frontier expansion as per-round bounded
+    semi/anti joins."""
+    from obsidian_parser_ray.stages.graphops import bfs_hops
+
+    return bfs_hops(
+        _graph(sf_dir).triples, ["note_0"], pred="links_to",
+        directed=False, max_hops=6,
+    )
+
+
+def _q_kg_incremental(sf_dir: str):
+    """Incremental maintenance as an EQUALITY GATE: checkpoint the
+    graph base, apply a delta (changed doc + alias-stealing new doc +
+    removed doc), and require the bucket-rewriting incremental path
+    to produce EXACTLY the triples of a from-scratch rebuild of the
+    mutated vault.  Oracle expects the doc count with TRUE."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from obsidian_parser_ray import build_graph, synth_vault
+    from obsidian_parser_ray.pipelines.incremental import (
+        checkpoint_graph_base, incremental_update,
+    )
+    from obsidian_parser_ray.sources import from_markdown_items
+
+    delta_items = [
+        ("note_7", "Rewired to [[note_3]] only now. #tag_d"),
+        # sorts before every note_* doc → steals alias_0 from note_0,
+        # so all d%5==1 docs citing [[alias_0]] must re-resolve
+        ("aaa/thief", "---\naliases: [alias_0]\n---\nSteals alias_0."),
+    ]
+    removed = ["note_11"]  # citing docs' links become unresolved
+
+    v0 = synth_vault(sf_dir)
+    base = tempfile.mkdtemp(prefix="kg_inc_gate_")
+    try:
+        checkpoint_graph_base(v0, base, num_buckets=16)
+        inc = incremental_update(
+            base, from_markdown_items(delta_items), removed
+        )
+        got = sorted(
+            (r["subj"], r["pred"], r["obj"], r["weight"])
+            for r in inc.take_all()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    changed = {d for d, _ in delta_items} | set(removed)
+    import pyarrow.compute as _pc
+
+    def drop_changed(t):
+        import pyarrow as _pa
+
+        return t.filter(
+            _pc.invert(_pc.is_in(
+                t["doc_id"],
+                value_set=_pa.array(sorted(changed), _pa.string()),
+            ))
+        )
+
+    v1 = v0.map_batches(drop_changed, batch_format="pyarrow").union(
+        from_markdown_items(delta_items)
+    )
+    full = build_graph(v1, materialize_notes=True)
+    exp = sorted(
+        (r["subj"], r["pred"], r["obj"], r["weight"])
+        for r in full.triples.take_all()
+    )
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    return pd.DataFrame(
+        [{"n_docs": n_docs, "match_ok": bool(got == exp)}]
+    )
+
+
 def _q_emb_kmeans(sf_dir: str):
     """Distributed k-means as a TOLERANCE GATE (pagerank pattern):
     the map_batches/groupby Lloyd iteration must agree with an exact
@@ -417,6 +495,14 @@ def _q_doc_dedup_drop(sf_dir: str):
 
     kept = drop_exact_duplicates(_read(sf_dir, "documents", ["doc_id", "text"]))
     return kept.select_columns(["doc_id"])
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals (duplicate line/word fractions
+    as exact integer micros)."""
+    from obsidian_parser_ray.stages.text import repetition_profile
+
+    return repetition_profile(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _q_doc_quality(sf_dir: str):
@@ -967,11 +1053,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_markdown": _q_kg_markdown,
         "kg_analyzer": _q_kg_analyzer,
         "kg_resolution": _q_kg_resolution,
+        "kg_incremental": _q_kg_incremental,
+        "kg_bfs": _q_kg_bfs,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_drop": _q_doc_dedup_drop,
         "doc_profile": _q_doc_profile,
         "doc_top_terms": _q_doc_top_terms,
         "doc_quality": _q_doc_quality,
+        "doc_repetition": _q_doc_repetition,
         "doc_chunks": _q_doc_chunks,
         "doc_sample": _q_doc_sample,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
@@ -1063,6 +1152,25 @@ SELECT
         "kg_analyzer": analyzer_sql,
         # quality score replicated op-for-op in IEEE-754 double, then
         # an exact integer floor — mirrors text.py:quality_score_batch
+        "doc_repetition": r"""
+SELECT doc_id,
+  len(ln)::BIGINT AS n_lines,
+  len(list_distinct(ln))::BIGINT AS n_distinct_lines,
+  len(w)::BIGINT AS n_words,
+  len(list_distinct(w))::BIGINT AS n_distinct_words,
+  (CASE WHEN len(ln) = 0 THEN 0
+        ELSE (len(ln) - len(list_distinct(ln))) * 1000000 // len(ln)
+   END)::BIGINT AS dup_line_micro,
+  (CASE WHEN len(w) = 0 THEN 0
+        ELSE (len(w) - len(list_distinct(w))) * 1000000 // len(w)
+   END)::BIGINT AS dup_word_micro
+FROM (
+  SELECT doc_id, string_split(text, chr(10)) AS ln,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+)
+""",
         "doc_quality": rf"""
 WITH s AS (
   SELECT doc_id,
@@ -1388,6 +1496,22 @@ WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.5
             "SELECT count(*)::BIGINT AS n_vecs, TRUE AS assign_ok,"
             " TRUE AS centroid_ok FROM embeddings"
         ),
+        "kg_incremental": (
+            "SELECT count(*)::BIGINT AS n_docs, TRUE AS match_ok"
+            " FROM documents"
+        ),
+        "kg_bfs": cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+, le AS (SELECT subj, obj FROM exp_triples WHERE pred = 'links_to'),
+ue AS (SELECT subj AS a, obj AS b FROM le UNION SELECT obj, subj FROM le),
+walk(node, dist) AS (
+  SELECT 'note_0', 0
+  UNION
+  SELECT ue.b, w.dist + 1 FROM walk w JOIN ue ON ue.a = w.node
+  WHERE w.dist < 6
+)
+SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY 1
+""",
         "events_hist": (
             "SELECT event_type, floor(value)::BIGINT AS bin,"
             " count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"

@@ -1,0 +1,477 @@
+"""Incremental KG maintenance: apply a document delta to a persisted
+graph base WITHOUT re-processing the whole vault.
+
+The 100 TB argument: a full rebuild re-parses every document on every
+vault change.  This module persists the build's intermediate tables in
+a doc-hash / key-hash bucketed parquet layout so a delta of D changed
+documents touches work proportional to::
+
+    |D|  (re-extract)
+  + |dictionary candidates of D|        (winner recompute, key-pruned)
+  + |mentions citing a CHANGED name|    (re-link, key-bucket-pruned read)
+  + |buckets containing affected docs|  (bucket rewrite)
+
+never O(corpus).  Layout under ``base_dir``::
+
+    candidates/            (kind, key, owner)        — full candidate
+                           multiset (NOT just winners: a deletion must
+                           promote the runner-up, which winner-only
+                           state cannot do)
+    docs/db=<b>/           (doc_id)                  — doc index
+    mentions/db=<b>/       MENTIONS_SCHEMA           — by doc bucket
+    mention_keys/kb=<b>/   (target_key, doc_id, gen) — by key bucket
+                           (the reverse index: which docs cite a key)
+    triples/db=<b>/        (subj, pred, obj, weight) — by subj bucket
+    _MANIFEST.json         num_buckets, generation, tombstones
+
+``mention_keys`` is the dual index: a changed doc's old reverse-index
+rows are scattered across key buckets, so instead of rewriting them we
+TOMBSTONE the doc (manifest maps doc_id → min valid generation; new
+rows carry the current generation).  Reads filter against the
+tombstone map — O(cumulative changed docs) until a compaction rewrites
+the index (not implemented; the map is small relative to any delta
+stream that would matter).  All other tables are doc-bucketed, so
+their affected buckets are rewritten exactly (tmp + atomic rename).
+
+Resolution-change semantics (matching ``stages.linking``): a mention
+re-resolves iff its ``target_key``'s winner changed in ANY of the
+full/short/alias maps (conservative superset — the full-vs-short
+routing depends on a '/' in the key, and alias is a fallback of
+short).  Winner per (kind, key) = min(owner doc_id), so the delta
+winner recompute only needs candidate rows for TOUCHED keys.
+
+Driver-side state is bounded by the delta: the changed-doc id set,
+touched keys, and changed keys are all O(|D| · names-per-doc) —
+broadcast via ``ray.put``, never joined by shuffle (a delta that is
+itself 100 TB should just rebuild).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _bucket_dirs(root: str, prefix: str, buckets) -> list[str]:
+    out = []
+    for b in sorted(set(int(x) for x in buckets)):
+        p = os.path.join(root, f"{prefix}={b}")
+        if os.path.isdir(p):
+            out.append(p)
+    return out
+
+
+def _all_bucket_ids(root: str, prefix: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith(prefix + "=")
+    )
+
+
+def _read_dirs(paths: list[str], schema: pa.Schema):
+    """Read hive leaf dirs; Ray may re-infer the partition column from
+    the dir names (db=/kb=), so strip it back off."""
+    import ray.data as rd
+
+    if not paths:
+        return rd.from_arrow(schema.empty_table())
+
+    def drop_parts(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.column_names if c not in ("db", "kb")]
+        return t.select(keep)
+
+    return rd.read_parquet(paths, file_extensions=["parquet"]).map_batches(
+        drop_parts, batch_format="pyarrow"
+    )
+
+
+def _candidates_batch(t: pa.Table) -> pa.Table:
+    """notes → dictionary candidate rows (kind, key, owner)."""
+    doc_ids = t["doc_id"].combine_chunks() if isinstance(
+        t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+    names = t["note_name"].combine_chunks() if isinstance(
+        t["note_name"], pa.ChunkedArray) else t["note_name"]
+    aliases = t["aliases"].combine_chunks() if isinstance(
+        t["aliases"], pa.ChunkedArray) else t["aliases"]
+    n = t.num_rows
+    parent = pc.list_parent_indices(aliases)
+    flat = aliases.flatten()
+    kinds = (
+        ["full"] * n + ["short"] * n + ["alias"] * len(flat)
+    )
+    keys = pa.concat_arrays([
+        doc_ids, names, flat.cast(pa.string())
+        if not pa.types.is_string(flat.type) else flat,
+    ])
+    owners = pa.concat_arrays([
+        doc_ids, doc_ids, pc.take(doc_ids, parent),
+    ])
+    return pa.table({
+        "kind": pa.array(kinds, pa.string()),
+        "key": keys,
+        "owner": owners,
+    })
+
+
+_CAND_SCHEMA = pa.schema([
+    ("kind", pa.string()), ("key", pa.string()), ("owner", pa.string()),
+])
+
+_MKEYS_SCHEMA = pa.schema([
+    ("target_key", pa.string()), ("doc_id", pa.string()),
+    ("gen", pa.int64()),
+])
+
+_TRIPLES_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()),
+    ("obj", pa.string()), ("weight", pa.int64()),
+])
+
+_DOCS_SCHEMA = pa.schema([("doc_id", pa.string())])
+
+
+def _mention_keys_batch(t: pa.Table, *, gen: int) -> pa.Table:
+    from ..stages.linking import _LITERAL_KINDS
+
+    mask = pc.invert(
+        pc.is_in(t["kind"],
+                 value_set=pa.array(sorted(_LITERAL_KINDS), pa.string()))
+    )
+    kept = t.filter(mask)
+    return pa.table({
+        "target_key": kept["target_key"],
+        "doc_id": kept["subj"],  # mentions carry the doc key as subj
+        "gen": pa.array([gen] * kept.num_rows, pa.int64()),
+    })
+
+
+def _write_buckets(ds, out_root: str, col: str, prefix: str,
+                   num_buckets: int):
+    """Hash-bucket ``ds`` on ``col`` and write hive dirs
+    ``{out_root}/{prefix}=<b>/`` (tmp + rename for atomicity)."""
+    from ..hashing import hash_bucket_array
+
+    def add(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            prefix, hash_bucket_array(t[col], num_buckets)
+        )
+
+    tmp = out_root + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.map_batches(add, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=[prefix]
+    )
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.replace(tmp, out_root)
+
+
+def checkpoint_graph_base(docs, base_dir: str, *, num_buckets: int = 64,
+                          extract_batch_size: int | None = None,
+                          strict_lists: bool = False) -> dict:
+    """Full build of ``docs`` + persist the incremental base layout.
+
+    One extract pass feeds every artifact (notes checkpointed via
+    materialize at this call's scale; pass a pre-checkpointed docs
+    Dataset for the 100 TB variant).  Returns the manifest.
+    """
+    from ..stages.canonicalize import canonicalize
+    from ..stages.extract import explode_mentions, extract_notes
+    from ..stages.linking import child_of_edges, link_mentions
+
+    os.makedirs(base_dir, exist_ok=True)
+    notes = extract_notes(
+        docs, batch_size=extract_batch_size, strict_lists=strict_lists
+    ).materialize()
+
+    cands = notes.map_batches(_candidates_batch, batch_format="pyarrow")
+    _write_buckets(cands, os.path.join(base_dir, "candidates"),
+                   "key", "kb", num_buckets)
+
+    mentions = explode_mentions(notes).materialize()
+    _write_buckets(mentions, os.path.join(base_dir, "mentions"),
+                   "subj", "db", num_buckets)
+    _write_buckets(
+        mentions.map_batches(_mention_keys_batch, fn_kwargs={"gen": 0},
+                             batch_format="pyarrow"),
+        os.path.join(base_dir, "mention_keys"), "target_key", "kb",
+        num_buckets,
+    )
+    _write_buckets(notes.select_columns(["doc_id"]),
+                   os.path.join(base_dir, "docs"), "doc_id", "db",
+                   num_buckets)
+
+    dictionary = _dictionary_from_candidates(
+        _read_dirs(_bucket_dirs(os.path.join(base_dir, "candidates"),
+                                "kb", _all_bucket_ids(
+                                    os.path.join(base_dir, "candidates"),
+                                    "kb")),
+                   _CAND_SCHEMA)
+    )
+    edges = link_mentions(mentions, dictionary, drop_unresolved=True)
+    edges = edges.union(child_of_edges(notes.select_columns(["doc_id"])))
+    triples = canonicalize(edges)
+    _write_buckets(triples, os.path.join(base_dir, "triples"),
+                   "subj", "db", num_buckets)
+
+    man = {"num_buckets": num_buckets, "generation": 0, "tombstones": {}}
+    with open(os.path.join(base_dir, _MANIFEST), "w") as f:
+        json.dump(man, f)
+    return man
+
+
+def _dictionary_from_candidates(cands):
+    """Reduce the candidate multiset to the broadcast dictionary:
+    winner per (kind, key) = min(owner)."""
+    from ray.data.aggregate import Min
+
+    from ..stages.linking import ArrowLinkDictionary
+
+    rows = (
+        cands.groupby(["kind", "key"])
+        .aggregate(Min("owner", alias_name="winner"))
+        .take_all()
+    )
+    full, sk, sv, ak, av = [], [], [], [], []
+    for r in rows:
+        if r["kind"] == "full":
+            full.append(r["key"])
+        elif r["kind"] == "short":
+            sk.append(r["key"])
+            sv.append(r["winner"])
+        else:
+            ak.append(r["key"])
+            av.append(r["winner"])
+    return ArrowLinkDictionary(
+        full_keys=pa.array(sorted(full), pa.string()),
+        short_keys=pa.array(sk, pa.string()),
+        short_vals=pa.array(sv, pa.string()),
+        alias_keys=pa.array(ak, pa.string()),
+        alias_vals=pa.array(av, pa.string()),
+    )
+
+
+def _filter_in(col_name: str, values: set, *, invert: bool = False):
+    arr = pa.array(sorted(values), pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[col_name], value_set=arr)
+        return t.filter(pc.invert(m) if invert else m)
+
+    return fn
+
+
+def incremental_update(base_dir: str, delta_docs, removed_ids=(), *,
+                       extract_batch_size: int | None = None,
+                       strict_lists: bool = False):
+    """Apply (changed/added ``delta_docs``, ``removed_ids``) to the
+    base; rewrites affected buckets IN PLACE and returns the new full
+    triples Dataset (untouched buckets stream straight from disk).
+    """
+    import ray.data as rd
+
+    from ..hashing import hash_bucket_scalar
+    from ..stages.canonicalize import canonicalize
+    from ..stages.extract import explode_mentions, extract_notes
+    from ..stages.linking import child_of_edges, link_mentions
+
+    with open(os.path.join(base_dir, _MANIFEST)) as f:
+        man = json.load(f)
+    B = int(man["num_buckets"])
+    gen = int(man["generation"]) + 1
+    tombstones: dict = dict(man.get("tombstones", {}))
+
+    notes_d = extract_notes(
+        delta_docs, batch_size=extract_batch_size,
+        strict_lists=strict_lists,
+    ).materialize()
+    delta_ids = [r["doc_id"]
+                 for r in notes_d.select_columns(["doc_id"]).take_all()]
+    affected_owner = set(delta_ids) | set(removed_ids)
+    if not affected_owner:
+        return _read_dirs(
+            _bucket_dirs(os.path.join(base_dir, "triples"), "db",
+                         _all_bucket_ids(
+                             os.path.join(base_dir, "triples"), "db")),
+            _TRIPLES_SCHEMA)
+
+    cand_root = os.path.join(base_dir, "candidates")
+    cand_all = _read_dirs(
+        _bucket_dirs(cand_root, "kb", _all_bucket_ids(cand_root, "kb")),
+        _CAND_SCHEMA)
+    cand_old_affected = cand_all.map_batches(
+        _filter_in("owner", affected_owner), batch_format="pyarrow")
+    cand_d = notes_d.map_batches(_candidates_batch,
+                                 batch_format="pyarrow").materialize()
+    touched_keys = (
+        {r["key"] for r in cand_old_affected.select_columns(["key"])
+         .take_all()}
+        | {r["key"] for r in cand_d.select_columns(["key"]).take_all()}
+    )
+
+    cand_kept = cand_all.map_batches(
+        _filter_in("owner", affected_owner, invert=True),
+        batch_format="pyarrow")
+    # pinned: consumed by the winner recompute, the dictionary build
+    # AND the candidates rewrite — without the pin each consumer would
+    # re-read the (soon-to-be-replaced) on-disk candidate buckets
+    cand_new = cand_kept.union(cand_d).materialize()
+
+    def winners(cands):
+        from ray.data.aggregate import Min
+
+        touched = cands.map_batches(_filter_in("key", touched_keys),
+                                    batch_format="pyarrow")
+        return {
+            (r["kind"], r["key"]): r["winner"]
+            for r in touched.groupby(["kind", "key"])
+            .aggregate(Min("owner", alias_name="winner")).take_all()
+        }
+
+    w_old = winners(cand_all)
+    w_new = winners(cand_new)
+    changed_keys = {
+        k[1] for k in set(w_old) | set(w_new)
+        if w_old.get(k) != w_new.get(k)
+    }
+
+    # docs whose mentions re-resolve: cite a changed key (reverse-index
+    # pruned read, tombstone-filtered), or are themselves in the delta
+    more_affected: set = set()
+    if changed_keys:
+        mk_dirs = _bucket_dirs(
+            os.path.join(base_dir, "mention_keys"), "kb",
+            {hash_bucket_scalar(k, B) for k in changed_keys})
+        mk = _read_dirs(mk_dirs, _MKEYS_SCHEMA).map_batches(
+            _filter_in("target_key", changed_keys),
+            batch_format="pyarrow")
+        if tombstones:
+            tomb_keys = pa.array(list(tombstones), pa.string())
+            tomb_gens = pa.array(
+                [int(tombstones[k]) for k in tombstones], pa.int64())
+
+            def drop_tomb(t: pa.Table) -> pa.Table:
+                idx = pc.index_in(t["doc_id"], tomb_keys)
+                min_gen = pc.take(tomb_gens, idx)
+                stale = pc.and_kleene(
+                    pc.is_valid(min_gen), pc.less(t["gen"], min_gen))
+                return t.filter(
+                    pc.invert(pc.fill_null(stale, False)))
+
+            mk = mk.map_batches(drop_tomb, batch_format="pyarrow")
+        more_affected = {
+            r["doc_id"]
+            for r in mk.select_columns(["doc_id"]).take_all()
+        }
+    affected = affected_owner | more_affected
+    removed = set(removed_ids)
+    alive_delta = set(delta_ids)
+    kept_relink = affected - affected_owner  # unchanged docs, re-resolve
+
+    db_affected = {hash_bucket_scalar(d, B) for d in affected}
+    from ..stages.extract import MENTIONS_SCHEMA
+
+    mention_root = os.path.join(base_dir, "mentions")
+    kept_mentions = _read_dirs(
+        _bucket_dirs(mention_root, "db", db_affected), MENTIONS_SCHEMA
+    ).map_batches(_filter_in("subj", kept_relink),
+                  batch_format="pyarrow") if kept_relink else None
+    mentions_d = explode_mentions(notes_d)
+    mentions_relink = (
+        kept_mentions.union(mentions_d)
+        if kept_mentions is not None else mentions_d
+    ).materialize()
+
+    dict_new = _dictionary_from_candidates(cand_new)
+
+    edges_a = link_mentions(mentions_relink, dict_new,
+                            drop_unresolved=True)
+    # child_of for every alive affected doc (kept + delta; not removed)
+    alive_kept = kept_relink - removed
+    docs_root = os.path.join(base_dir, "docs")
+    alive_ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(sorted(alive_delta), pa.string())}))
+    if alive_kept:
+        kept_docs = _read_dirs(
+            _bucket_dirs(docs_root, "db",
+                         {hash_bucket_scalar(d, B) for d in alive_kept}),
+            _DOCS_SCHEMA,
+        ).map_batches(_filter_in("doc_id", alive_kept),
+                      batch_format="pyarrow")
+        alive_ds = alive_ds.union(kept_docs)
+    edges_a = edges_a.union(child_of_edges(alive_ds))
+    triples_a = canonicalize(edges_a).materialize()
+
+    # ---- rewrite affected buckets in place --------------------------
+    _write_buckets(cand_new, cand_root, "key", "kb", B)
+
+    def rewrite(root: str, schema, keep_fn, new_ds, key_col: str):
+        """Replace affected-doc rows within the affected buckets."""
+        dirs = _bucket_dirs(root, "db", db_affected)
+        kept = _read_dirs(dirs, schema).map_batches(
+            keep_fn, batch_format="pyarrow")
+        merged = (kept.union(new_ds) if new_ds is not None
+                  else kept).materialize()
+        from ..hashing import hash_bucket_array
+
+        def add(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "db", hash_bucket_array(t[key_col], B))
+
+        tmp = root + ".updtmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.map_batches(add, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["db"])
+        for b in sorted(db_affected):
+            src = os.path.join(tmp, f"db={b}")
+            dst = os.path.join(root, f"db={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    rewrite(mention_root, MENTIONS_SCHEMA,
+            _filter_in("subj", affected, invert=True),
+            mentions_relink.map_batches(
+                _filter_in("subj", removed, invert=True),
+                batch_format="pyarrow"),
+            "subj")
+    rewrite(docs_root, _DOCS_SCHEMA,
+            _filter_in("doc_id", affected, invert=True), alive_ds,
+            "doc_id")
+    rewrite(os.path.join(base_dir, "triples"), _TRIPLES_SCHEMA,
+            _filter_in("subj", affected, invert=True), triples_a, "subj")
+
+    # reverse index: append delta rows at the new generation, tombstone
+    # every doc whose old reverse rows are now stale
+    mk_root = os.path.join(base_dir, "mention_keys")
+    mk_new = mentions_relink.map_batches(
+        _mention_keys_batch, fn_kwargs={"gen": gen},
+        batch_format="pyarrow")
+    from ..hashing import hash_bucket_array as _hba
+
+    def add_kb(t: pa.Table) -> pa.Table:
+        return t.append_column("kb", _hba(t["target_key"], B))
+
+    mk_new.map_batches(add_kb, batch_format="pyarrow").write_parquet(
+        mk_root, partition_cols=["kb"])
+    for d in affected:
+        tombstones[d] = gen
+
+    man.update(generation=gen, tombstones=tombstones)
+    with open(os.path.join(base_dir, _MANIFEST), "w") as f:
+        json.dump(man, f)
+
+    return _read_dirs(
+        _bucket_dirs(os.path.join(base_dir, "triples"), "db",
+                     _all_bucket_ids(
+                         os.path.join(base_dir, "triples"), "db")),
+        _TRIPLES_SCHEMA)

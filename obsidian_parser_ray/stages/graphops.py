@@ -204,3 +204,93 @@ def triangle_counts(triples, *, num_partitions: int = 64):
         .groupby("node")
         .aggregate(_Sum("_n", alias_name="n_triangles"))
     )
+
+
+def bfs_hops(triples, sources: list[str], *, pred: str = "links_to",
+             directed: bool = False, max_hops: int = 8,
+             num_partitions: int = 32):
+    """Hop distances from ``sources`` over the ``pred`` edge set:
+    ``(node, dist)`` for every node within ``max_hops``.
+
+    Frontier-expansion BFS as rounds of bounded Ray joins: each round
+    is one semi join (edges whose tail sits in the frontier) plus one
+    anti join (drop already-visited heads) — both via the
+    partition-robust ``hash_join_unique``, so the per-round shuffle
+    carries only frontier-adjacent edges, and the distance label of a
+    node is written exactly once (the first round that reaches it,
+    which IS its BFS distance).  State tables are coalesced +
+    materialized per round (the iterative-pipeline block-growth rule —
+    same as pagerank/components).
+    """
+    import ray.data as rd
+
+    from .joins import hash_join_unique
+
+    def keep_pred(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["pred"], pa.scalar(pred, pa.string())))
+
+    e = triples.map_batches(keep_pred, batch_format="pyarrow")
+
+    def fwd(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["subj"], "b": t["obj"]})
+
+    edges = e.map_batches(fwd, batch_format="pyarrow")
+    if not directed:
+        def rev(t: pa.Table) -> pa.Table:
+            return pa.table({"a": t["obj"], "b": t["subj"]})
+
+        edges = edges.union(e.map_batches(rev, batch_format="pyarrow"))
+    edges = edges.materialize()
+
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array(sorted(set(sources)), pa.string()),
+        "dist": pa.array([0] * len(set(sources)), pa.int64()),
+    })).materialize()
+    frontier = visited
+
+    for d in range(1, max_hops + 1):
+        # heads of edges leaving the frontier, deduped per partition
+        reached = hash_join_unique(
+            edges, frontier.select_columns(["node"]),
+            left_key="a", right_key="node", how="semi",
+            num_partitions=num_partitions,
+        )
+
+        def heads(t: pa.Table) -> pa.Table:
+            out = pa.table({"node": t["b"]})
+            return out.group_by(["node"]).aggregate([])
+
+        cand = reached.map_batches(heads, batch_format="pyarrow")
+        # global dedup (a head can arrive from many partitions)
+        from ..hashing import hash_bucket_array
+
+        def addp(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "part", hash_bucket_array(t["node"], num_partitions))
+
+        def collapse(t: pa.Table) -> pa.Table:
+            return (t.drop_columns(["part"])
+                    .group_by(["node"]).aggregate([]))
+
+        cand = (cand.map_batches(addp, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(collapse, batch_format="pyarrow"))
+        new = hash_join_unique(
+            cand, visited.select_columns(["node"]),
+            left_key="node", how="anti", num_partitions=num_partitions,
+        )
+
+        def label(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "dist", pa.array([d] * t.num_rows, pa.int64()))
+
+        frontier = new.map_batches(
+            label, batch_format="pyarrow"
+        ).repartition(num_partitions // 4 or 1, shuffle=False).materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).repartition(
+            num_partitions // 4 or 1, shuffle=False
+        ).materialize()
+
+    return visited

@@ -335,3 +335,44 @@ def tfidf_top_terms(ds, k: int = 3, *, idf: str = "linear",
         scored, [id_col], "score", k, tiebreak=["term"], rank_col="rn",
         num_partitions=num_partitions,
     )
+
+
+def repetition_profile(ds, *, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       batch_size: int | None = 512):
+    """Gopher-style repetition/boilerplate signals, all integers so
+    the DuckDB twin reproduces them bit-exactly:
+
+    n_lines / n_distinct_lines (split on ``\\n``, empties kept — ==
+    ``string_split(text, chr(10))``), n_words / n_distinct_words
+    (ASCII ``\\S+`` runs == RE2 ``\\s+`` split with empties dropped),
+    and the duplicate fractions as exact integer micros
+    (``(total - distinct) * 1e6 // total``; 0 for empty docs).
+    High dup_*_micro = boilerplate / template / scraper junk."""
+
+    def profile(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        nl, ndl, nw, ndw, dlm, dwm = [], [], [], [], [], []
+        for x in texts:
+            lines = x.split("\n")
+            words = _ASCII_WORD.findall(x)
+            a, b = len(lines), len(set(lines))
+            c, d = len(words), len(set(words))
+            nl.append(a)
+            ndl.append(b)
+            nw.append(c)
+            ndw.append(d)
+            dlm.append((a - b) * 1_000_000 // a if a else 0)
+            dwm.append((c - d) * 1_000_000 // c if c else 0)
+        return pa.table({
+            id_col: t[id_col],
+            "n_lines": pa.array(nl, pa.int64()),
+            "n_distinct_lines": pa.array(ndl, pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+            "n_distinct_words": pa.array(ndw, pa.int64()),
+            "dup_line_micro": pa.array(dlm, pa.int64()),
+            "dup_word_micro": pa.array(dwm, pa.int64()),
+        })
+
+    return ds.map_batches(profile, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -86,3 +86,43 @@ class TestTriangles:
 
     def test_empty(self):
         assert _run([]) == {}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBfsHops:
+    def _run(self, edges, sources, **kw):
+        import ray
+
+        from obsidian_parser_ray.stages.graphops import bfs_hops
+
+        rows = [{"subj": a, "pred": kw.pop("pred_name", "links_to"),
+                 "obj": b, "weight": 1} for a, b in edges]
+        t = pa.table({k: [r[k] for r in rows]
+                      for k in ("subj", "pred", "obj", "weight")})
+        ds = ray.data.from_arrow(t)
+        out = bfs_hops(ds, sources, num_partitions=8, **kw)
+        return {r["node"]: r["dist"] for r in out.take_all()}
+
+    def test_chain_directed_vs_undirected(self):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "a")]
+        und = self._run(edges, ["a"])
+        assert und == {"a": 0, "b": 1, "c": 2, "d": 3, "x": 1}
+        fwd = self._run(edges, ["a"], directed=True)
+        assert fwd == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_shortest_wins_over_longer_path(self):
+        # two routes a→…→e: length 2 and length 4; dist must be 2
+        edges = [("a", "b"), ("b", "e"),
+                 ("a", "p"), ("p", "q"), ("q", "r"), ("r", "e")]
+        got = self._run(edges, ["a"], directed=True)
+        assert got["e"] == 2
+
+    def test_max_hops_cutoff_and_multi_source(self):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("z", "c")]
+        got = self._run(edges, ["a", "z"], directed=True, max_hops=1)
+        assert got == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+    def test_unreached_absent(self):
+        edges = [("a", "b"), ("x", "y")]
+        got = self._run(edges, ["a"])
+        assert "x" not in got and "y" not in got

@@ -145,3 +145,38 @@ class TestTfidf:
         assert np.isclose(
             d0["score"].iloc[0], 2 * np.log(2.0), atol=1e-12
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepetitionProfile:
+    def test_planted_repetition(self):
+        import pyarrow as pa
+        import ray
+
+        from obsidian_parser_ray.stages.text import repetition_profile
+
+        docs = pa.table({
+            "doc_id": pa.array(["clean", "boiler", "empty"], pa.string()),
+            "text": pa.array([
+                "one two three\nfour five six",
+                "same line\nsame line\nsame line\nword word word word",
+                "",
+            ], pa.string()),
+        })
+        out = {
+            r["doc_id"]: r
+            for r in repetition_profile(
+                ray.data.from_arrow(docs)
+            ).take_all()
+        }
+        assert out["clean"]["dup_line_micro"] == 0
+        assert out["clean"]["dup_word_micro"] == 0
+        b = out["boiler"]
+        assert b["n_lines"] == 4 and b["n_distinct_lines"] == 2
+        assert b["dup_line_micro"] == 2 * 1_000_000 // 4
+        assert b["n_words"] == 10 and b["n_distinct_words"] == 3
+        assert b["dup_word_micro"] == 7 * 1_000_000 // 10
+        # "" splits to one empty line, zero words — no div-by-zero
+        e = out["empty"]
+        assert e["n_lines"] == 1 and e["n_words"] == 0
+        assert e["dup_line_micro"] == 0 and e["dup_word_micro"] == 0
