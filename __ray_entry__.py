@@ -526,6 +526,19 @@ def _q_doc_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.4, max_df=64)
 
 
+def _q_doc_neardup_drop(sf_dir: str):
+    """Near-duplicate dedup DROP: exact >=0.4-Jaccard pair graph →
+    distributed connected components over it → keep the min-id
+    representative per cluster (corpus anti-joined against the
+    losers)."""
+    from obsidian_parser_ray.stages.dedup import drop_near_duplicates
+
+    return drop_near_duplicates(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.4, max_df=64,
+    ).select_columns(["doc_id"])
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic stratified sample: 5 docs per language by
     smallest md5(doc_id) — reproducible in SQL, oracle-checked."""
@@ -1064,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "doc_sample": _q_doc_sample,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "doc_neardup_drop": _q_doc_neardup_drop,
         "events_topk_users": _q_events_topk_users,
         "events_hist": _q_events_hist,
         "events_approx_users": _q_events_approx_users,
@@ -1410,6 +1424,46 @@ SELECT p.id_a, p.id_b, p.inter,
        p.inter / (na.n_sh + nb.n_sh - p.inter) AS jaccard
 FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
 WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.4
+""",
+        # near-dup DROP: the exact pair graph above → recursive-CTE
+        # connected components → keep the min-id representative per
+        # cluster — mirrors stages/dedup.py:drop_near_duplicates
+        "doc_neardup_drop": r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3)
+  UNION
+  SELECT doc_id, array_to_string(ws, ' ') FROM w WHERE len(ws) BETWEEN 1 AND 2
+),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 64),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN ok ON ok.shingle = a.shingle
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT p.id_a AS a, p.id_b AS b
+  FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+  WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.4
+),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(node, lbl) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
 """,
         "events_topk_users": (
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events"

@@ -835,3 +835,79 @@ def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
         _empty_pairs(id_t, "cosine", pa.float64()),
         Max("cosine", alias_name="cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate DROP (pairs → clusters → one representative kept)
+# ---------------------------------------------------------------------------
+
+
+def drop_near_duplicates(ds, *, text_col: str = "text",
+                         id_col: str = "doc_id", shingle_k: int = 3,
+                         threshold: float = 0.5, max_df: int = 64,
+                         num_partitions: int = 64,
+                         cc_max_iters: int = 50,
+                         cc_num_partitions: int = 16):
+    """The DEDUP half of near-dup detection: keep ONE document per
+    near-duplicate cluster, drop the rest.
+
+    Composition of three scale-safe distributed stages:
+
+    1. :func:`ngram_jaccard_pairs` — exact >= ``threshold`` Jaccard
+       pairs via the df-capped inverted index (never all-pairs);
+    2. :func:`pipelines.components.connected_components` over the pair
+       graph ONLY (the component universe is the near-dup subgraph —
+       typically a tiny fraction of the corpus — seeded from edge
+       endpoints, so no corpus-sized label table);
+    3. representative = min id per component (deterministic under any
+       block layout); the corpus is anti-joined against the
+       non-representative ids (:func:`joins.hash_join_unique`, a
+       presence check — no full shuffle of the corpus rows).
+
+    Transitive closure is deliberate: if A~B and B~C, one of {A,B,C}
+    survives even when A~C is below threshold (standard LSH-cluster
+    dedup semantics).  Returns ``ds`` rows whose ``id_col`` survived.
+    """
+    from ..pipelines.components import connected_components
+    from .joins import hash_join_unique
+
+    pairs = ngram_jaccard_pairs(
+        ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        threshold=threshold, max_df=max_df, num_partitions=num_partitions,
+    )
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"subj": t["id_a"], "obj": t["id_b"]})
+
+    # components seeds labels from edge endpoints; no corpus-wide nodes
+    # (limit(0) keeps the id column's type without naming it here —
+    # from_pandas datasets report pandas block types, not Arrow ones)
+    def as_doc_id(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id"])
+
+    no_nodes = ds.select_columns([id_col]).limit(0).map_batches(
+        as_doc_id, batch_format="pyarrow"
+    )
+    comp = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"), no_nodes,
+        max_iters=cc_max_iters, num_partitions=cc_num_partitions,
+    )
+
+    def losers(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.invert(pc.equal(t["node"], t["component"]))
+        return pa.table({"node": t["node"].filter(keep)})
+
+    def to_arrow(t: pa.Table) -> pa.Table:
+        return t
+
+    return hash_join_unique(
+        # normalize to Arrow blocks: the join types its carrier schema
+        # from the left side, and pandas-block datasets report numpy
+        # dtypes there
+        ds.map_batches(to_arrow, batch_format="pyarrow"),
+        comp.map_batches(losers, batch_format="pyarrow"),
+        left_key=id_col, right_key="node", how="anti",
+        num_partitions=num_partitions,
+    )

@@ -205,3 +205,42 @@ class TestEmbeddingNearDup:
         found = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
         assert found <= truth  # exact verify → precision 1.0
         assert len(found) / len(truth) >= 0.8
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDropNearDuplicates:
+    def _kept(self, texts, **kw):
+        from obsidian_parser_ray.stages.dedup import drop_near_duplicates
+
+        out = drop_near_duplicates(
+            _docs_ds(texts), num_partitions=8, cc_num_partitions=4, **kw
+        )
+        return sorted(r["doc_id"] for r in out.take_all())
+
+    def test_cluster_keeps_min_id_representative(self):
+        # 0≈1≈2 one cluster, 3 unrelated → keep {0, 3}
+        assert self._kept(
+            [BASE, NEAR, BASE, FAR], threshold=0.4
+        ) == [0, 3]
+
+    def test_no_duplicates_keeps_everything(self):
+        texts = [BASE, FAR, "a third unrelated note about minhash"]
+        assert self._kept(texts, threshold=0.9) == [0, 1, 2]
+
+    def test_transitive_chain_collapses(self):
+        # a~b and b~c above threshold; a~c below it — transitive
+        # closure must still collapse all three onto the min id
+        a = BASE
+        b = BASE.replace("lazy", "sleepy").replace("warm", "cold")
+        c = (BASE.replace("lazy", "sleepy").replace("warm", "cold")
+             .replace("quick", "slow").replace("cat", "bird"))
+        from obsidian_parser_ray.stages.dedup import (
+            ascii_word_shingles, jaccard,
+        )
+
+        ja_c = jaccard(ascii_word_shingles(a), ascii_word_shingles(c))
+        jab = jaccard(ascii_word_shingles(a), ascii_word_shingles(b))
+        jbc = jaccard(ascii_word_shingles(b), ascii_word_shingles(c))
+        thr = (max(ja_c, 0.0) + min(jab, jbc)) / 2
+        assert ja_c < thr < min(jab, jbc)  # the chain premise holds
+        assert self._kept([a, b, c, FAR], threshold=thr) == [0, 3]
