@@ -1050,6 +1050,87 @@ def _q_media_features(sf_dir: str):
     )
 
 
+# --- relational analytics over the TPC-H-style tables ------------------------
+
+
+def _q_sales_pricing(sf_dir: str):
+    """Q1-shape pricing roll-up: per-block partial aggregate → tiny
+    global groupby; money in exact int64 micro-units."""
+    import datetime as dt
+
+    from obsidian_parser_ray.pipelines.analytics import pricing_summary
+
+    return pricing_summary(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount", "l_tax", "l_shipdate"]),
+        cutoff=dt.datetime(2000, 9, 2),
+    )
+
+
+def _q_sales_top_orders(sf_dir: str):
+    """Q3-shape: segment semi-join + pre-aggregated revenue join +
+    global partial top-k."""
+    from obsidian_parser_ray.pipelines.analytics import top_orders_by_revenue
+
+    return top_orders_by_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+    )
+
+
+def _q_orders_late_priority(sf_dir: str):
+    """Q4-shape: per-order max(shipdate) aggregate ⋈ orders + date
+    arithmetic + priority counts."""
+    from obsidian_parser_ray.pipelines.analytics import late_order_priority
+
+    return late_order_priority(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+    )
+
+
+def _q_sales_region_revenue(sf_dir: str):
+    """Q5-shape: fact ⋈ three scaling dims (shuffle joins) ⋈ two
+    bounded dims (driver-broadcast Arrow arrays)."""
+    from obsidian_parser_ray.pipelines.analytics import region_nation_revenue
+
+    return region_nation_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region"),
+    )
+
+
+def _q_customer_order_dist(sf_dir: str):
+    """Q13-shape: left join with absent-key=0 semantics → count
+    distribution."""
+    from obsidian_parser_ray.pipelines.analytics import customer_order_distribution
+
+    return customer_order_distribution(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey"]),
+    )
+
+
+def _q_supplier_topk(sf_dir: str):
+    """Q15-shape: windowed per-supplier revenue → name join → top-k."""
+    from obsidian_parser_ray.pipelines.analytics import top_suppliers
+
+    return top_suppliers(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1106,6 +1187,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_quantiles": _q_events_type_quantiles,
         "events_type_approx_users": _q_events_type_approx_users,
         "media_features": _q_media_features,
+        "sales_pricing": _q_sales_pricing,
+        "sales_top_orders": _q_sales_top_orders,
+        "orders_late_priority": _q_orders_late_priority,
+        "sales_region_revenue": _q_sales_region_revenue,
+        "customer_order_dist": _q_customer_order_dist,
+        "supplier_topk": _q_supplier_topk,
     }
 
 
@@ -1863,5 +1950,87 @@ SELECT asset_id,
        CASE WHEN b0 % 2 = 0 THEN 16 + b3 % 64 ELSE 0 END::BIGINT AS height,
        CASE WHEN b0 % 2 = 0 THEN 0 ELSE 1000 + b4 * 100 END::BIGINT AS duration_ms
 FROM h
+""",
+        # --- TPC-H-shaped relational analytics: money compared in exact
+        # int64 micro-units (floor(expr * 1000000) per row — the SAME
+        # IEEE-double expression the Ray side evaluates, so distributed
+        # integer sums are bit-identical under any accumulation order).
+        # DuckDB sum(BIGINT) yields HUGEINT → cast back to BIGINT.
+        "sales_pricing": r"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT) AS sum_qty_micro,
+  CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS sum_base_micro,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS sum_disc_micro,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_micro,
+  CAST(sum(CAST(floor(l_discount * 1000000) AS BIGINT)) AS BIGINT) AS sum_discount_micro,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "sales_top_orders": r"""
+WITH r AS (
+  SELECT l_orderkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+      AS revenue_micro
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY l_orderkey
+)
+SELECT o_orderkey, revenue_micro, epoch(o_orderdate)::BIGINT AS o_orderdate_s,
+       o_orderpriority
+FROM r
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+ORDER BY revenue_micro DESC, o_orderkey
+LIMIT 10
+""",
+        "orders_late_priority": r"""
+SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+FROM orders
+JOIN (SELECT l_orderkey, max(l_shipdate) AS max_ship
+      FROM lineitem GROUP BY l_orderkey) x
+  ON o_orderkey = l_orderkey
+WHERE max_ship > o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+""",
+        "sales_region_revenue": r"""
+SELECT n_name,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+    AS revenue_micro
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+        "customer_order_dist": r"""
+SELECT n_orders, count(*)::BIGINT AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+""",
+        "supplier_topk": r"""
+WITH r AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+      AS revenue_micro
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey AS s_suppkey, s_name, revenue_micro
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY revenue_micro DESC, s_suppkey
+LIMIT 10
 """,
     }

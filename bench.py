@@ -121,6 +121,29 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
 
         return _consume(sessionize(read("events", ["user_id", "ts"])))
 
+    def q_sales_region():
+        # join-machinery headline: fact ⋈ 3 shuffle joins ⋈ 2 broadcast
+        # dims (added r2 — totals before r2 exclude it)
+        import datetime as dt
+
+        from obsidian_parser_ray.pipelines.analytics import region_nation_revenue
+
+        return _consume(
+            region_nation_revenue(
+                read("lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+                read("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+                read("customer", ["c_custkey", "c_nationkey"]),
+                read("supplier", ["s_suppkey", "s_nationkey"]),
+                read("nation", None),
+                read("region", None),
+                region_name="ASIA",
+                date_from=dt.datetime(1996, 1, 1),
+                date_to=dt.datetime(1997, 1, 1),
+                num_partitions=2 * num_cpus,
+            )
+        )
+
     # warm-up no-op dataset: spawn the worker pool BEFORE timing, so
     # cold-start process forking (~4-5 s) is not attributed to the
     # first query (same rationale as the scaling child's warm-up)
@@ -135,6 +158,7 @@ def bench_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
         ("doc_minhash", q_doc_minhash),
         ("emb_knn", q_emb_knn),
         ("events_sessions", q_events_sessions),
+        ("sales_region", q_sales_region),
     ]:
         t0 = time.perf_counter()
         fn()

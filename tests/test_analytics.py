@@ -1,0 +1,259 @@
+"""Relational-analytics pipelines vs a DuckDB oracle on a tiny
+synthesized multi-table schema (plus edge cases the sf tables can't
+plant: zero-order customers dominating, empty filter windows, revenue
+ties at the top-k boundary)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from obsidian_parser_ray.pipelines.analytics import (
+    customer_order_distribution,
+    global_topk,
+    late_order_priority,
+    pricing_summary,
+    region_nation_revenue,
+    top_orders_by_revenue,
+    top_suppliers,
+)
+
+
+def _ts_array(days: list[int], base=dt.datetime(1996, 1, 1)) -> pa.Array:
+    return pa.array(
+        [base + dt.timedelta(days=int(d)) for d in days], pa.timestamp("us")
+    )
+
+
+@pytest.fixture(scope="module")
+def tables():
+    rng = np.random.RandomState(7)
+    n_li, n_ord, n_cust, n_supp = 600, 150, 40, 8
+    orderkeys = rng.randint(0, n_ord, n_li)
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(orderkeys, pa.int64()),
+            "l_suppkey": pa.array(rng.randint(0, n_supp, n_li), pa.int64()),
+            "l_quantity": pa.array(rng.randint(1, 50, n_li).astype(float)),
+            "l_extendedprice": pa.array(np.round(rng.uniform(900, 10_000, n_li), 2)),
+            "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
+            "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_li), 2)),
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n_li)),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], n_li)),
+            "l_shipdate": _ts_array(list(rng.randint(0, 700, n_li))),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+            # only the first half of customers ever order → zero-order tail
+            "o_custkey": pa.array(rng.randint(0, n_cust // 2, n_ord), pa.int64()),
+            "o_orderdate": _ts_array(list(rng.randint(0, 600, n_ord))),
+            "o_orderpriority": pa.array(
+                rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n_ord)
+            ),
+        }
+    )
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+            "c_nationkey": pa.array(rng.randint(0, 6, n_cust).astype(np.int32)),
+            "c_mktsegment": pa.array(rng.choice(["BUILDING", "AUTO"], n_cust)),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+            "s_name": pa.array([f"supp_{i}" for i in range(n_supp)]),
+            "s_nationkey": pa.array(rng.randint(0, 6, n_supp).astype(np.int32)),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(6, dtype=np.int32)),
+            "n_name": pa.array([f"nation_{i}" for i in range(6)]),
+            "n_regionkey": pa.array((np.arange(6) % 2).astype(np.int32)),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(2, dtype=np.int32)),
+            "r_name": pa.array(["EVEN", "ODD"]),
+        }
+    )
+    return {
+        "lineitem": li, "orders": orders, "customer": customer,
+        "supplier": supplier, "nation": nation, "region": region,
+    }
+
+
+@pytest.fixture(scope="module")
+def con(tables):
+    c = duckdb.connect()
+    for name, t in tables.items():
+        c.register(name, t)
+    return c
+
+
+def _cmp(ds, con, sql):
+    got = ds.to_pandas()
+    exp = con.execute(sql).fetchdf()
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    for df in (got, exp):
+        for c in df.columns:
+            if str(df[c].dtype).startswith(("int", "uint")):
+                df[c] = df[c].astype("int64")
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    assert got.equals(exp), f"\n{got.head()}\n{exp.head()}"
+
+
+_REV = "CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)"
+
+
+def test_pricing_summary(ray_session, tables, con):
+    ds = pricing_summary(
+        rd.from_arrow(tables["lineitem"]).repartition(7),
+        cutoff=dt.datetime(1997, 1, 1),
+    )
+    _cmp(ds, con, """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT) AS sum_qty_micro,
+  CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS sum_base_micro,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS sum_disc_micro,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_micro,
+  CAST(sum(CAST(floor(l_discount * 1000000) AS BIGINT)) AS BIGINT) AS sum_discount_micro,
+  count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+
+
+def test_pricing_summary_empty_window(ray_session, tables):
+    ds = pricing_summary(
+        rd.from_arrow(tables["lineitem"]), cutoff=dt.datetime(1990, 1, 1)
+    )
+    assert ds.count() == 0
+
+
+def test_top_orders(ray_session, tables, con):
+    cut = dt.datetime(1996, 9, 1)
+    ds = top_orders_by_revenue(
+        rd.from_arrow(tables["lineitem"]).repartition(5),
+        rd.from_arrow(tables["orders"]).repartition(3),
+        rd.from_arrow(tables["customer"]),
+        segment="BUILDING", cutoff=cut, k=7, num_partitions=8,
+    )
+    _cmp(ds, con, f"""
+WITH r AS (
+  SELECT l_orderkey, CAST(sum({_REV}) AS BIGINT) AS revenue_micro
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1996-09-01' GROUP BY l_orderkey)
+SELECT o_orderkey, revenue_micro, epoch(o_orderdate)::BIGINT AS o_orderdate_s,
+       o_orderpriority
+FROM r JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-09-01'
+ORDER BY revenue_micro DESC, o_orderkey LIMIT 7
+""")
+
+
+def test_late_order_priority(ray_session, tables, con):
+    ds = late_order_priority(
+        rd.from_arrow(tables["lineitem"]).repartition(5),
+        rd.from_arrow(tables["orders"]),
+        late_days=120,
+    )
+    _cmp(ds, con, """
+SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+FROM orders
+JOIN (SELECT l_orderkey, max(l_shipdate) AS max_ship FROM lineitem
+      GROUP BY l_orderkey) x ON o_orderkey = l_orderkey
+WHERE max_ship > o_orderdate + INTERVAL 120 DAY
+GROUP BY o_orderpriority
+""")
+
+
+def test_region_nation_revenue(ray_session, tables, con):
+    ds = region_nation_revenue(
+        rd.from_arrow(tables["lineitem"]).repartition(5),
+        rd.from_arrow(tables["orders"]),
+        rd.from_arrow(tables["customer"]),
+        rd.from_arrow(tables["supplier"]),
+        rd.from_arrow(tables["nation"]),
+        rd.from_arrow(tables["region"]),
+        region_name="EVEN",
+        date_from=dt.datetime(1996, 1, 1), date_to=dt.datetime(1997, 6, 1),
+        num_partitions=8,
+    )
+    _cmp(ds, con, f"""
+SELECT n_name, CAST(sum({_REV}) AS BIGINT) AS revenue_micro
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = 'EVEN'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-06-01'
+GROUP BY n_name
+""")
+
+
+def test_customer_order_distribution(ray_session, tables, con):
+    ds = customer_order_distribution(
+        rd.from_arrow(tables["orders"]).repartition(4),
+        rd.from_arrow(tables["customer"]),
+    )
+    _cmp(ds, con, """
+SELECT n_orders, count(*)::BIGINT AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey) GROUP BY n_orders
+""")
+    # the zero-order tail must be present (customers n_cust//2.. never order)
+    got = ds.to_pandas()
+    assert (got[got["n_orders"] == 0]["n_customers"] == 20).all()
+    assert len(got[got["n_orders"] == 0]) == 1
+
+
+def test_top_suppliers(ray_session, tables, con):
+    ds = top_suppliers(
+        rd.from_arrow(tables["lineitem"]).repartition(5),
+        rd.from_arrow(tables["supplier"]),
+        date_from=dt.datetime(1996, 1, 1), date_to=dt.datetime(1997, 1, 1),
+        k=4, num_partitions=8,
+    )
+    _cmp(ds, con, f"""
+WITH r AS (
+  SELECT l_suppkey, CAST(sum({_REV}) AS BIGINT) AS revenue_micro
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey)
+SELECT l_suppkey AS s_suppkey, s_name, revenue_micro
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY revenue_micro DESC, s_suppkey LIMIT 4
+""")
+
+
+def test_global_topk_ties(ray_session):
+    # four rows tied at the max — tiebreak column decides, deterministic
+    t = pa.table(
+        {
+            "id": pa.array([3, 1, 2, 4, 5], pa.int64()),
+            "score": pa.array([9, 9, 9, 9, 1], pa.int64()),
+        }
+    )
+    got = global_topk(
+        rd.from_arrow(t).repartition(3), "score", 3, tiebreak=["id"]
+    ).to_pandas()
+    assert got["id"].tolist() == [1, 2, 3]
+    assert got["score"].tolist() == [9, 9, 9]
