@@ -67,6 +67,25 @@ def _rename_sums(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
     return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
 
+def _merge_bounded(partials, keys: list[str], sums: list[str]):
+    """Final aggregate for BOUNDED key cardinality (flag/status,
+    nation, priority — ≤ dozens of groups): per-block partials are
+    already tiny, so coalesce every block into one
+    (``repartition(1, shuffle=False)`` is metadata-only — no
+    sort-exchange) and merge with a single vectorized ``group_by``
+    task.  Saves one full sort barrier versus
+    ``Dataset.groupby().aggregate()``; NOT for unbounded keys
+    (per-order, per-supplier) — those stay on the shuffle groupby."""
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sums])
+        return _rename_sums(g, {c + "_sum": c for c in sums})
+
+    return partials.repartition(1, shuffle=False).map_batches(
+        merge, batch_format="pyarrow"
+    )
+
+
 def global_topk(ds, order_col: str, k: int, *, tiebreak: list[str]):
     """Global top-k by ``order_col`` desc: per-block partial top-k
     (a valid combiner — the global top-k is a subset of the union of
@@ -93,9 +112,8 @@ def pricing_summary(lineitem, *, cutoff: _dt.datetime):
     """Per (returnflag, linestatus) pricing roll-up of shipped items.
 
     map_batches: filter + per-block ``pa.Table.group_by`` partials
-    (≤ 6 rows leave each block) → one tiny global groupby-sum."""
-    from ray.data.aggregate import Sum
-
+    (≤ 6 rows leave each block) → one coalesced merge task (bounded
+    key space — no sort barrier)."""
     cut = _ts(cutoff)
     sums = [
         "sum_qty_micro",
@@ -131,9 +149,10 @@ def pricing_summary(lineitem, *, cutoff: _dt.datetime):
         )
         return _rename_sums(g, {c + "_sum": c for c in sums})
 
-    return lineitem.map_batches(partial, batch_format="pyarrow").groupby(
-        ["l_returnflag", "l_linestatus"]
-    ).aggregate(*[Sum(c, alias_name=c) for c in sums])
+    return _merge_bounded(
+        lineitem.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], sums,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +251,7 @@ def late_order_priority(lineitem, orders, *, late_days: int = 90):
     lineitem → per-order max(l_shipdate) (partial max per block, then a
     global groupby-max) ──inner──▶ orders → lateness filter → tiny
     priority groupby.  Output: (o_orderpriority, n_late_orders)."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Max
 
     from ..stages.joins import hash_join_unique
 
@@ -266,9 +285,10 @@ def late_order_priority(lineitem, orders, *, late_days: int = 90):
         g = flat.group_by("o_orderpriority").aggregate([("n_late_orders", "sum")])
         return _rename_sums(g, {"n_late_orders_sum": "n_late_orders"})
 
-    return joined.map_batches(count_late, batch_format="pyarrow").groupby(
-        "o_orderpriority"
-    ).aggregate(Sum("n_late_orders", alias_name="n_late_orders"))
+    return _merge_bounded(
+        joined.map_batches(count_late, batch_format="pyarrow"),
+        ["o_orderpriority"], ["n_late_orders"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -287,12 +307,15 @@ def region_nation_revenue(lineitem, orders, customer, supplier, nation,
     ``nation``/``region`` are schema-bounded dims: fetched ONCE on the
     driver and captured as Arrow arrays (broadcast map join, probed via
     ``pc.index_in``); the nationkey membership filter is applied the
-    moment c_nationkey exists, shrinking every later shuffle ~5×.
-    ``orders``/``customer``/``supplier`` scale → hash_join_unique.
+    moment c_nationkey exists, shrinking every later exchange ~5×.
+    The scaling sides (customer projection, the date+region-filtered
+    order set, supplier) go through the size-ADAPTIVE join
+    (:func:`~obsidian_parser_ray.stages.joins.broadcast_join_unique`):
+    map-side broadcast while the build side fits the guard, automatic
+    fallback to the partition-robust shuffle join past it — the fact
+    table is never counted or materialized either way.
     Output: (n_name, revenue_micro)."""
-    from ray.data.aggregate import Sum
-
-    from ..stages.joins import hash_join_unique
+    from ..stages.joins import broadcast_join_unique
 
     # bounded dims (25 + 5 rows by schema): one driver fetch, no shuffle
     nat = pa.concat_tables(
@@ -324,8 +347,9 @@ def region_nation_revenue(lineitem, orders, customer, supplier, nation,
             {"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
         )
 
-    # orders ⋈ customer → c_nationkey; region filter applied immediately
-    ordc = hash_join_unique(
+    # orders ⋈ customer → c_nationkey; size-adaptive: broadcast the
+    # customer projection while it fits, shuffle-join past the guard
+    ordc = broadcast_join_unique(
         orders.map_batches(order_rows, batch_format="pyarrow"),
         customer.select_columns(["c_custkey", "c_nationkey"]),
         left_key="o_custkey", right_key="c_custkey", how="inner",
@@ -356,14 +380,19 @@ def region_nation_revenue(lineitem, orders, customer, supplier, nation,
         )
 
     li = lineitem.map_batches(li_rows, batch_format="pyarrow")
-    li_ord = hash_join_unique(
+    # ordc is the date+region-FILTERED order set — small at moderate
+    # selectivity, fact-sized in the worst case → size-adaptive again;
+    # the fact side (lineitem) is never counted, never materialized
+    li_ord = broadcast_join_unique(
         li, ordc, left_key="l_orderkey", right_key="o_orderkey", how="inner",
         num_partitions=num_partitions,
     )
-    li_supp = hash_join_unique(
+    # supplier is the smallest scaling dim (TPC-H SF×10k) → map-side
+    # broadcast join (no second sort-exchange of the fact rows); the
+    # guard falls back to the shuffle join past 2M suppliers
+    li_supp = broadcast_join_unique(
         li_ord, supplier.select_columns(["s_suppkey", "s_nationkey"]),
         left_key="l_suppkey", right_key="s_suppkey", how="inner",
-        num_partitions=num_partitions,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -378,9 +407,10 @@ def region_nation_revenue(lineitem, orders, customer, supplier, nation,
         g = flat.group_by("n_name").aggregate([("revenue_micro", "sum")])
         return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
 
-    return li_supp.map_batches(finish, batch_format="pyarrow").groupby(
-        "n_name"
-    ).aggregate(Sum("revenue_micro", alias_name="revenue_micro"))
+    return _merge_bounded(
+        li_supp.map_batches(finish, batch_format="pyarrow"),
+        ["n_name"], ["revenue_micro"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -426,9 +456,10 @@ def customer_order_distribution(orders, customer):
         g = flat.group_by("n_orders").aggregate([("n_customers", "sum")])
         return _rename_sums(g, {"n_customers_sum": "n_customers"})
 
-    return joined.map_batches(dist, batch_format="pyarrow").groupby(
-        "n_orders"
-    ).aggregate(Sum("n_customers", alias_name="n_customers"))
+    return _merge_bounded(
+        joined.map_batches(dist, batch_format="pyarrow"),
+        ["n_orders"], ["n_customers"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -439,15 +470,15 @@ def customer_order_distribution(orders, customer):
 def top_suppliers(lineitem, supplier, *,
                   date_from: _dt.datetime = _dt.datetime(1996, 1, 1),
                   date_to: _dt.datetime = _dt.datetime(1996, 4, 1),
-                  k: int = 10, num_partitions: int = 64):
+                  k: int = 10):
     """Top-k suppliers by lineitem revenue shipped in [from, to).
 
-    lineitem → per-suppkey partial revenue → groupby-sum ──inner──▶
-    supplier names → global top-k.  Output: (s_suppkey, s_name,
-    revenue_micro)."""
+    lineitem → per-suppkey partial revenue → groupby-sum → broadcast
+    name join (supplier is the smallest scaling dim) → global top-k.
+    Output: (s_suppkey, s_name, revenue_micro)."""
     from ray.data.aggregate import Sum
 
-    from ..stages.joins import hash_join_unique
+    from ..stages.joins import broadcast_join_unique
 
     lo, hi = _ts(date_from), _ts(date_to)
 
@@ -470,10 +501,9 @@ def top_suppliers(lineitem, supplier, *,
         "l_suppkey"
     ).aggregate(Sum("revenue_micro", alias_name="revenue_micro"))
 
-    joined = hash_join_unique(
+    joined = broadcast_join_unique(
         rev, supplier.select_columns(["s_suppkey", "s_name"]),
         left_key="l_suppkey", right_key="s_suppkey", how="inner",
-        num_partitions=num_partitions,
     )
 
     def rename(t: pa.Table) -> pa.Table:

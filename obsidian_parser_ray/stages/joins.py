@@ -155,3 +155,103 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     return tagged.groupby("part").map_groups(
         join_partition, batch_format="pyarrow"
     )
+
+
+def broadcast_join_unique(left, right, *, left_key: str,
+                          right_key: str | None = None, how: str = "inner",
+                          suffix: str = "_r",
+                          max_broadcast_rows: int = 2_000_000,
+                          num_partitions: int = 64):
+    """Map-side equi-join against a SMALL unique-keyed right side.
+
+    The right side is fetched once, shipped to the object store with
+    ``ray.put`` (one zero-copy Arrow buffer, shared by every task —
+    never re-serialized per batch), and probed inside ``map_batches``
+    with one vectorized ``pc.index_in`` per batch.  The left side is
+    NEVER shuffled — this is the join for dimension tables
+    (nation/region/supplier-sized sides), saving a full sort-exchange
+    of the fact table versus :func:`hash_join_unique`.
+
+    Same semantics as :func:`hash_join_unique` (right unique per key;
+    ``how`` ∈ inner/left/semi/anti; colliding right value columns get
+    ``suffix``).  If the right side exceeds ``max_broadcast_rows`` the
+    call falls back to :func:`hash_join_unique` — the broadcast cliff
+    is a deliberate, guarded decision, not a silent OOM.  This makes
+    the operator a size-ADAPTIVE join: pass any right side whose size
+    is data-dependent (a filtered dimension, a pre-aggregated table)
+    and the plan picks map-side vs shuffle at run time.
+
+    The right side is ``materialize()``d for the size probe (count +
+    fetch must not execute its subtree twice); a right side KNOWN to
+    be fact-table-sized should go straight to :func:`hash_join_unique`
+    so it streams through the shuffle instead of pinning the object
+    store.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+        )
+    right_key = right_key or left_key
+
+    import ray
+
+    l_schema = left.schema()
+    if l_schema is None:
+        return left
+    r_schema = right.schema()
+    if r_schema is None:
+        if how == "anti":
+            return left
+        if how in ("semi", "inner"):
+            return left.limit(0)
+        raise ValueError(
+            "broadcast_join_unique(how='left'): right side has no schema"
+        )
+
+    right = right.materialize()
+    n_right = right.count()
+    if n_right > max_broadcast_rows:
+        return hash_join_unique(
+            left, right, left_key=left_key, right_key=right_key, how=how,
+            suffix=suffix, num_partitions=num_partitions,
+        )
+
+    r_tbl = pa.concat_tables(
+        list(right.iter_batches(batch_format="pyarrow"))
+        or [pa.table({n: pa.nulls(0, t)
+                      for n, t in zip(r_schema.names, r_schema.types)})]
+    ).combine_chunks()
+    r_ref = ray.put(r_tbl)
+
+    l_names = list(l_schema.names)
+    r_value = (
+        []
+        if how in ("semi", "anti")
+        else [n for n in r_schema.names if n != right_key]
+    )
+    rename = {n: (n + suffix if n in set(l_names) else n) for n in r_value}
+
+    def probe(t: pa.Table) -> pa.Table:
+        r = ray.get(r_ref)  # zero-copy plasma read, once per task
+        rkeys = r[right_key].combine_chunks()
+        idx = pc.index_in(t[left_key], rkeys)
+        if how in ("inner", "semi", "anti"):
+            keep = pc.is_valid(idx)
+            if how == "anti":
+                keep = pc.invert(keep)
+            t = t.filter(keep)
+            idx = idx.filter(keep)
+        if how in ("semi", "anti"):
+            return t
+        cols = [t[n] for n in l_names]
+        names = list(l_names)
+        for n in r_value:
+            cols.append(pc.take(r[n], idx))
+            names.append(rename[n])
+        return pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in cols],
+            names=names,
+        )
+
+    return left.map_batches(probe, batch_format="pyarrow")

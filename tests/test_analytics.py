@@ -230,7 +230,7 @@ def test_top_suppliers(ray_session, tables, con):
         rd.from_arrow(tables["lineitem"]).repartition(5),
         rd.from_arrow(tables["supplier"]),
         date_from=dt.datetime(1996, 1, 1), date_to=dt.datetime(1997, 1, 1),
-        k=4, num_partitions=8,
+        k=4,
     )
     _cmp(ds, con, f"""
 WITH r AS (

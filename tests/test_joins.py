@@ -111,3 +111,61 @@ def test_semi_and_anti_join(ray_session):
         _left(), right_dup, left_key="k", right_key="kk", how="anti"
     ).to_pandas()
     assert sorted(anti["k"]) == ["c", "x"]
+
+
+def test_broadcast_join_matches_hash_join_all_modes(ray_session):
+    from obsidian_parser_ray.stages.joins import broadcast_join_unique
+
+    for how in ("inner", "left", "semi", "anti"):
+        got = (
+            broadcast_join_unique(
+                _left(), _right(), left_key="k", right_key="kk", how=how
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            hash_join_unique(
+                _left(), _right(), left_key="k", right_key="kk", how=how
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)]
+        ), how
+
+
+def test_broadcast_join_fallback_over_threshold(ray_session):
+    # max_broadcast_rows=0 forces the shuffle-join fallback; results
+    # must be identical
+    from obsidian_parser_ray.stages.joins import broadcast_join_unique
+
+    got = (
+        broadcast_join_unique(
+            _left(), _right(), left_key="k", right_key="kk",
+            max_broadcast_rows=0,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    assert set(got.columns) == {"k", "v", "w"}
+
+
+def test_broadcast_join_collision_suffix(ray_session):
+    from obsidian_parser_ray.stages.joins import broadcast_join_unique
+
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "b"], pa.string()),
+                "v": pa.array([100, 200], pa.int64()),
+            }
+        )
+    )
+    got = broadcast_join_unique(_left(), right, left_key="k").to_pandas()
+    assert set(got.columns) == {"k", "v", "v_r"}
