@@ -1050,6 +1050,32 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_doc_decontaminate(sf_dir: str):
+    """Train/test decontamination: distinct 5-gram overlap counts of
+    training docs against a benchmark subset (doc_id % 29 == 0),
+    value-checked against the SQL sliding-window twin."""
+    import numpy as np
+    import pyarrow as pa
+
+    from obsidian_parser_ray.stages.dedup import ngram_contamination
+
+    full = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def train(t):
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        return t.filter(pa.array(ids % 29 != 0))
+
+    def bench(t):
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        return t.filter(pa.array(ids % 29 == 0))
+
+    return ngram_contamination(
+        full.map_batches(train, batch_format="pyarrow"),
+        full.map_batches(bench, batch_format="pyarrow"),
+        n=5,
+    )
+
+
 # --- relational analytics over the TPC-H-style tables ------------------------
 
 
@@ -1187,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_quantiles": _q_events_type_quantiles,
         "events_type_approx_users": _q_events_type_approx_users,
         "media_features": _q_media_features,
+        "doc_decontaminate": _q_doc_decontaminate,
         "sales_pricing": _q_sales_pricing,
         "sales_top_orders": _q_sales_top_orders,
         "orders_late_priority": _q_orders_late_priority,
@@ -1950,6 +1977,27 @@ SELECT asset_id,
        CASE WHEN b0 % 2 = 0 THEN 16 + b3 % 64 ELSE 0 END::BIGINT AS height,
        CASE WHEN b0 % 2 = 0 THEN 0 ELSE 1000 + b4 * 100 END::BIGINT AS duration_ms
 FROM h
+""",
+        # sliding-window n-grams (NO partial gram for docs shorter than
+        # n words — word_ngrams_exact parity); hits = DISTINCT shared
+        # grams per training doc
+        "doc_decontaminate": r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                               i -> array_to_string(w[i:i+4], ' '))) AS g
+  FROM words
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0)
+SELECT doc_id, count(DISTINCT g)::BIGINT AS n_hits
+FROM grams JOIN bench USING (g)
+WHERE doc_id % 29 <> 0
+GROUP BY doc_id
 """,
         # --- TPC-H-shaped relational analytics: money compared in exact
         # int64 micro-units (floor(expr * 1000000) per row — the SAME

@@ -597,6 +597,135 @@ def ngram_jaccard_pairs(ds, *, text_col="text", id_col="doc_id",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def word_ngrams_exact(text: str, n: int) -> set[str]:
+    """Distinct word n-grams over ASCII-whitespace words; docs shorter
+    than ``n`` words yield NOTHING (no partial gram) — exact parity
+    with the SQL sliding window the decontamination oracle uses."""
+    words = _ASCII_WORD_RE.findall(text)
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def ngram_contamination(docs, benchmark, *, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5,
+                        min_hits: int = 1, num_partitions: int = 64):
+    """Train/test contamination check: per training doc, the number of
+    DISTINCT word ``n``-grams it shares with ANY benchmark document.
+
+    The standard pre-training decontamination shape (n-gram overlap
+    against held-out benchmarks), distributed with the same
+    inverted-index discipline as :func:`ngram_jaccard_pairs`:
+
+    1. both sides explode to DISTINCT-per-doc gram rows, partitioned by
+       ``hash(gram)`` — a gram lands in exactly ONE partition, so
+       per-partition hit counts are disjoint and sum exactly;
+    2. per partition: one vectorized ``pc.is_in`` of doc grams against
+       the co-located benchmark gram set → per-doc partial hit counts;
+    3. tiny global ``groupby(doc_id).sum`` + ``min_hits`` filter.
+
+    No all-pairs scan, no driver-side gram set; benchmark grams cross
+    the cluster once.  Output: ``(doc_id, n_hits)`` for docs with
+    ``n_hits >= min_hits``.  Callers pass the benchmark as its own
+    dataset — rows in ``docs`` are never implicitly excluded.
+    """
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    id_t = _id_type(docs, id_col)
+
+    def explode(is_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_pylist() if not is_bench else [None] * t.num_rows
+            texts = t[text_col].to_pylist()
+            out_g, out_id = [], []
+            for doc_id, text in zip(ids, texts):
+                grams = word_ngrams_exact(text, n)
+                out_g.extend(grams)
+                out_id.extend([doc_id] * len(grams))
+            g_arr = pa.array(out_g, pa.string())
+            return pa.table(
+                {
+                    "part": hash_bucket_array(g_arr, num_partitions),
+                    "gram": g_arr,
+                    id_col: pa.array(out_id, id_t),
+                    "is_bench": pa.array([is_bench] * len(out_g), pa.bool_()),
+                }
+            )
+
+        return fn
+
+    tagged = docs.map_batches(explode(False), batch_format="pyarrow").union(
+        benchmark.map_batches(explode(True), batch_format="pyarrow")
+    )
+
+    def count_hits(g: pa.Table) -> pa.Table:
+        is_b = g["is_bench"]
+        if isinstance(is_b, pa.ChunkedArray):
+            is_b = is_b.combine_chunks()
+        bench_side = g.filter(is_b)
+        doc_side = g.filter(pc.invert(is_b))
+        if bench_side.num_rows == 0 or doc_side.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], id_t), "n_hits": pa.array([], pa.int64())}
+            )
+        bench_grams = bench_side["gram"].combine_chunks().unique()
+        hit = pc.is_in(doc_side["gram"], value_set=bench_grams)
+        hits = doc_side.filter(hit)
+        flat = pa.table(
+            {
+                id_col: hits[id_col],
+                "n_hits": pa.array([1] * hits.num_rows, pa.int64()),
+            }
+        )
+        out = flat.group_by(id_col).aggregate([("n_hits", "sum")])
+        return out.rename_columns(
+            ["n_hits" if c == "n_hits_sum" else c for c in out.column_names]
+        ).select([id_col, "n_hits"])
+
+    partials = tagged.groupby("part").map_groups(
+        count_hits, batch_format="pyarrow"
+    ).materialize()
+    if partials.count() == 0:
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], id_t), "n_hits": pa.array([], pa.int64())})
+        )
+    agg = partials.groupby(id_col).aggregate(Sum("n_hits", alias_name="n_hits"))
+    if min_hits <= 1:
+        return agg
+
+    def thresh(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_hits"], pa.scalar(min_hits)))
+
+    return agg.map_batches(thresh, batch_format="pyarrow")
+
+
+def drop_contaminated(docs, benchmark, *, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 5, min_hits: int = 1,
+                      num_partitions: int = 64):
+    """Training rows whose n-gram overlap with the benchmark stays
+    below ``min_hits`` — :func:`ngram_contamination` followed by a
+    presence-check anti join (corpus rows are never shuffled)."""
+    from .joins import hash_join_unique
+
+    flagged = ngram_contamination(
+        docs, benchmark, text_col=text_col, id_col=id_col, n=n,
+        min_hits=min_hits, num_partitions=num_partitions,
+    ).select_columns([id_col])
+
+    def as_flag_key(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["_contaminated_id"])
+
+    return hash_join_unique(
+        docs,
+        flagged.map_batches(as_flag_key, batch_format="pyarrow"),
+        left_key=id_col, right_key="_contaminated_id", how="anti",
+        num_partitions=num_partitions,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

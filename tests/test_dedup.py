@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from obsidian_parser_ray.stages.dedup import (
@@ -244,3 +245,135 @@ class TestDropNearDuplicates:
         thr = (max(ja_c, 0.0) + min(jab, jbc)) / 2
         assert ja_c < thr < min(jab, jbc)  # the chain premise holds
         assert self._kept([a, b, c, FAR], threshold=thr) == [0, 3]
+
+
+class TestContamination:
+    def _mk(self):
+        import ray.data as rd
+
+        train = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        # shares the 3-gram "alpha beta gamma" with bench
+                        "alpha beta gamma delta",
+                        # no overlap
+                        "zeta eta theta iota kappa",
+                        # two distinct shared 3-grams
+                        "alpha beta gamma alpha beta gamma",
+                        # shorter than n: yields NO grams at all
+                        "alpha beta",
+                    ]
+                ),
+            }
+        )
+        bench = pa.table(
+            {
+                "doc_id": pa.array([100], pa.int64()),
+                "text": pa.array(["alpha beta gamma alpha mu nu"]),
+            }
+        )
+        return rd.from_arrow(train).repartition(3), rd.from_arrow(bench)
+
+    def test_counts_distinct_shared_ngrams(self, ray_session):
+        from obsidian_parser_ray.stages.dedup import ngram_contamination
+
+        train, bench = self._mk()
+        got = (
+            ngram_contamination(train, bench, n=3, num_partitions=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc 1: "alpha beta gamma" -> 1 hit
+        # doc 3: "alpha beta gamma" + "gamma alpha beta"?  bench grams of
+        #   "alpha beta gamma alpha mu nu": {alpha beta gamma,
+        #   beta gamma alpha, gamma alpha mu, alpha mu nu};
+        #   doc 3 grams: {alpha beta gamma, beta gamma alpha,
+        #   gamma alpha beta} -> hits = 2
+        assert got["doc_id"].tolist() == [1, 3]
+        assert got["n_hits"].tolist() == [1, 2]
+
+    def test_short_doc_yields_no_grams(self, ray_session):
+        from obsidian_parser_ray.stages.dedup import word_ngrams_exact
+
+        assert word_ngrams_exact("alpha beta", 3) == set()
+        assert word_ngrams_exact("", 3) == set()
+        assert word_ngrams_exact("a b c", 3) == {"a b c"}
+
+    def test_min_hits_threshold(self, ray_session):
+        from obsidian_parser_ray.stages.dedup import ngram_contamination
+
+        train, bench = self._mk()
+        got = ngram_contamination(
+            train, bench, n=3, min_hits=2, num_partitions=8
+        ).to_pandas()
+        assert got["doc_id"].tolist() == [3]
+
+    def test_drop_contaminated(self, ray_session):
+        from obsidian_parser_ray.stages.dedup import drop_contaminated
+
+        train, bench = self._mk()
+        kept = (
+            drop_contaminated(train, bench, n=3, num_partitions=8)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert kept["doc_id"].tolist() == [2, 4]
+
+    def test_matches_duckdb_sliding_window(self, ray_session):
+        """Parity with the SQL oracle shape on a random small corpus."""
+        import duckdb
+        import numpy as np
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.dedup import ngram_contamination
+
+        rng = np.random.RandomState(11)
+        # tiny vocabulary => dense 4-gram collisions between docs
+        vocab = ["w%d" % i for i in range(6)]
+        texts = [
+            " ".join(rng.choice(vocab, rng.randint(2, 40)))
+            for _ in range(120)
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(120), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        exp = con.execute("""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+                               i -> array_to_string(w[i:i+3], ' '))) AS g
+  FROM words),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+SELECT doc_id, count(DISTINCT g)::BIGINT AS n_hits
+FROM grams JOIN bench USING (g)
+WHERE doc_id % 7 <> 0 GROUP BY doc_id ORDER BY doc_id
+""").fetchdf()
+        full = rd.from_arrow(t).repartition(5)
+        def _part(keep_bench):
+            def fn(b):
+                ids = np.asarray(b["doc_id"].to_pylist(), dtype=np.int64)
+                mask = ids % 7 == 0 if keep_bench else ids % 7 != 0
+                return b.filter(pa.array(mask))
+
+            return fn
+
+        train = full.map_batches(_part(False), batch_format="pyarrow")
+        bench = full.map_batches(_part(True), batch_format="pyarrow")
+        got = (
+            ngram_contamination(train, bench, n=4, num_partitions=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["n_hits"].tolist() == exp["n_hits"].tolist()
