@@ -1076,6 +1076,44 @@ def _q_doc_decontaminate(sf_dir: str):
     )
 
 
+def _q_events_bloom_purchasers(sf_dir: str):
+    """Bloom-join prefilter gate: keep events whose user ever
+    purchased, via a broadcast Bloom filter instead of a shuffle semi
+    join.  Gates: n_exact hash-matches the SQL semi-join count, the
+    exact survivor set passes the bloom in full (no false negatives),
+    and the FP pass-through rate stays under 2%."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.joins import hash_join_unique
+    from obsidian_parser_ray.stages.sketch import bloom_semi_filter, build_bloom
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def buyers_only(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["event_type"], pa.scalar("purchase"))
+        return pa.table({"user_id": t.filter(keep)["user_id"]})
+
+    buyers = ev.map_batches(buyers_only, batch_format="pyarrow")
+    bloom = build_bloom(buyers, "user_id")
+    approx_n = bloom_semi_filter(ev, bloom, "user_id").count()
+    exact = hash_join_unique(ev, buyers, left_key="user_id", how="semi")
+    exact_n = exact.count()
+    total_n = ev.count()
+    verified_n = bloom_semi_filter(exact, bloom, "user_id").count()
+    fp = (approx_n - exact_n) / max(1, total_n - exact_n)
+    return pd.DataFrame(
+        [
+            {
+                "n_exact": int(exact_n),
+                "no_false_negatives": bool(verified_n == exact_n),
+                "fp_below_2pct": bool(fp <= 0.02),
+            }
+        ]
+    )
+
+
 # --- relational analytics over the TPC-H-style tables ------------------------
 
 
@@ -1214,6 +1252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_approx_users": _q_events_type_approx_users,
         "media_features": _q_media_features,
         "doc_decontaminate": _q_doc_decontaminate,
+        "events_bloom_purchasers": _q_events_bloom_purchasers,
         "sales_pricing": _q_sales_pricing,
         "sales_top_orders": _q_sales_top_orders,
         "orders_late_priority": _q_orders_late_priority,
@@ -1998,6 +2037,18 @@ SELECT doc_id, count(DISTINCT g)::BIGINT AS n_hits
 FROM grams JOIN bench USING (g)
 WHERE doc_id % 29 <> 0
 GROUP BY doc_id
+""",
+        # gate oracle: the exact semi-join count must hash-match; the
+        # bloom-specific gates (no false negatives, FP under bound) are
+        # verified Ray-side and asserted as constants here
+        "events_bloom_purchasers": r"""
+SELECT
+  (SELECT count(*) FROM events e
+   WHERE EXISTS (SELECT 1 FROM events p
+                 WHERE p.event_type = 'purchase'
+                   AND p.user_id = e.user_id))::BIGINT AS n_exact,
+  TRUE AS no_false_negatives,
+  TRUE AS fp_below_2pct
 """,
         # --- TPC-H-shaped relational analytics: money compared in exact
         # int64 micro-units (floor(expr * 1000000) per row — the SAME

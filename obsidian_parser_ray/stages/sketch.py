@@ -388,3 +388,116 @@ def approx_distinct_by(ds, key_col: str, column: str, *, p: int = 12,
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable bitset) + bloom-join prefilter
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Plain Bloom filter over the codebase's canonical 64-bit hashes.
+
+    Mergeable by bitwise OR (same size/k), so per-block partials
+    compose exactly like the other sketches.  Double hashing
+    (Kirsch–Mitzenmacher): probe i uses ``h1 + i*h2`` with ``h2``
+    forced odd — k probes from one 64-bit hash, no rehashing.
+    Guarantees: NO false negatives; false-positive rate ≈
+    ``(1 - e^{-kn/m})^k``.  Default 2^20 bits / 128 KiB ≈ 0.6% FP at
+    100k keys (k=5).
+    """
+
+    def __init__(self, num_bits: int = 1 << 20, num_hashes: int = 5,
+                 words: np.ndarray | None = None):
+        if num_bits % 64:
+            raise ValueError("num_bits must be a multiple of 64")
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+        self.words = (
+            words if words is not None
+            else np.zeros(num_bits // 64, dtype=np.uint64)
+        )
+
+    def _probes(self, hashes: np.ndarray):
+        h1 = hashes.astype(np.uint64, copy=False)
+        h2 = ((h1 >> np.uint64(32)) | (h1 << np.uint64(32))) | np.uint64(1)
+        for i in range(self.num_hashes):
+            yield ((h1 + np.uint64(i) * h2) % np.uint64(self.num_bits)).astype(
+                np.int64
+            )
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        for idx in self._probes(hashes):
+            np.bitwise_or.at(
+                self.words, idx >> 6,
+                np.uint64(1) << (idx.astype(np.uint64) & np.uint64(63)),
+            )
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.ones(len(hashes), dtype=bool)
+        for idx in self._probes(hashes):
+            bit = (
+                self.words[idx >> 6]
+                >> (idx.astype(np.uint64) & np.uint64(63))
+            ) & np.uint64(1)
+            out &= bit.astype(bool)
+        return out
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.num_bits == other.num_bits
+        assert self.num_hashes == other.num_hashes
+        return BloomFilter(
+            self.num_bits, self.num_hashes, self.words | other.words
+        )
+
+
+def build_bloom(ds, column: str, *, num_bits: int = 1 << 20,
+                num_hashes: int = 5,
+                batch_size: int | None = None) -> BloomFilter:
+    """Distributed Bloom build: per-block partial filters (one
+    ``num_bits/8``-byte blob per block), OR-merged on the driver —
+    the standard mergeable-sketch shape."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_bits, num_hashes)
+        bf.add_hashes(_hash64_bytes(t[column].to_pylist()))
+        return pa.table({"words": pa.array([bf.words.tobytes()], pa.binary())})
+
+    merged = BloomFilter(num_bits, num_hashes)
+    for b in ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in b["words"].to_pylist():
+            merged = merged.merge(
+                BloomFilter(
+                    num_bits, num_hashes,
+                    np.frombuffer(blob, dtype=np.uint64).copy(),
+                )
+            )
+    return merged
+
+
+def bloom_semi_filter(ds, bloom: BloomFilter, column: str):
+    """Approximate semi-join prefilter: keep rows whose ``column``
+    value is (probably) in the key set ``bloom`` was built from.
+
+    The fact table is NEVER shuffled — the filter words ship once via
+    ``ray.put`` (128 KiB default, vs a full hash exchange for an exact
+    semi join) and every task probes its blocks vectorized.  No false
+    negatives by construction; false positives pass through, so either
+    tolerate the FP rate or run the exact check on the (already
+    reduced) survivor set.  This is the classic bloom-join: at
+    10¹²-row scale it turns a |fact|+|keys| exchange into a
+    keys-sketch broadcast + a streaming map.
+    """
+    import ray
+
+    words_ref = ray.put(bloom.words)
+    num_bits, num_hashes = bloom.num_bits, bloom.num_hashes
+
+    def probe(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_bits, num_hashes, ray.get(words_ref))
+        mask = bf.contains_hashes(_hash64_bytes(t[column].to_pylist()))
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

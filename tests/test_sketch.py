@@ -208,3 +208,77 @@ def test_approx_distinct_by_groups(ray_session):
         exact = len(np.unique(vals[keys == k]))
         est = out.loc[f"k{k}", "approx_distinct"]
         assert abs(est - exact) / exact < 0.05, (k, est, exact)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self, ray_session):
+        import numpy as np
+
+        from obsidian_parser_ray.hashing import hash64_array
+        from obsidian_parser_ray.stages.sketch import BloomFilter
+
+        bf = BloomFilter(1 << 16, 5)
+        keys = ["k%d" % i for i in range(5000)]
+        bf.add_hashes(hash64_array(keys))
+        assert bf.contains_hashes(hash64_array(keys)).all()
+        fp = bf.contains_hashes(
+            hash64_array(["x%d" % i for i in range(20000)])
+        ).mean()
+        assert fp < 0.02, fp
+
+    def test_merge_equals_single_build(self, ray_session):
+        import numpy as np
+
+        from obsidian_parser_ray.hashing import hash64_array
+        from obsidian_parser_ray.stages.sketch import BloomFilter
+
+        a, b = BloomFilter(1 << 12, 4), BloomFilter(1 << 12, 4)
+        whole = BloomFilter(1 << 12, 4)
+        ka = ["a%d" % i for i in range(100)]
+        kb = ["b%d" % i for i in range(100)]
+        a.add_hashes(hash64_array(ka))
+        b.add_hashes(hash64_array(kb))
+        whole.add_hashes(hash64_array(ka + kb))
+        assert (a.merge(b).words == whole.words).all()
+
+    def test_distributed_build_matches_local(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.hashing import hash64_array
+        from obsidian_parser_ray.stages.sketch import BloomFilter, build_bloom
+
+        keys = ["u%d" % i for i in range(2000)]
+        ds = rd.from_arrow(
+            pa.table({"k": pa.array(keys)})
+        ).repartition(7)
+        got = build_bloom(ds, "k", num_bits=1 << 14, num_hashes=4)
+        local = BloomFilter(1 << 14, 4)
+        local.add_hashes(hash64_array(keys))
+        assert (got.words == local.words).all()
+
+    def test_bloom_semi_filter_superset_of_exact(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.sketch import (
+            bloom_semi_filter,
+            build_bloom,
+        )
+
+        fact = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(["u%d" % (i % 50) for i in range(400)]),
+                    "v": pa.array(list(range(400)), pa.int64()),
+                }
+            )
+        ).repartition(5)
+        keys = rd.from_arrow(
+            pa.table({"k": pa.array(["u%d" % i for i in range(0, 50, 2)])})
+        )
+        bloom = build_bloom(keys, "k", num_bits=1 << 14, num_hashes=4)
+        got = set(bloom_semi_filter(fact, bloom, "k").to_pandas()["v"])
+        exact = {i for i in range(400) if (i % 50) % 2 == 0}
+        assert exact <= got          # zero false negatives
+        assert len(got) <= 400
