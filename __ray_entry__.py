@@ -1076,6 +1076,29 @@ def _q_doc_decontaminate(sf_dir: str):
     )
 
 
+def _q_doc_redact(sf_dir: str):
+    """PII redaction, value-checked end to end: deterministic PII
+    (email/IP/long-number derived from doc_id) is planted identically
+    in Ray and SQL, then rewritten by the same ordered RE2 chain —
+    clean text AND per-pattern match counts must hash-match."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.text import redact_pii
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.string())
+        planted = pc.binary_join_element_wise(
+            t["text"], " contact user", d, "@example.com from 10.0.0.7 ref 90000000",
+            d, "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": planted})
+
+    return redact_pii(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def _q_events_bloom_purchasers(sf_dir: str):
     """Bloom-join prefilter gate: keep events whose user ever
     purchased, via a broadcast Bloom filter instead of a shuffle semi
@@ -1252,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_approx_users": _q_events_type_approx_users,
         "media_features": _q_media_features,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_redact": _q_doc_redact,
         "events_bloom_purchasers": _q_events_bloom_purchasers,
         "sales_pricing": _q_sales_pricing,
         "sales_top_orders": _q_sales_top_orders,
@@ -2037,6 +2061,32 @@ SELECT doc_id, count(DISTINCT g)::BIGINT AS n_hits
 FROM grams JOIN bench USING (g)
 WHERE doc_id % 29 <> 0
 GROUP BY doc_id
+""",
+        # same planted PII + the SAME ordered RE2 rewrite chain as
+        # stages/text.py DEFAULT_REDACTIONS (pyarrow and DuckDB are
+        # both RE2 — byte-identical rewrites); counts taken BEFORE
+        # rewriting
+        "doc_redact": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com from 10.0.0.7 ref 90000000' || doc_id AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{7,}\b', '<NUM>', 'g') AS clean_text,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+    AS n_redacted_0,
+  len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_redacted_1,
+  len(regexp_extract_all(text, '\b\d{7,}\b'))::BIGINT AS n_redacted_2
+FROM planted
 """,
         # gate oracle: the exact semi-join count must hash-match; the
         # bloom-specific gates (no false negatives, FP under bound) are

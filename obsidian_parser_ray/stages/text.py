@@ -376,3 +376,53 @@ def repetition_profile(ds, *, text_col: str = "text",
 
     return ds.map_batches(profile, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (vectorized RE2 rewrite)
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) pairs applied IN ORDER.  Plain-ASCII RE2
+# patterns on purpose: pyarrow's replace_substring_regex and DuckDB's
+# regexp_replace are both RE2, so the oracle reproduces the rewrite
+# byte-for-byte.  Order matters (emails contain digit runs) and is part
+# of the operator contract.
+DEFAULT_REDACTIONS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+)
+
+
+def redact_pii(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               redactions: tuple[tuple[str, str], ...] = DEFAULT_REDACTIONS):
+    """Rewrite PII-shaped substrings to placeholder tokens and count
+    what was removed, fully vectorized (one Arrow RE2 kernel pass per
+    pattern per batch — no Python per row).
+
+    Output: ``(id_col, clean_text, n_redacted_0..n_redacted_{k-1})``
+    where ``n_redacted_i`` counts pattern ``i`` matches BEFORE any
+    rewriting (counts are independent of application order; the
+    rewrite itself is sequential in the declared order).
+    """
+    import pyarrow.compute as pc
+
+    def clean(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        cols = {id_col: t[id_col]}
+        counts = []
+        for pat, _ in redactions:
+            counts.append(
+                pc.cast(pc.count_substring_regex(txt, pattern=pat), pa.int64())
+            )
+        out = txt
+        for pat, rep in redactions:
+            out = pc.replace_substring_regex(out, pattern=pat, replacement=rep)
+        cols["clean_text"] = out
+        for i, c in enumerate(counts):
+            cols[f"n_redacted_{i}"] = c
+        return pa.table(cols)
+
+    return ds.map_batches(clean, batch_format="pyarrow")

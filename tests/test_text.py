@@ -180,3 +180,83 @@ class TestRepetitionProfile:
         e = out["empty"]
         assert e["n_lines"] == 1 and e["n_words"] == 0
         assert e["dup_line_micro"] == 0 and e["dup_word_micro"] == 0
+
+
+class TestRedaction:
+    def test_redacts_and_counts(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import redact_pii
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail a@b.io and c.d+e@f.org ok",
+                        "host 192.168.0.1 then 1234567 and 42",
+                        "nothing here",
+                    ]
+                ),
+            }
+        )
+        got = (
+            redact_pii(rd.from_arrow(t).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["clean_text"].tolist() == [
+            "mail <EMAIL> and <EMAIL> ok",
+            "host <IP> then <NUM> and 42",
+            "nothing here",
+        ]
+        assert got["n_redacted_0"].tolist() == [2, 0, 0]
+        assert got["n_redacted_1"].tolist() == [0, 1, 0]
+        assert got["n_redacted_2"].tolist() == [0, 1, 0]
+
+    def test_matches_duckdb_re2(self, ray_session):
+        """The rewrite chain is byte-identical to DuckDB regexp_replace
+        (both RE2) on adversarial boundary cases."""
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import (
+            DEFAULT_REDACTIONS,
+            redact_pii,
+        )
+
+        texts = [
+            "a@b.c",                       # TLD too short -> kept
+            "x@y.co",                      # minimal valid email
+            "1.2.3.4.5",                   # ip-ish run with extra octet
+            "999.999.999.999",             # not range-checked: redacted
+            "12345678@mail.example.com",   # email wins before NUM
+            "v1.2.3.4x",                   # \b boundaries
+            "0000000",                     # exactly 7 digits
+            "123456",                      # 6 digits -> kept
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        got = (
+            redact_pii(rd.from_arrow(t).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")["clean_text"]
+            .tolist()
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        expr = "text"
+        for pat, rep in DEFAULT_REDACTIONS:
+            expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+        exp = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {expr} FROM t ORDER BY doc_id"
+            ).fetchall()
+        ]
+        assert got == exp
