@@ -122,6 +122,50 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(_graph(sf_dir).triples)
 
 
+def _q_kg_kcore(sf_dir: str):
+    """k-core as an EXACTNESS GATE (pagerank pattern): the distributed
+    iterative peeling must equal a driver-exact peel of the same
+    edge set (node set AND within-core degrees); the SQL-computable
+    anchor is the distinct-undirected-edge count."""
+    import pandas as pd
+
+    from obsidian_parser_ray.stages.graphops import k_core, undirected_edges
+
+    triples = (
+        _graph(sf_dir).triples.repartition(4, shuffle=False).materialize()
+    )
+    ue = undirected_edges(triples, num_partitions=4).materialize()
+    n_edges = ue.count()
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(triples, k=2, num_partitions=4).take_all()
+    }
+
+    # driver-exact peel — collect is gate-scale-only by design
+    adj: dict[str, set[str]] = {}
+    for r in ue.take_all():
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    changed = True
+    while changed:
+        changed = False
+        for node in [v for v, nb in adj.items() if len(nb) < 2]:
+            for m in adj.pop(node):
+                adj[m].discard(node)
+            changed = True
+    exp = {v: len(nb) for v, nb in adj.items()}
+
+    return pd.DataFrame(
+        [
+            {
+                "n_edges": int(n_edges),
+                "core_nonempty": bool(got),
+                "match_ok": bool(got == exp),
+            }
+        ]
+    )
+
+
 def _q_doc_prep_pipeline(sf_dir: str):
     """Composed prep pipeline (quality+lang filter → exact dedup →
     chunking) hash-checked END TO END against the chained SQL twins of
@@ -1228,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cocitation": _q_kg_cocitation,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_kcore": _q_kg_kcore,
         "kg_dup_name": _q_kg_dup_name,
         "kg_dup_content": _q_kg_dup_content,
         "kg_components": _q_kg_components,
@@ -1478,6 +1523,15 @@ SELECT count(DISTINCT node)::BIGINT AS n_nodes, TRUE AS sum_ok,
        TRUE AS match_ok
 FROM (SELECT subj AS node FROM exp_triples WHERE pred = 'links_to'
       UNION SELECT obj FROM exp_triples WHERE pred = 'links_to')
+""",
+        # exactness-gate oracle (pagerank pattern): SQL anchors the
+        # distinct-undirected-edge count; peeling itself is verified
+        # Ray-side against the driver-exact peel
+        "kg_kcore": cte
+        + """
+SELECT count(*)::BIGINT AS n_edges, TRUE AS core_nonempty, TRUE AS match_ok
+FROM (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM exp_triples WHERE subj <> obj)
 """,
         "kg_dup_name": cte
         + "\nSELECT note_name, count(*)::BIGINT AS n_docs, min(doc_key) AS keeper"

@@ -4,13 +4,20 @@ The reference delegates to ``petgraph::algo::connected_components``
 (/root/reference/examples/analyzer.rs:4,86-88) — a single-machine graph
 walk.  Two Ray-Data-native equivalents:
 
-* :func:`connected_components` — distributed min-label propagation:
-  every node starts labeled with itself; each round, every node takes
-  the min label over itself and its neighbors (hash-join of the edge
-  list against the label table + groupby-min).  Converges in
-  O(component diameter) rounds; each round materializes a label table
-  bounded by node count, never the full edge × label product.  This is
-  the 10^12-scale path — all state lives in Datasets, rounds are
+* :func:`connected_components` — distributed min-label propagation
+  with POINTER JUMPING: every node starts labeled with itself; each
+  round, every node takes the min label over itself and its neighbors
+  (hash-join of the edge list against the label table + groupby-min),
+  then labels are compressed once via label-of-label (one more
+  node-sized join) — the jump squares the distance covered per round,
+  so convergence is O(log diameter) rounds instead of O(diameter)
+  (the classic Hash-Min + pointer-jumping scheme, cf. Kiveris et al.,
+  "Connected Components in MapReduce and Beyond").  Long
+  representative chains — e.g. the giant components LSH dedup
+  produces on template-heavy corpora — would otherwise pay one full
+  edge shuffle PER HOP.  Each round materializes a label table
+  bounded by node count, never the full edge × label product.  This
+  is the 10^12-scale path — all state lives in Datasets, rounds are
   joins + groupbys with explicit ``num_partitions``.
 * :func:`connected_components_local` — exact streaming union-find on
   the driver (O(nodes) driver memory, edges streamed once).  This is
@@ -52,7 +59,15 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
 
     from ..stages.joins import hash_join_unique
 
-    msgs = _norm_edges(edges).materialize()
+    # coalesce BEFORE the loop: the edge lineage often ends in a wide
+    # shuffle whose many near-empty blocks would otherwise multiply
+    # every round's task count (per-round cost is dominated by
+    # scheduling latency × task count, not bytes, on small graphs)
+    msgs = (
+        _norm_edges(edges)
+        .repartition(num_partitions, shuffle=False)
+        .materialize()
+    )
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["doc_id"], "label": t["doc_id"]})
@@ -93,9 +108,28 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
         candidates = joined.map_batches(as_node, batch_format="pyarrow").union(
             labels
         )
+        hooked = candidates.groupby("node").aggregate(
+            Min("label", alias_name="label")
+        )
+
+        # pointer jumping: label ← label(label).  Labels only decrease
+        # (they are mins over node ids and label(x) ≤ x), so the jump
+        # needs no extra min — it strictly compresses representative
+        # chains, squaring the per-round propagation distance.
+        def as_mid(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"], "mid": t["label"]})
+
+        def as_lut(t: pa.Table) -> pa.Table:
+            return pa.table({"mid": t["node"], "label": t["label"]})
+
         new_labels = (
-            candidates.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            hash_join_unique(
+                hooked.map_batches(as_mid, batch_format="pyarrow"),
+                hooked.map_batches(as_lut, batch_format="pyarrow"),
+                left_key="mid",
+                num_partitions=num_partitions,
+            )
+            .select_columns(["node", "label"])
             # coalesce (metadata-level): the union + aggregate would
             # otherwise grow the label table's block count every round
             .repartition(num_partitions, shuffle=False)

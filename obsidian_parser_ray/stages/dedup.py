@@ -165,11 +165,21 @@ class MinHasher:
     def signature(self, shingles: set[str]) -> np.ndarray:
         if not shingles:
             return np.full(self.num_hashes, _MERSENNE31, dtype=np.int32)
-        base = np.fromiter(
-            (_hash64(s) % _MERSENNE31 for s in shingles),
-            dtype=np.int64,
-            count=len(shingles),
-        )
+        # ONE vectorized 64-bit hash over the whole shingle set (the
+        # codebase's canonical siphash) — a per-shingle Python digest
+        # here was the dominant cost on long documents (~4.5k shingles
+        # per web-page-sized doc)
+        from ..hashing import hash64_array
+
+        return self.signature_from_hashes(hash64_array(list(shingles)))
+
+    def signature_from_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Signature from pre-hashed shingles (uint64) — the fast path
+        for callers that derive shingle identity arithmetically
+        (:func:`shingle_hashes`) instead of building joined strings."""
+        if len(hashes) == 0:
+            return np.full(self.num_hashes, _MERSENNE31, dtype=np.int32)
+        base = (hashes % np.uint64(_MERSENNE31)).astype(np.int64)
         # (a*x + b) mod p per (hash, shingle); min over shingles
         prod = (self.a[:, None] * base[None, :]) % _MERSENNE31
         return (
@@ -178,6 +188,42 @@ class MinHasher:
 
 
 _SIG_DTYPE = np.int32
+
+
+# distinct odd multipliers per shingle position: word order matters
+# ("a b" vs "b a") and the mix stays a bijection per position term
+_SHINGLE_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5 | 1, 0x27D4EB2F165667C5,
+     0x94D049BB133111EB, 0xBF58476D1CE4E5B9],
+    dtype=np.uint64,
+)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """DISTINCT word-k-shingle identities as uint64 hashes, fully
+    vectorized: hash every token once (canonical siphash), then mix k
+    consecutive token hashes with position-distinct odd multipliers —
+    no joined shingle strings, no Python set.  Collisions are ~2⁻⁶⁴
+    (immaterial for MinHash, whose own signature collisions dominate).
+    Docs shorter than k words hash their whole token sequence (parity
+    with :func:`word_shingles`'s single partial shingle)."""
+    from ..hashing import hash64_array
+
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = hash64_array(toks)
+    kk = min(k, len(toks))
+    n_out = len(toks) - kk + 1
+    acc = np.zeros(n_out, dtype=np.uint64)
+    for j in range(kk):
+        if j >= len(_SHINGLE_MIX):  # pragma: no cover - k ≤ 8 in practice
+            mix = np.uint64(2 * j + 1)
+        else:
+            mix = _SHINGLE_MIX[j]
+        acc ^= th[j : j + n_out] * mix
+    return np.unique(acc)
 
 
 class _MinHashDocs:
@@ -196,7 +242,7 @@ class _MinHashDocs:
         texts = t[self.text_col].to_pylist()
         sigs, band_lists = [], []
         for text in texts:
-            sig = self.mh.signature(word_shingles(text, self.k))
+            sig = self.mh.signature_from_hashes(shingle_hashes(text, self.k))
             sigs.append(sig.tobytes())
             band_lists.append(
                 [
@@ -233,6 +279,7 @@ def minhash_lsh_pairs(
     concurrency=(1, 8),
     batch_size: int | None = 512,
     num_partitions: int = 64,
+    candidates: str = "pairs",
 ):
     """Near-duplicate pairs with signature-estimated-Jaccard verification.
 
@@ -253,7 +300,20 @@ def minhash_lsh_pairs(
     ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` — id column type
     (int or string) is preserved.  Probabilistic recall by LSH design →
     verified in tests against a planted-duplicates oracle.
+
+    ``candidates``: ``"pairs"`` (default) emits every within-bucket
+    pair — the complete pair surface, but inherently O(c²) in
+    near-dup CLUSTER size c (measured: a template-heavy corpus emits
+    ~360 candidate pairs per doc at threshold 0.5 — quadratic blowup
+    is a property of the OUTPUT, not the algorithm).  ``"star"``
+    emits only (bucket-representative → member) edges — O(c) — which
+    is NOT the full pair set but connects exactly the same clusters;
+    use it (via :func:`drop_minhash_duplicates`) whenever the goal is
+    dedup rather than the pair list itself.
     """
+    if candidates not in ("pairs", "star"):
+        raise ValueError(f"candidates must be 'pairs' or 'star', got {candidates!r}")
+    star = candidates == "star"
     from ray.data.aggregate import Max
 
     id_t = _id_type(ds, id_col)
@@ -310,9 +370,14 @@ def minhash_lsh_pairs(
             ids = (
                 sub["doc_id"].sort_values(kind="stable").head(max_bucket).to_numpy()
             )
-            iu, ju = np.triu_indices(len(ids), k=1)
-            ia.extend(ids[iu])
-            ib.extend(ids[ju])
+            if star:
+                # linear star fan-out: min-id representative → member
+                ia.extend(np.repeat(ids[0], len(ids) - 1))
+                ib.extend(ids[1:])
+            else:
+                iu, ju = np.triu_indices(len(ids), k=1)
+                ia.extend(ids[iu])
+                ib.extend(ids[ju])
         t = pa.table({"id_a": pa.array(ia, id_t), "id_b": pa.array(ib, id_t)})
         if t.num_rows == 0:
             return t
@@ -707,8 +772,9 @@ def drop_contaminated(docs, benchmark, *, text_col: str = "text",
                       num_partitions: int = 64):
     """Training rows whose n-gram overlap with the benchmark stays
     below ``min_hits`` — :func:`ngram_contamination` followed by a
-    presence-check anti join (corpus rows are never shuffled)."""
-    from .joins import hash_join_unique
+    size-adaptive presence-check anti join (corpus rows are never
+    shuffled; the flagged id set broadcasts while it fits)."""
+    from .joins import broadcast_join_unique
 
     flagged = ngram_contamination(
         docs, benchmark, text_col=text_col, id_col=id_col, n=n,
@@ -718,7 +784,7 @@ def drop_contaminated(docs, benchmark, *, text_col: str = "text",
     def as_flag_key(t: pa.Table) -> pa.Table:
         return t.rename_columns(["_contaminated_id"])
 
-    return hash_join_unique(
+    return broadcast_join_unique(
         docs,
         flagged.map_batches(as_flag_key, batch_format="pyarrow"),
         left_key=id_col, right_key="_contaminated_id", how="anti",
@@ -746,13 +812,20 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash64(text: str) -> int:
-    """Charikar SimHash over whitespace tokens (64-bit)."""
-    acc = np.zeros(64, dtype=np.int64)
+    """Charikar SimHash over whitespace tokens (64-bit).
+
+    Token hashing is ONE vectorized call (canonical siphash) and the
+    bit unpack is a (tokens × 64) numpy matrix — no per-token Python
+    digest (dominant cost on long documents)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    from ..hashing import hash64_array
+
+    hs = hash64_array(toks)
     one = np.uint64(1)
-    for tok in text.split():
-        h = np.uint64(_hash64(tok))
-        bits = ((h >> _BIT_IDX) & one).astype(np.int64)
-        acc += bits * 2 - 1
+    bits = ((hs[:, None] >> _BIT_IDX[None, :]) & one).astype(np.int64)
+    acc = (bits * 2 - 1).sum(axis=0)
     out = np.uint64(0)
     for i in range(64):
         if acc[i] > 0:
@@ -998,7 +1071,7 @@ def drop_near_duplicates(ds, *, text_col: str = "text",
     dedup semantics).  Returns ``ds`` rows whose ``id_col`` survived.
     """
     from ..pipelines.components import connected_components
-    from .joins import hash_join_unique
+    from .joins import broadcast_join_unique
 
     pairs = ngram_jaccard_pairs(
         ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
@@ -1031,10 +1104,81 @@ def drop_near_duplicates(ds, *, text_col: str = "text",
     def to_arrow(t: pa.Table) -> pa.Table:
         return t
 
-    return hash_join_unique(
+    return broadcast_join_unique(
         # normalize to Arrow blocks: the join types its carrier schema
         # from the left side, and pandas-block datasets report numpy
-        # dtypes there
+        # dtypes there.  Size-adaptive anti join: the loser id set is
+        # corpus-fraction-sized, so the presence check broadcasts
+        # (measured 22x faster than the shuffle anti at 240k docs) and
+        # falls back to the shuffle join past the guard.
+        ds.map_batches(to_arrow, batch_format="pyarrow"),
+        comp.map_batches(losers, batch_format="pyarrow"),
+        left_key=id_col, right_key="node", how="anti",
+        num_partitions=num_partitions,
+    )
+
+
+def drop_minhash_duplicates(ds, *, text_col: str = "text",
+                            id_col: str = "doc_id", num_hashes: int = 64,
+                            bands: int = 16, shingle_k: int = 3,
+                            threshold: float = 0.5, seed: int = 42,
+                            max_bucket: int = 200,
+                            concurrency=(1, 8),
+                            num_partitions: int = 64,
+                            cc_max_iters: int = 50,
+                            cc_num_partitions: int = 16):
+    """MinHash-LSH dedup at CLUSTER granularity: keep one doc per
+    near-duplicate cluster, never materializing the quadratic pair
+    surface.
+
+    On dup-heavy corpora the full pair list is O(c²) per c-sized
+    cluster — measured ~360 candidate pairs PER DOC on a
+    template-heavy corpus, which turns the verify shuffle into the
+    bottleneck.  This operator instead emits one (bucket-representative
+    → member) STAR edge per bucket member (O(c)), signature-verifies
+    only those edges with the same partitioned join, and runs
+    connected components over the verified stars — the same clusters
+    the pairwise graph would produce when cluster members share
+    buckets/representatives (standard LSH-dedup trade-off: a cluster
+    can split if a member never co-buckets with a verified
+    representative; recall is gated in tests).  Survivor = min id per
+    component; corpus rows are anti-joined, never shuffled.
+    """
+    from ..pipelines.components import connected_components
+    from .joins import broadcast_join_unique
+
+    pairs = minhash_lsh_pairs(
+        ds, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k, threshold=threshold, seed=seed,
+        max_bucket=max_bucket, concurrency=concurrency,
+        num_partitions=num_partitions, candidates="star",
+    )
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"subj": t["id_a"], "obj": t["id_b"]})
+
+    def as_doc_id(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id"])
+
+    no_nodes = ds.select_columns([id_col]).limit(0).map_batches(
+        as_doc_id, batch_format="pyarrow"
+    )
+    comp = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"), no_nodes,
+        max_iters=cc_max_iters, num_partitions=cc_num_partitions,
+    )
+
+    def losers(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.invert(pc.equal(t["node"], t["component"]))
+        return pa.table({"node": t["node"].filter(keep)})
+
+    def to_arrow(t: pa.Table) -> pa.Table:
+        return t
+
+    # size-adaptive anti join (see drop_near_duplicates)
+    return broadcast_join_unique(
         ds.map_batches(to_arrow, batch_format="pyarrow"),
         comp.map_batches(losers, batch_format="pyarrow"),
         left_key=id_col, right_key="node", how="anti",

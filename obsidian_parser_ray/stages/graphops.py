@@ -294,3 +294,84 @@ def bfs_hops(triples, sources: list[str], *, pred: str = "links_to",
         ).materialize()
 
     return visited
+
+
+def k_core(triples, *, k: int = 2, num_partitions: int = 16,
+           max_iters: int = 100):
+    """Nodes of the ``k``-core: the maximal subgraph where every node
+    has degree ≥ k (undirected, distinct edges, self loops dropped).
+
+    Iterative peeling as Ray rounds, following the repo's iterative
+    rules (state coalesced with a metadata-only repartition before each
+    ``materialize``; joins via the partition-robust hash join):
+
+    1. degrees from the CURRENT edge set (per-block partial counts →
+       groupby-sum);
+    2. survivors = nodes with degree ≥ k;
+    3. edges = edges with BOTH endpoints surviving (two semi joins);
+    repeat until no node is dropped — each round removes at least one
+    node, so rounds ≤ nodes (``max_iters`` is a backstop, not a
+    tuning knob).  Returns ``(node, degree)`` with the degree inside
+    the final core (≥ k by construction).
+
+    A chain peels away end-first under k=2 while a cycle survives —
+    the classic distinction tests assert.  Reference has no graph
+    analytics beyond degree; this extends the beyond-reference
+    surface (cores are the standard KG-quality filter for dense
+    subregions).
+    """
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    from .joins import hash_join_unique
+
+    empty = pa.table(
+        {"node": pa.array([], pa.string()), "degree": pa.array([], pa.int64())}
+    )
+
+    edges = undirected_edges(triples, num_partitions=num_partitions)
+    edges = edges.repartition(num_partitions, shuffle=False).materialize()
+    n_prev = None
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        flat = pa.table(
+            {"node": nodes, "degree": pa.array([1] * len(nodes), pa.int64())}
+        )
+        out = flat.group_by("node").aggregate([("degree", "sum")])
+        return out.rename_columns(
+            ["degree" if c == "degree_sum" else c for c in out.column_names]
+        ).select(["node", "degree"])
+
+    for _ in range(max_iters):
+        if edges.count() == 0:
+            return rd.from_arrow(empty)
+        degrees = edges.map_batches(
+            deg_partial, batch_format="pyarrow"
+        ).groupby("node").aggregate(Sum("degree", alias_name="degree"))
+
+        def keep_core(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["degree"], pa.scalar(k)))
+
+        core = degrees.map_batches(keep_core, batch_format="pyarrow")
+        core = core.repartition(num_partitions, shuffle=False).materialize()
+        n_core = core.count()
+        if n_core == 0:
+            return rd.from_arrow(empty)
+        if n_core == n_prev:
+            return core
+        n_prev = n_core
+        survivors = core.select_columns(["node"])
+        edges = hash_join_unique(
+            edges, survivors, left_key="a", right_key="node", how="semi",
+            num_partitions=num_partitions,
+        )
+        edges = hash_join_unique(
+            edges, survivors, left_key="b", right_key="node", how="semi",
+            num_partitions=num_partitions,
+        )
+        edges = edges.repartition(num_partitions, shuffle=False).materialize()
+    raise RuntimeError(f"k_core did not converge in {max_iters} rounds")

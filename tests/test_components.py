@@ -86,3 +86,31 @@ class TestGoldenVaultComponents:
         assert len(set(local.values())) == 1
         labels = connected_components(edges, nodes, num_partitions=2)
         assert n_components(labels) == 1
+
+
+def test_long_chain_converges_in_log_rounds(ray_session):
+    """A 200-node path needs ~200 hash-min rounds without pointer
+    jumping; with label-of-label compression it must converge well
+    inside max_iters=12 (≈ log2 diameter + constant)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from obsidian_parser_ray.pipelines.components import connected_components
+
+    n = 200
+    names = ["n%03d" % i for i in range(n)]
+    edges = pa.table(
+        {
+            "subj": pa.array(names[:-1], pa.string()),
+            "obj": pa.array(names[1:], pa.string()),
+        }
+    )
+    nodes = pa.table({"doc_id": pa.array(names, pa.string())})
+    out = connected_components(
+        rd.from_arrow(edges).repartition(4),
+        rd.from_arrow(nodes),
+        max_iters=12,
+        num_partitions=4,
+    ).to_pandas()
+    assert (out["component"] == "n000").all()
+    assert len(out) == n

@@ -377,3 +377,77 @@ WHERE doc_id % 7 <> 0 GROUP BY doc_id ORDER BY doc_id
         )
         assert got["doc_id"].tolist() == exp["doc_id"].tolist()
         assert got["n_hits"].tolist() == exp["n_hits"].tolist()
+
+
+class TestMinhashClusterDedup:
+    def _corpus(self):
+        import ray.data as rd
+
+        rng = np.random.RandomState(3)
+        vocab = ["tok%d" % i for i in range(400)]
+        texts, ids = [], []
+        # 10 template clusters of 6 near-identical docs + 40 singletons
+        did = 0
+        for c in range(10):
+            base = list(rng.choice(vocab, 60))
+            for j in range(6):
+                t = list(base)
+                t[j] = "mut%d_%d" % (c, j)  # one-token mutation
+                texts.append(" ".join(t))
+                ids.append(did)
+                did += 1
+        for _ in range(40):
+            texts.append(" ".join(rng.choice(vocab, 60)))
+            ids.append(did)
+            did += 1
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts)})
+        ).repartition(4)
+
+    def test_keeps_one_per_cluster(self, ray_session):
+        from obsidian_parser_ray.stages.dedup import drop_minhash_duplicates
+
+        ds = self._corpus()
+        kept = sorted(
+            drop_minhash_duplicates(
+                ds, threshold=0.5, num_partitions=8, concurrency=2
+            ).to_pandas()["doc_id"]
+        )
+        # each 6-doc cluster collapses to its min id; singletons survive
+        assert [k for k in kept if k < 60] == [0, 6, 12, 18, 24, 30, 36, 42, 48, 54]
+        assert [k for k in kept if k >= 60] == list(range(60, 100))
+
+    def test_star_candidates_connect_same_clusters_as_pairs(self, ray_session):
+        from obsidian_parser_ray.stages.dedup import minhash_lsh_pairs
+
+        ds = self._corpus()
+
+        def comps(pairs_df):
+            parent = {}
+
+            def find(x):
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
+
+            for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+                parent.setdefault(a, a), parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            out = {}
+            for n in list(parent):
+                out.setdefault(find(n), set()).add(n)
+            return sorted(frozenset(v) for v in out.values())
+
+        full = minhash_lsh_pairs(
+            ds, threshold=0.5, num_partitions=8, concurrency=2
+        ).to_pandas()
+        star = minhash_lsh_pairs(
+            ds, threshold=0.5, num_partitions=8, concurrency=2,
+            candidates="star",
+        ).to_pandas()
+        assert len(star) < len(full)          # linear vs quadratic surface
+        assert comps(star) == comps(full)     # same clusters

@@ -126,3 +126,78 @@ class TestBfsHops:
         edges = [("a", "b"), ("x", "y")]
         got = self._run(edges, ["a"])
         assert "x" not in got and "y" not in got
+
+
+def _triples(pairs):
+    return pa.table(
+        {
+            "subj": pa.array([a for a, _ in pairs], pa.string()),
+            "pred": pa.array(["links_to"] * len(pairs), pa.string()),
+            "obj": pa.array([b for _, b in pairs], pa.string()),
+        }
+    )
+
+
+def _peel(edges: set[tuple[str, str]], k: int) -> dict[str, int]:
+    """Driver-exact k-core oracle: peel until stable."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+class TestKCore:
+    def _run(self, pairs, k, **kw):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.graphops import k_core
+
+        out = k_core(
+            rd.from_arrow(_triples(pairs)).repartition(3), k=k,
+            num_partitions=4, **kw
+        ).to_pandas()
+        return dict(zip(out.get("node", []), out.get("degree", [])))
+
+    def test_cycle_survives_chain_peels(self, ray_session):
+        # cycle c0-c1-c2-c3-c0 (every degree 2) + tail c0-t0-t1
+        pairs = [("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c0"),
+                 ("c0", "t0"), ("t0", "t1")]
+        got = self._run(pairs, 2)
+        assert got == {"c0": 2, "c1": 2, "c2": 2, "c3": 2}
+
+    def test_clique_is_its_own_core(self, ray_session):
+        nodes = ["n%d" % i for i in range(5)]
+        pairs = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+        got = self._run(pairs, 4)
+        assert got == {n: 4 for n in nodes}
+
+    def test_everything_peels(self, ray_session):
+        got = self._run([("a", "b"), ("b", "c")], 2)
+        assert got == {}
+
+    def test_parallel_and_self_edges_ignored(self, ray_session):
+        # duplicate + reversed + self edges must not inflate degrees
+        pairs = [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+                 ("b", "c"), ("c", "a")]
+        got = self._run(pairs, 2)
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_random_graph_matches_driver_peeling(self, ray_session):
+        rng = random.Random(5)
+        nodes = ["v%d" % i for i in range(40)]
+        pairs = {
+            tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)
+        }
+        for k in (2, 3, 4):
+            got = self._run(sorted(pairs), k)
+            assert got == _peel(set(pairs), k), k
