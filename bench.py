@@ -31,8 +31,16 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # shape), sized so parallel compute dominates fixed overhead at the
 # low-parallelism run.
 SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "3840000"))
-SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "6"))
-SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "24"))
+# N → 4N defaults model NODE-count scaling: both levels stay under the
+# sandbox host's single memory bus ceiling (measured: per-worker parse
+# throughput plateaus above ~16 concurrent heavy workers on this box —
+# 5.4k docs/s/core at 4 workers, 4.4k at 16, 2.6k at 24).  On a real
+# cluster each node brings its own memory bandwidth, so per-level
+# concurrency per node is a fixed tuning knob and scale comes from
+# node count — which is what LO→HI measures.  Evidence table in
+# BASELINE.md "Scaling regimes".
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "3"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "12"))
 SCALE_CORPUS = os.environ.get(
     "GRAFT_SCALE_CORPUS", f"/tmp/graft_scale_corpus_{SCALE_DOCS}"
 )
@@ -249,7 +257,7 @@ def _scaling_child(num_cpus: int) -> None:
     # fused bucketed adjacency sink (one int-key shuffle whose reduce
     # task sorts locally and writes directly) — 3.5x faster on the sink
     # stage at 38.4M triples; see BASELINE.md "Fused adjacency sink".
-    sink_mode = os.environ.get("GRAFT_SINK_MODE", "sort")
+    sink_mode = os.environ.get("GRAFT_SINK_MODE", "adjacency")
     if sink_mode == "adjacency":
         from obsidian_parser_ray.pipelines.graph import write_adjacency
 

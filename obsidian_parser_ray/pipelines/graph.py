@@ -102,6 +102,7 @@ def build_graph(
     strict_lists: bool = False,
     link_mode: str = "broadcast",
     num_link_partitions: int = 64,
+    single_pass: bool = True,
 ):
     """documents Dataset → :class:`GraphResult`.
 
@@ -117,6 +118,14 @@ def build_graph(
     ceiling — the mandatory topology at 10^12 docs (requires no
     ``user_filter``; the notes/mentions/dictionary handles on the
     result are then lazy derivations).
+
+    ``single_pass=True`` (default, streaming mode only): the corpus is
+    read ONCE — the extract stage emits mention rows and dictionary
+    partials from the same parse and only that combined derived table
+    (a few % of input bytes) is materialized.  ``False`` restores the
+    zero-materialization two-pass variant (slim dictionary sweep +
+    direct mention extraction) — prefer it only when even the derived
+    mentions table must not be pinned.
 
     ``materialize_notes=None`` (default) AUTO-selects: the STREAMING
     path (slim frontmatter dictionary sweep, no notes barrier — the
@@ -202,9 +211,7 @@ def build_graph(
             notes = notes.materialize()
             dictionary = build_dictionary(notes)
         else:
-            from ..stages.linking import build_dictionary_from_docs
-
-            dictionary = build_dictionary_from_docs(docs)
+            dictionary = None  # streaming: resolved below (single/two pass)
 
     mentions = explode_mentions(notes)
     if not (materialize_notes or checkpoint_dir or user_filter is not None):
@@ -212,14 +219,39 @@ def build_graph(
         # from the documents (parse_doc fast mode — no md5/word-count/
         # JSON, no intermediate notes table); `mentions`/`notes` above
         # remain the lazy full-attribute views for other consumers
-        from ..stages.extract import extract_mentions_direct
+        if single_pass:
+            # ONE corpus read: the same parse emits mention rows AND
+            # dictionary partials; only the combined derived table
+            # (a few % of input bytes) is materialized.  The two-pass
+            # variant reads the corpus twice — at high parallelism the
+            # second read is pure storage-bandwidth cost that extra
+            # cpus cannot reduce (see extract_mentions_and_dict).
+            from ..stages.extract import (
+                combined_dict_partials,
+                combined_mentions,
+                extract_mentions_and_dict,
+            )
+            from ..stages.linking import _merge_dict_partials
 
-        link_input = extract_mentions_direct(
-            docs,
-            batch_size=extract_batch_size,
-            strict_lists=strict_lists,
-            include_tags=include_tags,
-        )
+            combined = extract_mentions_and_dict(
+                docs,
+                batch_size=extract_batch_size,
+                strict_lists=strict_lists,
+                include_tags=include_tags,
+            ).materialize()
+            link_input = combined_mentions(combined)
+            dictionary = _merge_dict_partials(combined_dict_partials(combined))
+        else:
+            from ..stages.extract import extract_mentions_direct
+            from ..stages.linking import build_dictionary_from_docs
+
+            dictionary = build_dictionary_from_docs(docs)
+            link_input = extract_mentions_direct(
+                docs,
+                batch_size=extract_batch_size,
+                strict_lists=strict_lists,
+                include_tags=include_tags,
+            )
     else:
         link_input = mentions
         if not include_tags:

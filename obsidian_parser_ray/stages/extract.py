@@ -312,6 +312,138 @@ def extract_mentions_direct(docs, *, batch_size: int | None = None,
     return docs.map_batches(rows, batch_format="pyarrow", batch_size=batch_size)
 
 
+COMBINED_SCHEMA = pa.schema(
+    [
+        ("row_kind", pa.int8()),  # 0 = mention row, 1 = dict partial row
+        ("subj", pa.string()),
+        ("kind", pa.string()),        # mention kind | dict kind
+        ("target_key", pa.string()),  # mention target | dict key
+        ("raw_text", pa.string()),    # mention raw    | dict val
+        ("span_offset", pa.int32()),
+        ("occurrence_idx", pa.int32()),
+    ]
+)
+
+
+def extract_mentions_and_dict(docs, *, batch_size: int | None = None,
+                              strict_lists: bool = False,
+                              include_tags: bool = True):
+    """ONE corpus read → union-tagged (mention rows ∪ per-block
+    dictionary partials).
+
+    The two-pass streaming mode reads the full documents table TWICE
+    (slim dictionary sweep, then mention extraction) — at high
+    parallelism the single-node measurement is STORAGE-BANDWIDTH
+    bound, so the second read is pure non-scaling cost (measured: the
+    32 GB / 3.84M-doc corpus reads at ~900 MB/s with 24 cpus — each
+    full pass costs ~35 s that more cpus cannot reduce).  This stage
+    parses each document once and emits both row families; the caller
+    materializes the combined output (mentions + partials ≈ a few % of
+    input bytes) and splits it with :func:`combined_mentions` /
+    :func:`combined_dict_partials` — corpus bytes cross storage
+    exactly once.
+    """
+    tag_kinds = ("tag_inline", "tag_frontmatter")
+
+    def rows(batch: pa.Table) -> pa.Table:
+        from .linking import _dict_partial_batch
+
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        subj, kind, key, raw, off, occ = [], [], [], [], [], []
+        names, aliases = [], []
+        for doc_id, spans in zip(doc_ids, spans_col):
+            attrs, mentions = parse_doc(
+                doc_id, spans or [], strict_lists=strict_lists,
+                with_attrs=False,
+            )
+            names.append(attrs["note_name"])
+            aliases.append(attrs["aliases"])
+            for m in mentions:
+                if not include_tags and m["kind"] in tag_kinds:
+                    continue
+                subj.append(doc_id)
+                kind.append(m["kind"])
+                key.append(m["target_key"])
+                raw.append(m["raw_text"])
+                off.append(m["span_offset"])
+                occ.append(m["occurrence_idx"])
+        n_m = len(subj)
+        slim = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "note_name": pa.array(names, pa.string()),
+                "aliases": pa.array(aliases, pa.list_(pa.string())),
+            }
+        )
+        d = _dict_partial_batch(slim)
+        n_d = d.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays(
+                    [pa.array([0] * n_m, pa.int8()), pa.array([1] * n_d, pa.int8())]
+                ),
+                pa.concat_arrays(
+                    [pa.array(subj, pa.string()), pa.nulls(n_d, pa.string())]
+                ),
+                pa.concat_arrays(
+                    [pa.array(kind, pa.string()),
+                     d["kind"].combine_chunks()
+                     if isinstance(d["kind"], pa.ChunkedArray) else d["kind"]]
+                ),
+                pa.concat_arrays(
+                    [pa.array(key, pa.string()),
+                     d["key"].combine_chunks()
+                     if isinstance(d["key"], pa.ChunkedArray) else d["key"]]
+                ),
+                pa.concat_arrays(
+                    [pa.array(raw, pa.string()),
+                     d["val"].combine_chunks()
+                     if isinstance(d["val"], pa.ChunkedArray) else d["val"]]
+                ),
+                pa.concat_arrays(
+                    [pa.array(off, pa.int32()), pa.nulls(n_d, pa.int32())]
+                ),
+                pa.concat_arrays(
+                    [pa.array(occ, pa.int32()), pa.nulls(n_d, pa.int32())]
+                ),
+            ],
+            schema=COMBINED_SCHEMA,
+        )
+
+    return docs.map_batches(rows, batch_format="pyarrow", batch_size=batch_size)
+
+
+def combined_mentions(combined):
+    """Mention-row view of :func:`extract_mentions_and_dict` output."""
+    import pyarrow.compute as pc
+
+    def split(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["row_kind"], 0))
+        return pa.Table.from_arrays(
+            [t[f.name].combine_chunks() if isinstance(t[f.name], pa.ChunkedArray)
+             else t[f.name] for f in MENTIONS_SCHEMA],
+            schema=MENTIONS_SCHEMA,
+        )
+
+    return combined.map_batches(split, batch_format="pyarrow")
+
+
+def combined_dict_partials(combined):
+    """Dictionary-partial view (kind, key, val) of
+    :func:`extract_mentions_and_dict` output — feed to
+    ``_merge_dict_partials``."""
+    import pyarrow.compute as pc
+
+    def split(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["row_kind"], 1))
+        return pa.table(
+            {"kind": t["kind"], "key": t["target_key"], "val": t["raw_text"]}
+        )
+
+    return combined.map_batches(split, batch_format="pyarrow")
+
+
 def explode_mentions_batch(batch: pa.Table) -> pa.Table:
     """Vectorized explode of the ``mentions`` list column → mention rows.
 

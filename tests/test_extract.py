@@ -214,3 +214,33 @@ class TestMentionsDirect:
         # include_tags=False drops exactly the tag kinds
         no_tags = rows(extract_mentions_direct(docs, include_tags=False))
         assert no_tags == [r for r in classic if not r[1].startswith("tag")]
+
+
+def test_single_pass_build_equivalent_to_two_pass(ray_session):
+    """build_graph(single_pass=True) must emit the identical triple set
+    as the two-pass streaming mode (one corpus read vs two)."""
+    import ray.data as rd
+
+    from obsidian_parser_ray import build_graph
+    from obsidian_parser_ray.corpus import make_span, spans_table
+
+    rows = []
+    for i in range(40):
+        fm = f"---\naliases: [al_{i}]\ntags: [t{i % 3}]\n---"
+        body = f"body [[note_{(i + 1) % 40}]] and [[al_{(i + 2) % 40}]] #x{i % 5}"
+        rows.append(
+            (f"dir/note_{i}", [make_span("frontmatter", fm, offset=0),
+                               make_span("text", body, offset=1)])
+        )
+    docs = rd.from_arrow(spans_table(rows)).repartition(4)
+
+    def triples(single_pass):
+        g = build_graph(
+            docs, materialize_notes=False, single_pass=single_pass,
+            linker_concurrency=2,
+        )
+        return sorted(
+            tuple(sorted(r.items())) for r in g.triples.take_all()
+        )
+
+    assert triples(True) == triples(False)
