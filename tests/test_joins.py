@@ -169,3 +169,26 @@ def test_broadcast_join_collision_suffix(ray_session):
     )
     got = broadcast_join_unique(_left(), right, left_key="k").to_pandas()
     assert set(got.columns) == {"k", "v", "v_r"}
+
+
+def test_broadcast_join_empty_right_all_modes(ray_session):
+    from obsidian_parser_ray.stages.joins import broadcast_join_unique
+
+    empty_right = rd.from_arrow(
+        pa.table(
+            {"kk": pa.array([], pa.string()), "w": pa.array([], pa.float64())}
+        )
+    )
+    inner = broadcast_join_unique(
+        _left(), empty_right, left_key="k", right_key="kk", how="inner"
+    ).to_pandas()
+    assert len(inner) == 0
+    anti = broadcast_join_unique(
+        _left(), empty_right, left_key="k", right_key="kk", how="anti"
+    ).to_pandas()
+    assert len(anti) == 5
+    left = broadcast_join_unique(
+        _left(), empty_right, left_key="k", right_key="kk", how="left"
+    ).to_pandas()
+    assert len(left) == 5
+    assert left["w"].isna().all()
