@@ -70,3 +70,12 @@ def hash_bucket_scalar(value, num_buckets: int) -> int:
 def hash64_array(values) -> np.ndarray:
     """Full 64-bit canonical hashes (uint64) — for sketches."""
     return pd.util.hash_array(_canon_list(values), categorize=False)
+
+
+def hash64_scalar(value) -> int:
+    """Full 64-bit canonical hash of one value — bit-identical to the
+    array path (so bucket AND sub-split derivations agree between
+    writers hashing columns and readers hashing one key)."""
+    arr = np.empty(1, dtype=object)
+    arr[0] = _canon_one(value)
+    return int(pd.util.hash_array(arr, categorize=False)[0])

@@ -39,6 +39,11 @@ class GraphResult:
     edges: object  # resolved edge multiset (reference keeps parallel edges)
     triples: object  # canonical (subj, pred, obj, weight)
     dictionary: object = field(repr=False, default=None)
+    #: which linking topology actually ran: "broadcast",
+    #: "shuffle-fused" (link_mode="shuffle": extraction fused into the
+    #: shuffle, docs re-read), or "shuffle-combined" (auto-selected:
+    #: the materialized single-pass table shuffled, no second read)
+    link_topology: str = ""
 
     def node_count(self) -> int:
         return self.notes.count()
@@ -86,6 +91,43 @@ def _estimate_input_bytes(ds) -> int | None:
         return None
 
 
+def _dict_exceeds_broadcast(combined, max_entries: int, max_bytes: int) -> bool:
+    """Size probe for the auto link-topology decision.
+
+    One vectorized sweep over the ALREADY-MATERIALIZED combined table
+    (mention rows ∪ dict partials — a few % of input bytes, pinned in
+    the object store either way): per-block (row count, key+val byte
+    volume) partials of the dictionary side, summed by a tiny
+    aggregate.  Bounds BOTH dimensions of the broadcast cliff — entry
+    count (driver-merge hash-map size) and payload bytes (plasma /
+    per-actor deserialization) — mirroring the row+byte guard of
+    ``joins.broadcast_join_unique``.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def stats(t):
+        import pyarrow as pa
+
+        d = t.filter(pc.equal(t["row_kind"], 1))
+        nb = (pc.sum(pc.binary_length(d["target_key"])).as_py() or 0) + (
+            pc.sum(pc.binary_length(d["raw_text"])).as_py() or 0
+        )
+        return pa.table(
+            {
+                "n": pa.array([d.num_rows], pa.int64()),
+                "nbytes": pa.array([nb], pa.int64()),
+            }
+        )
+
+    agg = combined.map_batches(stats, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("nbytes", alias_name="nbytes")
+    )
+    n = int(agg["n"] or 0) if agg else 0
+    nbytes = int(agg["nbytes"] or 0) if agg else 0
+    return n > max_entries or nbytes > max_bytes
+
+
 def build_graph(
     docs,
     *,
@@ -100,9 +142,11 @@ def build_graph(
     user_filter=None,
     materialize_notes: bool | None = None,
     strict_lists: bool = False,
-    link_mode: str = "broadcast",
+    link_mode: str = "auto",
     num_link_partitions: int = 64,
     single_pass: bool = True,
+    max_broadcast_entries: int = 2_000_000,
+    max_broadcast_bytes: int = 512 << 20,
 ):
     """documents Dataset → :class:`GraphResult`.
 
@@ -111,11 +155,28 @@ def build_graph(
     applied to the notes table before graph construction (e.g. drop
     todos / empty notes, examples/analyzer.rs:45-49).
 
-    ``link_mode="broadcast"`` (default) resolves mentions against the
-    broadcast dictionary; ``"shuffle"`` uses the FUSED single-pass
-    shuffle join (:func:`..stages.linking.link_edges_fused`): one
-    parse per document, no driver-side dictionary, no broadcast size
-    ceiling — the mandatory topology at 10^12 docs (requires no
+    ``link_mode="auto"`` (default) SIZE-SELECTS the join topology so
+    the flagship path has no manual scale cliff: in the streaming
+    single-pass mode the materialized combined table is probed for its
+    dictionary-partial row count and key/val byte volume (one cheap
+    vectorized sweep over the already-pinned derived table — never a
+    corpus re-read), and if either exceeds ``max_broadcast_entries`` /
+    ``max_broadcast_bytes`` the build flips from the broadcast linker
+    to :func:`..stages.linking.link_combined_shuffle` — a hash-
+    partitioned join over the SAME combined table, zero extra passes.
+    Barrier paths (``user_filter`` / ``checkpoint_dir`` / explicit
+    ``materialize_notes=True``) and the two-pass mode resolve auto to
+    broadcast: their semantics require the notes barrier, and the
+    dictionary they build is bounded by the notes table they already
+    pinned.  The chosen topology is reported on
+    :attr:`GraphResult.link_topology`.
+
+    ``link_mode="broadcast"`` forces the broadcast dictionary;
+    ``"shuffle"`` forces the FUSED single-pass shuffle join
+    (:func:`..stages.linking.link_edges_fused`): one parse per
+    document, no driver-side dictionary, no broadcast size ceiling —
+    also correct at 10^12 docs, but re-reads the corpus when a
+    combined table would have existed anyway (requires no
     ``user_filter``; the notes/mentions/dictionary handles on the
     result are then lazy derivations).
 
@@ -164,8 +225,9 @@ def build_graph(
             edges=edges,
             triples=canonicalize(edges, directed=directed),
             dictionary=None,
+            link_topology="shuffle-fused",
         )
-    if link_mode != "broadcast":
+    if link_mode not in ("broadcast", "auto"):
         raise ValueError(f"unknown link_mode {link_mode!r}")
 
     notes = extract_notes(docs, batch_size=extract_batch_size,
@@ -214,6 +276,8 @@ def build_graph(
             dictionary = None  # streaming: resolved below (single/two pass)
 
     mentions = explode_mentions(notes)
+    edges = None  # set early only when auto selects the combined shuffle
+    link_topology = "broadcast"
     if not (materialize_notes or checkpoint_dir or user_filter is not None):
         # streaming mode: the triples lineage reads mentions STRAIGHT
         # from the documents (parse_doc fast mode — no md5/word-count/
@@ -239,8 +303,27 @@ def build_graph(
                 strict_lists=strict_lists,
                 include_tags=include_tags,
             ).materialize()
-            link_input = combined_mentions(combined)
-            dictionary = _merge_dict_partials(combined_dict_partials(combined))
+            if link_mode == "auto" and _dict_exceeds_broadcast(
+                combined, max_broadcast_entries, max_broadcast_bytes
+            ):
+                # dictionary too large for a driver merge + ray.put
+                # broadcast — shuffle-join the SAME materialized table
+                # instead (no re-read, no driver-side dictionary)
+                from ..stages.linking import link_combined_shuffle
+
+                edges = link_combined_shuffle(
+                    combined,
+                    num_partitions=num_link_partitions,
+                    drop_unresolved=drop_unresolved,
+                )
+                link_topology = "shuffle-combined"
+                dictionary = None
+                link_input = None
+            else:
+                link_input = combined_mentions(combined)
+                dictionary = _merge_dict_partials(
+                    combined_dict_partials(combined)
+                )
         else:
             from ..stages.extract import extract_mentions_direct
             from ..stages.linking import build_dictionary_from_docs
@@ -258,13 +341,14 @@ def build_graph(
             link_input = mentions.filter(
                 expr="kind == 'link' or kind == 'embed' or kind == 'media'"
             )
-    edges = link_mentions(
-        link_input,
-        dictionary,
-        concurrency=linker_concurrency,
-        batch_size=linker_batch_size,
-        drop_unresolved=drop_unresolved,
-    )
+    if edges is None:
+        edges = link_mentions(
+            link_input,
+            dictionary,
+            concurrency=linker_concurrency,
+            batch_size=linker_batch_size,
+            drop_unresolved=drop_unresolved,
+        )
     if include_child_of:
         # in streaming mode `notes` is lazy — derive child_of from the
         # raw docs (doc_id is present verbatim) so the full extract
@@ -280,6 +364,7 @@ def build_graph(
         edges=edges,
         triples=triples,
         dictionary=dictionary,
+        link_topology=link_topology,
     )
 
 
@@ -341,9 +426,11 @@ def write_graph(result: GraphResult, out_dir: str,
 
 
 def write_adjacency(result: GraphResult, out_dir: str, *,
-                    num_buckets: int = 64, mode: str = "fused") -> dict:
+                    num_buckets: int = 64, mode: str = "fused",
+                    splits_per_bucket: int | str = "auto",
+                    target_split_bytes: int = 256 << 20) -> dict:
     """Bucketed adjacency layout: canonical triples hash-partitioned on
-    ``subj`` (hive ``subj_bucket=`` dirs), sorted within buckets.
+    ``subj`` (hive ``subj_bucket=`` dirs), sorted within files.
 
     The storage-side half of "pick ONE partitioning key and reuse it":
     per-subject adjacency reads prune to a single bucket directory —
@@ -352,8 +439,8 @@ def write_adjacency(result: GraphResult, out_dir: str, *,
     ``mode``:
 
     * ``"fused"`` (default) — single-shuffle sort-write fusion: tag each
-      row with its int32 bucket, shuffle ONCE on that single int key
-      (``groupby``), and in the reduce task sort the bucket locally with
+      row with its int32 shard, shuffle ONCE on that single int key
+      (``groupby``), and in the reduce task sort the shard locally with
       one Arrow ``sort_by`` and write its parquet file directly.  The
       global ``Dataset.sort`` merge (which compares full
       (subj, pred, obj) string tuples across the whole dataset) and the
@@ -361,22 +448,52 @@ def write_adjacency(result: GraphResult, out_dir: str, *,
       exchange.  At cluster scale ``out_dir`` must be shared storage
       (same caveat as ``write_markdown_files``).
     * ``"sort"`` — global ``Dataset.sort`` on (bucket, subj, pred, obj)
-      then hive-partitioned write; byte-identical layout, kept as the
+      then hive-partitioned write; totally-ordered buckets, kept as the
       oracle for the equivalence test and for sinks where the writer
       must not touch the filesystem from worker tasks.
+
+    ``splits_per_bucket`` bounds the fused reduce task (VERDICT r2 #3:
+    at 10^12 triples / 64 buckets one bucket is ~15 B rows — far past
+    one task's memory).  Each bucket is subdivided by a SECOND,
+    independent slice of the same subject hash into that many shards;
+    a reduce task holds one (bucket, split) shard — memory =
+    ``triple_bytes / (num_buckets × splits)``.  Each shard file is
+    internally sorted and owns a disjoint hash-slice of the bucket's
+    SUBJECTS, so per-subject reads (:func:`read_adjacency`) prune to
+    exactly ONE file — strictly finer pruning than before, in exchange
+    for the bucket no longer being one totally-ordered file.  The
+    default ``"auto"`` sizes splits from the source-metadata byte
+    estimate (an UPPER bound on triple bytes — over-splitting is the
+    cheap direction) so no bucket shard is expected past
+    ``target_split_bytes``; unknown-size inputs get 16 splits rather
+    than an unbounded task.  ``mode="sort"`` ignores splits — the
+    distributed range-partitioned sort bounds its own tasks.
     """
     import json
     import os
 
     import pyarrow as pa
 
-    def add_bucket(t: pa.Table) -> pa.Table:
+    if splits_per_bucket == "auto":
+        est = _estimate_input_bytes(result.triples)
+        if est is None:
+            splits = 16
+        else:
+            splits = max(1, min(4096, -(-est // (num_buckets * target_split_bytes))))
+    else:
+        splits = max(1, int(splits_per_bucket))
+
+    def add_shard(t: pa.Table) -> pa.Table:
         subj = t["subj"]
         if isinstance(subj, pa.ChunkedArray):
             subj = subj.combine_chunks()
-        from ..hashing import hash_bucket_array
+        from ..hashing import hash64_array
 
-        return t.append_column("subj_bucket", hash_bucket_array(subj, num_buckets))
+        h = hash64_array(subj)
+        bucket = (h % num_buckets).astype("int64")
+        split = ((h // num_buckets) % splits).astype("int64")
+        shard = pa.array((bucket * splits + split).astype("int32"), pa.int32())
+        return t.append_column("shard", shard)
 
     # atomic + idempotent (same contract as state.checkpoint_dataset):
     # write into a tmp dir, rename into place — a rerun replaces the
@@ -386,9 +503,13 @@ def write_adjacency(result: GraphResult, out_dir: str, *,
 
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    tri = result.triples.map_batches(add_bucket, batch_format="pyarrow")
-    manifest = {"num_buckets": num_buckets, "hash": "pd.util.hash_array"}
+    manifest = {
+        "num_buckets": num_buckets,
+        "splits_per_bucket": splits,
+        "hash": "pd.util.hash_array",
+    }
     if mode == "fused":
+        tri = result.triples.map_batches(add_shard, batch_format="pyarrow")
         data_dir = os.path.join(tmp, "data")
         os.makedirs(data_dir, exist_ok=True)
         sort_keys = [(k, "ascending") for k in ("subj", "pred", "obj")]
@@ -396,33 +517,49 @@ def write_adjacency(result: GraphResult, out_dir: str, *,
         def sort_and_write(g: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq
 
-            b = g["subj_bucket"][0].as_py()
-            body = g.drop_columns(["subj_bucket"]).sort_by(sort_keys)
+            shard = g["shard"][0].as_py()
+            b, s = divmod(shard, splits)
+            body = g.drop_columns(["shard"]).sort_by(sort_keys)
             bdir = os.path.join(data_dir, f"subj_bucket={b}")
             os.makedirs(bdir, exist_ok=True)
-            fp = os.path.join(bdir, "part-00000.parquet")
+            fp = os.path.join(bdir, f"part-{s:05d}.parquet")
             pq.write_table(body, fp)
             return pa.table(
                 {
                     "bucket": pa.array([b], pa.int32()),
+                    "split": pa.array([s], pa.int32()),
                     "rows": pa.array([body.num_rows], pa.int64()),
                     "bytes": pa.array([os.path.getsize(fp)], pa.int64()),
                 }
             )
 
-        # ≤ num_buckets tiny manifest rows come back to the driver
+        # ≤ num_buckets × splits tiny manifest rows come back to the driver
         parts = (
-            tri.groupby("subj_bucket")
+            tri.groupby("shard")
             .map_groups(sort_and_write, batch_format="pyarrow")
             .take_all()
         )
         manifest["partitions"] = sorted(
-            ({k: int(r[k]) for k in ("bucket", "rows", "bytes")} for r in parts),
-            key=lambda r: r["bucket"],
+            ({k: int(r[k]) for k in ("bucket", "split", "rows", "bytes")}
+             for r in parts),
+            key=lambda r: (r["bucket"], r["split"]),
         )
     elif mode == "sort":
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            subj = t["subj"]
+            if isinstance(subj, pa.ChunkedArray):
+                subj = subj.combine_chunks()
+            from ..hashing import hash_bucket_array
+
+            return t.append_column(
+                "subj_bucket", hash_bucket_array(subj, num_buckets)
+            )
+
+        tri = result.triples.map_batches(add_bucket, batch_format="pyarrow")
         tri = tri.sort(["subj_bucket", "subj", "pred", "obj"])
         tri.write_parquet(os.path.join(tmp, "data"), partition_cols=["subj_bucket"])
+        manifest["splits_per_bucket"] = 1  # sort mode: whole-bucket files
     else:
         raise ValueError(f"unknown write_adjacency mode: {mode!r}")
     with open(os.path.join(tmp, "_ADJ_MANIFEST.json"), "w") as f:
@@ -433,20 +570,34 @@ def write_adjacency(result: GraphResult, out_dir: str, *,
 
 
 def read_adjacency(out_dir: str, subj: str):
-    """Partition-pruned adjacency lookup: triples of ONE subject."""
+    """Partition-pruned adjacency lookup: triples of ONE subject.
+
+    Prunes to the subject's hash bucket directory, and — when the
+    layout was written with ``splits_per_bucket > 1`` — to the single
+    shard FILE the subject hashes into (1/(num_buckets × splits) of
+    the table touched per lookup)."""
     import json
     import os
 
     import pyarrow as pa
     import ray.data as rd
 
-    from ..hashing import hash_bucket_scalar
+    from ..hashing import hash64_scalar
 
     with open(os.path.join(out_dir, "_ADJ_MANIFEST.json")) as f:
         man = json.load(f)
-    bucket = hash_bucket_scalar(subj, man["num_buckets"])
+    h = hash64_scalar(subj)
+    bucket = h % man["num_buckets"]
+    splits = int(man.get("splits_per_bucket", 1))
     path = os.path.join(out_dir, "data", f"subj_bucket={bucket}")
-    if not os.path.isdir(path):
+    if splits > 1:
+        split = (h // man["num_buckets"]) % splits
+        fp = os.path.join(path, f"part-{split:05d}.parquet")
+        # a shard with no rows was still written (empty groups don't
+        # reach map_groups, so a MISSING file means no rows landed
+        # there) — treat missing as empty
+        path = fp if os.path.isfile(fp) else ""
+    if not (os.path.isdir(path) or os.path.isfile(path)):
         return rd.from_arrow(
             pa.table(
                 {

@@ -161,6 +161,7 @@ def broadcast_join_unique(left, right, *, left_key: str,
                           right_key: str | None = None, how: str = "inner",
                           suffix: str = "_r",
                           max_broadcast_rows: int = 2_000_000,
+                          max_broadcast_bytes: int = 512 << 20,
                           num_partitions: int = 64):
     """Map-side equi-join against a SMALL unique-keyed right side.
 
@@ -174,9 +175,11 @@ def broadcast_join_unique(left, right, *, left_key: str,
 
     Same semantics as :func:`hash_join_unique` (right unique per key;
     ``how`` ∈ inner/left/semi/anti; colliding right value columns get
-    ``suffix``).  If the right side exceeds ``max_broadcast_rows`` the
-    call falls back to :func:`hash_join_unique` — the broadcast cliff
-    is a deliberate, guarded decision, not a silent OOM.  This makes
+    ``suffix``).  If the right side exceeds ``max_broadcast_rows`` OR
+    ``max_broadcast_bytes`` (wide value columns can be multi-GB under
+    the row guard alone) the call falls back to
+    :func:`hash_join_unique` — the broadcast cliff is a deliberate,
+    guarded decision, not a silent OOM.  This makes
     the operator a size-ADAPTIVE join: pass any right side whose size
     is data-dependent (a filtered dimension, a pre-aggregated table)
     and the plan picks map-side vs shuffle at run time.
@@ -210,7 +213,11 @@ def broadcast_join_unique(left, right, *, left_key: str,
 
     right = right.materialize()
     n_right = right.count()
-    if n_right > max_broadcast_rows:
+    # bound by BYTES as well as rows: a right side with wide value
+    # columns (text payloads) can be multi-GB under the row guard, and
+    # the pa.concat_tables below assembles it ON THE DRIVER —
+    # size_bytes() on a materialized dataset is metadata-only (free)
+    if n_right > max_broadcast_rows or right.size_bytes() > max_broadcast_bytes:
         return hash_join_unique(
             left, right, left_key=left_key, right_key=right_key, how=how,
             suffix=suffix, num_partitions=num_partitions,

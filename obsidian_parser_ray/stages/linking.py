@@ -743,6 +743,77 @@ def link_edges_fused(docs, *, num_partitions: int = 64,
     return edges
 
 
+def link_combined_shuffle(combined, *, num_partitions: int = 64,
+                          drop_unresolved: bool = True):
+    """Shuffle-join edge build over an ALREADY-EXTRACTED combined table.
+
+    ``combined`` is the output of
+    :func:`..stages.extract.extract_mentions_and_dict` (mention rows ∪
+    per-block dictionary partials, one corpus parse) — typically the
+    materialized single-pass table ``build_graph`` already holds.  This
+    is the shuffle topology WITHOUT a second read: the combined rows
+    are re-tagged vectorized (no re-parse), hash-bucketed on the lookup
+    key, and each partition resolves with the SAME kernel as every
+    other path (:func:`link_batch` via :func:`_resolve_link_partition`).
+
+    Compare :func:`link_edges_fused`, which fuses extraction INTO the
+    shuffle and therefore re-reads the documents — the right shape when
+    no combined table exists yet.  When ``build_graph`` auto-detects a
+    dictionary too large to broadcast, this function turns the
+    already-paid extraction into the shuffle join, so the auto decision
+    costs zero extra passes.
+
+    Literal-kind mentions (tags/media) resolve verbatim in any
+    partition, so they are bucketed by ``subj`` — a hot tag value would
+    otherwise funnel millions of rows into one key partition (same
+    skew guard as :func:`link_edges_fused`).
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash_bucket_array
+
+    def tag(t: pa.Table) -> pa.Table:
+        rk = _arr(t["row_kind"])
+        is_dict = pc.equal(rk, 1)
+        kind = _arr(t["kind"])
+        key = _arr(t["target_key"])
+        raw = _arr(t["raw_text"])  # mention raw_text | dict val
+        subj = _arr(t["subj"])
+        n = len(rk)
+        literal = pc.and_(
+            pc.invert(is_dict), pc.is_in(kind, value_set=_LITERAL_ARR)
+        )
+        # dict rows have null subj — fill before hashing (those lanes
+        # are never selected by the literal mask)
+        subj_part = hash_bucket_array(pc.fill_null(subj, ""), num_partitions)
+        key_part = hash_bucket_array(key, num_partitions)
+        part = pc.if_else(literal, subj_part, key_part)
+        return pa.table(
+            {
+                "part": part,
+                "is_dict": is_dict,
+                "kind": kind,
+                "key": key,
+                "val": pc.if_else(is_dict, raw, pa.nulls(n, pa.string())),
+                "subj": subj,
+                "span_offset": _arr(t["span_offset"]),
+                "occurrence_idx": _arr(t["occurrence_idx"]),
+            }
+        )
+
+    edges = (
+        combined.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_resolve_link_partition, batch_format="pyarrow")
+    )
+    if drop_unresolved:
+        edges = edges.map_batches(
+            lambda t: t.filter(pc.equal(t["resolved"], True)),
+            batch_format="pyarrow",
+        )
+    return edges
+
+
 def resolution_stats(mentions, dictionary, *, batch_size: int | None = None):
     """Link-resolution observability: (pred, resolved) → count.
 

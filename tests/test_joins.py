@@ -156,6 +156,25 @@ def test_broadcast_join_fallback_over_threshold(ray_session):
     assert set(got.columns) == {"k", "v", "w"}
 
 
+def test_broadcast_join_fallback_over_byte_threshold(ray_session):
+    # a right side UNDER the row guard but with wide value columns must
+    # trip the BYTE guard (ADVICE r2: multi-GB text sides pinned driver
+    # RAM under the row-only guard); results identical either way
+    from obsidian_parser_ray.stages.joins import broadcast_join_unique
+
+    got = (
+        broadcast_join_unique(
+            _left(), _right(), left_key="k", right_key="kk",
+            max_broadcast_bytes=1,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    assert set(got.columns) == {"k", "v", "w"}
+
+
 def test_broadcast_join_collision_suffix(ray_session):
     from obsidian_parser_ray.stages.joins import broadcast_join_unique
 
