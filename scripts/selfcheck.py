@@ -24,7 +24,7 @@ def normalize(df):
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].astype("float64").round(6)
-        elif str(df[c].dtype).startswith(("int", "uint")):
+        elif str(df[c].dtype).startswith(("int", "uint", "Int", "UInt")):
             # canonical width: DataFrame.equals is dtype-sensitive, and
             # ray-side int32 vs duckdb int64 would "fail" with 0
             # differing rows otherwise

@@ -458,6 +458,52 @@ class TestTemporalJoinRandomizedParity:
         }
         assert got == want
 
+    def test_interval_overlapping_random_vs_bruteforce(self):
+        """OVERLAPPING intervals (nested, staggered, duplicated starts,
+        inclusive boundaries): every (point, containing interval) pair
+        must come back — checked against a nested-loop reference."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import interval_join_overlapping
+
+        rng = np.random.default_rng(11)
+        n_iv = 60
+        iv_keys = rng.choice([1, 1, 2, 3, 9], size=n_iv).astype(np.int64)
+        iv_lo = rng.integers(0, 100, size=n_iv).astype(np.int64)
+        iv_len = rng.integers(0, 40, size=n_iv).astype(np.int64)
+        iv_hi = iv_lo + iv_len  # heavy overlap; zero-length allowed
+        n_p = 250
+        p_keys = rng.choice([1, 2, 3, 4], size=n_p).astype(np.int64)
+        p_ts = rng.integers(0, 140, size=n_p).astype(np.int64)
+
+        pts = rd.from_arrow(
+            pa.table({"pid": pa.array(np.arange(n_p, dtype=np.int64)),
+                      "k": pa.array(p_keys), "s": pa.array(p_ts)})
+        )
+        ivs = rd.from_arrow(
+            pa.table({"k": pa.array(iv_keys),
+                      "iv": pa.array(np.arange(n_iv, dtype=np.int64)),
+                      "lo": pa.array(iv_lo), "hi": pa.array(iv_hi)})
+        )
+        out = interval_join_overlapping(
+            pts, ivs, key_col="k", ts_col="s", start_col="lo",
+            end_col="hi", num_partitions=8,
+        ).to_pandas()
+        got = sorted((int(r.pid), int(r.iv)) for r in out.itertuples())
+        want = sorted(
+            (i, j)
+            for i in range(n_p)
+            for j in range(n_iv)
+            if p_keys[i] == iv_keys[j] and iv_lo[j] <= p_ts[i] <= iv_hi[j]
+        )
+        assert got == want  # exact multiset: no dup rows, no misses
+        # interval value columns ride along correctly
+        for r in out.itertuples():
+            assert int(r.lo) == iv_lo[int(r.iv)]
+            assert int(r.hi) == iv_hi[int(r.iv)]
+
 
 def test_running_sum_matches_pandas(ray_session):
     import numpy as np
