@@ -28,10 +28,11 @@ never O(corpus).  Layout under ``base_dir``::
 rows are scattered across key buckets, so instead of rewriting them we
 TOMBSTONE the doc (manifest maps doc_id → min valid generation; new
 rows carry the current generation).  Reads filter against the
-tombstone map — O(cumulative changed docs) until a compaction rewrites
-the index (not implemented; the map is small relative to any delta
-stream that would matter).  All other tables are doc-bucketed, so
-their affected buckets are rewritten exactly (tmp + atomic rename).
+tombstone map — O(cumulative changed docs) between compactions;
+:func:`compact_mention_keys` rewrites the index dropping tombstoned
+generations and clears the map (schedule it every N deltas).  All
+other tables are doc-bucketed, so their affected buckets are rewritten
+exactly (tmp + atomic rename).
 
 Resolution-change semantics (matching ``stages.linking``): a mention
 re-resolves iff its ``target_key``'s winner changed in ANY of the
@@ -354,19 +355,8 @@ def incremental_update(base_dir: str, delta_docs, removed_ids=(), *,
             _filter_in("target_key", changed_keys),
             batch_format="pyarrow")
         if tombstones:
-            tomb_keys = pa.array(list(tombstones), pa.string())
-            tomb_gens = pa.array(
-                [int(tombstones[k]) for k in tombstones], pa.int64())
-
-            def drop_tomb(t: pa.Table) -> pa.Table:
-                idx = pc.index_in(t["doc_id"], tomb_keys)
-                min_gen = pc.take(tomb_gens, idx)
-                stale = pc.and_kleene(
-                    pc.is_valid(min_gen), pc.less(t["gen"], min_gen))
-                return t.filter(
-                    pc.invert(pc.fill_null(stale, False)))
-
-            mk = mk.map_batches(drop_tomb, batch_format="pyarrow")
+            mk = mk.map_batches(_tombstone_filter(tombstones),
+                                batch_format="pyarrow")
         more_affected = {
             r["doc_id"]
             for r in mk.select_columns(["doc_id"]).take_all()
@@ -475,3 +465,60 @@ def incremental_update(base_dir: str, delta_docs, removed_ids=(), *,
                      _all_bucket_ids(
                          os.path.join(base_dir, "triples"), "db")),
         _TRIPLES_SCHEMA)
+
+
+def _tombstone_filter(tombstones: dict):
+    """Batch filter dropping reverse-index rows whose doc is
+    tombstoned at a generation past the row's — the SAME predicate
+    :func:`incremental_update` applies on the read path, reused by
+    compaction so 'filtered read of the old index' ≡ 'plain read of
+    the compacted index' by construction."""
+    tomb_keys = pa.array(list(tombstones), pa.string())
+    tomb_gens = pa.array([int(v) for v in tombstones.values()], pa.int64())
+
+    def drop_tomb(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["doc_id"], tomb_keys)
+        min_gen = pc.take(tomb_gens, idx)
+        stale = pc.and_kleene(pc.is_valid(min_gen), pc.less(t["gen"], min_gen))
+        return t.filter(pc.invert(pc.fill_null(stale, False)))
+
+    return drop_tomb
+
+
+def compact_mention_keys(base_dir: str) -> dict:
+    """Compact the reverse index: rewrite ``mention_keys`` buckets
+    dropping tombstoned generations, then clear the manifest tombstone
+    map (VERDICT r2 #8 — without this the map grows O(cumulative
+    changed docs) and every pruned read pays the filter).
+
+    Work is O(reverse index size) — schedule it when the tombstone map
+    (checked via the returned/loaded manifest) outgrows the cost of a
+    rewrite, e.g. every N deltas.  Reads are IDENTICAL pre/post: the
+    rewrite applies exactly the read path's tombstone filter, so a
+    filtered read of the old index and a plain read of the compacted
+    index see the same rows (pytest-asserted).
+
+    Crash safety: the whole index tree is written to ``.tmp`` and
+    atomically renamed BEFORE the manifest update; a crash in between
+    leaves the old manifest over the compacted index, where the
+    tombstone filter is an idempotent no-op (the stale rows it would
+    drop are already gone).
+    """
+    with open(os.path.join(base_dir, _MANIFEST)) as f:
+        man = json.load(f)
+    tombstones: dict = dict(man.get("tombstones", {}))
+    if not tombstones:
+        return man
+    mk_root = os.path.join(base_dir, "mention_keys")
+    mk = _read_dirs(
+        _bucket_dirs(mk_root, "kb", _all_bucket_ids(mk_root, "kb")),
+        _MKEYS_SCHEMA,
+    ).map_batches(_tombstone_filter(tombstones), batch_format="pyarrow")
+    # _write_buckets executes the (lazy) filtered read into .tmp first,
+    # then swaps the tree — the source is never read after the swap
+    _write_buckets(mk, mk_root, "target_key", "kb",
+                   int(man["num_buckets"]))
+    man["tombstones"] = {}
+    with open(os.path.join(base_dir, _MANIFEST), "w") as f:
+        json.dump(man, f)
+    return man

@@ -130,3 +130,76 @@ class TestIncremental:
             assert got == _full(V0)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_compaction_preserves_reads_and_shrinks_map(self):
+        """VERDICT r2 #8: compact_mention_keys must (a) clear the
+        tombstone map, (b) leave the tombstone-FILTERED read of the
+        reverse index identical to the plain read of the compacted
+        one, (c) physically drop stale generations, and (d) leave
+        later incremental updates producing the same triples as an
+        uncompacted twin."""
+        import json
+        import os
+
+        from obsidian_parser_ray.pipelines.incremental import (
+            _MKEYS_SCHEMA,
+            _all_bucket_ids,
+            _bucket_dirs,
+            _read_dirs,
+            _tombstone_filter,
+            compact_mention_keys,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="kginc_")
+        twin = tempfile.mkdtemp(prefix="kginc_twin_")
+        try:
+            self._base(V0, tmp)
+            # two deltas → tombstones at two generations
+            d1 = [("notes/a", "Now links [[c]] twice: [[c]]. #t9")]
+            d2 = [("aa/thief", "---\naliases: [bee]\n---\nSteals bee.")]
+            self._update(tmp, d1, [])
+            self._update(tmp, d2, [])
+
+            mk_root = os.path.join(tmp, "mention_keys")
+
+            def read_mk(filtered_by: dict | None):
+                ds = _read_dirs(
+                    _bucket_dirs(mk_root, "kb",
+                                 _all_bucket_ids(mk_root, "kb")),
+                    _MKEYS_SCHEMA,
+                )
+                if filtered_by:
+                    ds = ds.map_batches(_tombstone_filter(filtered_by),
+                                        batch_format="pyarrow")
+                return sorted(
+                    (r["target_key"], r["doc_id"], r["gen"])
+                    for r in ds.take_all()
+                )
+
+            with open(os.path.join(tmp, "_MANIFEST.json")) as f:
+                man_pre = json.load(f)
+            assert man_pre["tombstones"]  # something to compact
+            raw_pre = read_mk(None)
+            filt_pre = read_mk(man_pre["tombstones"])
+            assert len(raw_pre) > len(filt_pre)  # stale rows exist
+
+            shutil.copytree(tmp, twin, dirs_exist_ok=True)
+            man_post = compact_mention_keys(tmp)
+            assert man_post["tombstones"] == {}
+            with open(os.path.join(tmp, "_MANIFEST.json")) as f:
+                assert json.load(f)["tombstones"] == {}
+            # plain read of compacted == filtered read of uncompacted
+            assert read_mk(None) == filt_pre
+            # compacting again is a no-op (empty map short-circuits)
+            assert compact_mention_keys(tmp)["tombstones"] == {}
+
+            # a further delta behaves identically on both bases
+            d3 = [("notes/e", "Cites [[bee]] and [[c]].")]
+            got_compacted = self._update(tmp, d3, [])
+            got_twin = self._update(twin, d3, [])
+            assert got_compacted == got_twin
+            vault = _apply(_apply(_apply(V0, d1, []), d2, []), d3, [])
+            assert got_compacted == _full(vault)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(twin, ignore_errors=True)
