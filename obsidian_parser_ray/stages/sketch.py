@@ -401,7 +401,13 @@ class BloomFilter:
     Mergeable by bitwise OR (same size/k), so per-block partials
     compose exactly like the other sketches.  Double hashing
     (Kirsch–Mitzenmacher): probe i uses ``h1 + i*h2`` with ``h2``
-    forced odd — k probes from one 64-bit hash, no rehashing.
+    forced odd — k probes from one 64-bit hash, no rehashing.  ``h2``
+    is a splitmix64 avalanche of ``h1`` (every output bit depends on
+    every input bit), not a bit rotation — rotation left h1/h2 fully
+    correlated and voided K–M's independence premise (r2 ADVICE).
+    A finalizer of h1 is still not literally an independent hash of
+    the value, so the quoted FP rate ``(1 - e^{-kn/m})^k`` remains a
+    close approximation rather than an exact bound.
     Guarantees: NO false negatives; false-positive rate ≈
     ``(1 - e^{-kn/m})^k``.  Default 2^20 bits / 128 KiB ≈ 0.6% FP at
     100k keys (k=5).
@@ -420,7 +426,13 @@ class BloomFilter:
 
     def _probes(self, hashes: np.ndarray):
         h1 = hashes.astype(np.uint64, copy=False)
-        h2 = ((h1 >> np.uint64(32)) | (h1 << np.uint64(32))) | np.uint64(1)
+        # splitmix64 finalizer of h1 → decorrelated second hash
+        h2 = h1 ^ (h1 >> np.uint64(30))
+        h2 = h2 * np.uint64(0xBF58476D1CE4E5B9)
+        h2 ^= h2 >> np.uint64(27)
+        h2 = h2 * np.uint64(0x94D049BB133111EB)
+        h2 ^= h2 >> np.uint64(31)
+        h2 |= np.uint64(1)
         for i in range(self.num_hashes):
             yield ((h1 + np.uint64(i) * h2) % np.uint64(self.num_bits)).astype(
                 np.int64
