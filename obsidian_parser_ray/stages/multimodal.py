@@ -6,12 +6,13 @@ The media table schema::
     asset_id: string, media_type: string ('image'|'audio'),
     payload: binary, meta_json: string
 
-:class:`MediaDecoder` decodes 8-bit non-interlaced PNG images FOR REAL
-with the pure-stdlib codec in :mod:`.png` (true dimensions, perceptual
-average-hash, pixel-histogram embedding).  Other formats (JPEG, audio)
-need PIL / torchaudio / ffmpeg, which are NOT in this container:
-``strict=False`` (default) falls back to a deterministic fake decode
-derived from the payload bytes, ``strict=True`` raises
+:class:`MediaDecoder` decodes 8-bit non-interlaced PNG and baseline
+(SOF0) JPEG images FOR REAL with the pure-stdlib codecs in :mod:`.png`
+/ :mod:`.jpeg` (true dimensions, perceptual average-hash,
+pixel-histogram embedding).  Remaining formats (progressive JPEG,
+audio) need PIL / torchaudio / ffmpeg, which are NOT in this
+container: ``strict=False`` (default) falls back to a deterministic
+fake decode derived from the payload bytes, ``strict=True`` raises
 ``NotImplementedError`` for them (the production hook — drop a real
 library into ``_decode_impl``).  The surrounding plumbing — schema,
 Arrow binary round-trip, small-batch actor-pool sizing, output
@@ -91,9 +92,50 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def media_from_vault(docs):
+def synth_real_image_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL-codec media table from asset-id strings:
+    every payload is an actual encoded image — PNG or baseline JPEG by
+    the id's md5 — whose dimensions derive from the same md5 bytes the
+    SQL oracle can recompute.  Unlike :func:`synth_media_batch` (random
+    bytes + metadata passthrough), the only way a decoder recovers the
+    right width/height here is to REALLY parse the codec's headers and
+    entropy stream — the driver query built on this value-checks both
+    real decode paths end-to-end (``meta_json`` is deliberately left
+    empty)."""
+    from .jpeg import encode_jpeg_baseline
+    from .png import encode_png
+
+    ids = batch["asset_id"].to_pylist()
+    payloads, metas = [], []
+    for a in ids:
+        h = hashlib.md5(a.encode()).digest()
+        w = 16 + h[2] % 64
+        hh = 16 + h[3] % 64
+        rng = np.random.RandomState(int.from_bytes(h[6:10], "little"))
+        shape = (hh, w) if h[7] % 2 == 0 else (hh, w, 3)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        payloads.append(
+            encode_png(img) if h[5] % 2 == 0
+            else encode_jpeg_baseline(img, quality=85)
+        )
+        metas.append("{}")
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array(["image"] * len(ids), pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(metas, pa.string()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def media_from_vault(docs, synth=synth_media_batch):
     """Vault documents → media asset table (one row per distinct
-    media_ref, asset ids from the media spans)."""
+    media_ref, asset ids from the media spans).  ``synth`` maps the
+    deduped asset-id table to payload rows — :func:`synth_media_batch`
+    (fake bytes + metadata) by default, :func:`synth_real_image_batch`
+    for real PNG/JPEG payloads."""
     def refs(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -113,7 +155,7 @@ def media_from_vault(docs):
         .count()
         .select_columns(["asset_id"])
     )
-    return assets.map_batches(synth_media_batch, batch_format="pyarrow")
+    return assets.map_batches(synth, batch_format="pyarrow")
 
 
 class MediaDecoder:
@@ -132,29 +174,37 @@ class MediaDecoder:
         self.schema = features_schema(embed_dim)
 
     def _decode_impl(self, media_type: str, payload: bytes, meta: dict):
-        # REAL decode path: PNG images are decoded with the pure-stdlib
-        # codec (stages/png.py) — true dimensions, perceptual
-        # average-hash, pixel-histogram embedding.  Non-PNG payloads
-        # fall through to the deterministic fake (strict=True raises
-        # instead: audio codecs aren't in this container).
+        # REAL decode path: PNG and baseline JPEG images are decoded
+        # with the pure-stdlib codecs (stages/png.py, stages/jpeg.py) —
+        # true dimensions, perceptual average-hash, pixel-histogram
+        # embedding.  Other payloads (progressive JPEG, audio) fall
+        # through to the deterministic fake (strict=True raises
+        # instead: those codecs aren't in this container).
         if media_type == "image":
+            from .jpeg import decode_jpeg_baseline, is_jpeg
             from .png import average_hash, decode_png, is_png
 
+            img = None
             if is_png(payload):
                 img = decode_png(payload)
+            elif is_jpeg(payload):
+                try:
+                    img = decode_jpeg_baseline(payload)
+                except ValueError:
+                    img = None  # progressive/arithmetic → fake/strict
+            if img is not None:
                 h_px, w_px = img.shape[:2]
-                flat = img.reshape(-1) if img.ndim == 2 else img.reshape(-1)
-                hist = np.bincount(flat, minlength=256)[:256].astype(
-                    np.float32
-                )
+                hist = np.bincount(
+                    img.reshape(-1), minlength=256
+                )[:256].astype(np.float32)
                 emb = hist @ self.proj
                 norm = float(np.linalg.norm(emb)) or 1.0
                 return w_px, h_px, 0, average_hash(img), emb / norm
         if self.strict:
             raise NotImplementedError(
-                "strict decode: only 8-bit non-interlaced PNG is decodable "
-                "without PIL/torchaudio in this container — payload is "
-                f"{media_type!r} and not a supported PNG"
+                "strict decode: only 8-bit non-interlaced PNG and baseline "
+                "JPEG are decodable without PIL/torchaudio in this "
+                f"container — payload is {media_type!r} and neither"
             )
         # deterministic fake: byte-histogram "embedding" + meta passthrough
         hist = np.bincount(
