@@ -1138,25 +1138,28 @@ def _q_media_features(sf_dir: str):
 
 
 def _q_media_decode_real(sf_dir: str):
-    """REAL two-codec decode, value-checked: every payload is an actual
-    encoded image (PNG or baseline JPEG by md5 of the asset id,
-    stages/multimodal.py synth_real_image_batch; codecs in
-    stages/png.py + stages/jpeg.py), decoded with strict=True — no
-    fake fallback — so the only way width/height come back right is a
-    real header+entropy decode.  The SQL oracle recomputes the planted
-    dimensions from md5(asset_id)."""
+    """REAL three-codec decode, value-checked: every payload is an
+    actual encoded file (PNG or baseline JPEG for images, PCM WAV for
+    audio, split by md5 of the asset id — stages/multimodal.py
+    synth_real_media_batch; codecs in stages/png.py + stages/jpeg.py +
+    stages/wav.py), decoded with strict=True — no fake fallback — so
+    the only way width/height/duration come back right is a real
+    header+payload decode.  The SQL oracle recomputes the planted
+    values from md5(asset_id)."""
     from obsidian_parser_ray import synth_vault
     from obsidian_parser_ray.stages.multimodal import (
         decode_media,
         media_from_vault,
-        synth_real_image_batch,
+        synth_real_media_batch,
     )
 
     media = media_from_vault(
-        synth_vault(sf_dir), synth=synth_real_image_batch
+        synth_vault(sf_dir), synth=synth_real_media_batch
     )
     feats = decode_media(media, strict=True, concurrency=1)
-    return feats.select_columns(["asset_id", "width", "height"])
+    return feats.select_columns(
+        ["asset_id", "media_type", "width", "height", "duration_ms"]
+    )
 
 
 def _q_doc_decontaminate(sf_dir: str):
@@ -2177,10 +2180,10 @@ SELECT asset_id,
        CASE WHEN b0 % 2 = 0 THEN 0 ELSE 1000 + b4 * 100 END::BIGINT AS duration_ms
 FROM h
 """,
-        # real-codec twin of media_features: dimensions planted via
-        # md5(asset_id) into ACTUAL PNG/baseline-JPEG payloads
-        # (synth_real_image_batch); the Ray side must really decode
-        # (strict=True) to recover them
+        # real-codec twin of media_features: dimensions/durations
+        # planted via md5(asset_id) into ACTUAL PNG / baseline-JPEG /
+        # PCM-WAV payloads (synth_real_media_batch); the Ray side must
+        # really decode (strict=True) to recover them
         "media_decode_real": r"""
 WITH assets AS (
   SELECT DISTINCT 'assets/img_' || (doc_id % 10) || '.png' AS asset_id
@@ -2188,13 +2191,17 @@ WITH assets AS (
 ),
 h AS (
   SELECT asset_id,
+         ('0x' || substr(md5(asset_id), 1, 2))::INT AS b0,
          ('0x' || substr(md5(asset_id), 5, 2))::INT AS b2,
-         ('0x' || substr(md5(asset_id), 7, 2))::INT AS b3
+         ('0x' || substr(md5(asset_id), 7, 2))::INT AS b3,
+         ('0x' || substr(md5(asset_id), 9, 2))::INT AS b4
   FROM assets
 )
 SELECT asset_id,
-       (16 + b2 % 64)::BIGINT AS width,
-       (16 + b3 % 64)::BIGINT AS height
+       CASE WHEN b0 % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+       CASE WHEN b0 % 2 = 0 THEN 16 + b2 % 64 ELSE 0 END::BIGINT AS width,
+       CASE WHEN b0 % 2 = 0 THEN 16 + b3 % 64 ELSE 0 END::BIGINT AS height,
+       CASE WHEN b0 % 2 = 0 THEN 0 ELSE 500 + b4 * 20 END::BIGINT AS duration_ms
 FROM h
 """,
         # sliding-window n-grams (NO partial gram for docs shorter than

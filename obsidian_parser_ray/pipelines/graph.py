@@ -145,7 +145,7 @@ def build_graph(
     link_mode: str = "auto",
     num_link_partitions: int = 64,
     single_pass: bool = True,
-    max_broadcast_entries: int = 2_000_000,
+    max_broadcast_entries: int = 10_000_000,
     max_broadcast_bytes: int = 512 << 20,
 ):
     """documents Dataset → :class:`GraphResult`.
@@ -164,6 +164,11 @@ def build_graph(
     ``max_broadcast_bytes`` the build flips from the broadcast linker
     to :func:`..stages.linking.link_combined_shuffle` — a hash-
     partitioned join over the SAME combined table, zero extra passes.
+    Guard defaults: BYTES (512 MB) is the binding constraint for the
+    skinny string dictionary (driver merge + ray.put + per-actor
+    fetch); the 10M entry guard backstops pathological many-tiny-key
+    corpora (measured: a 7.7M-entry / ~230 MB dictionary at 3.84M docs
+    still favors broadcast — see BASELINE.md scaling table).
     Barrier paths (``user_filter`` / ``checkpoint_dir`` / explicit
     ``materialize_notes=True``) and the two-pass mode resolve auto to
     broadcast: their semantics require the notes barrier, and the

@@ -92,37 +92,51 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def synth_real_image_batch(batch: pa.Table) -> pa.Table:
+def synth_real_media_batch(batch: pa.Table) -> pa.Table:
     """Deterministic REAL-codec media table from asset-id strings:
-    every payload is an actual encoded image — PNG or baseline JPEG by
-    the id's md5 — whose dimensions derive from the same md5 bytes the
-    SQL oracle can recompute.  Unlike :func:`synth_media_batch` (random
-    bytes + metadata passthrough), the only way a decoder recovers the
-    right width/height here is to REALLY parse the codec's headers and
-    entropy stream — the driver query built on this value-checks both
-    real decode paths end-to-end (``meta_json`` is deliberately left
-    empty)."""
+    every payload is an actual encoded file — PNG or baseline JPEG for
+    images, PCM WAV for audio, chosen by the id's md5 — whose planted
+    dimensions/duration derive from the same md5 bytes the SQL oracle
+    can recompute.  Unlike :func:`synth_media_batch` (random bytes +
+    metadata passthrough), the only way a decoder recovers the right
+    width/height/duration here is to REALLY parse the codec's headers
+    and payload — the media_decode_real driver query value-checks all
+    three real decode paths end-to-end (``meta_json`` is deliberately
+    left empty).  Type split mirrors :func:`synth_media_batch`:
+    ``md5[0] % 2 == 0`` → image, else audio."""
     from .jpeg import encode_jpeg_baseline
     from .png import encode_png
+    from .wav import encode_wav_pcm16
 
     ids = batch["asset_id"].to_pylist()
-    payloads, metas = [], []
+    types, payloads, metas = [], [], []
     for a in ids:
         h = hashlib.md5(a.encode()).digest()
-        w = 16 + h[2] % 64
-        hh = 16 + h[3] % 64
         rng = np.random.RandomState(int.from_bytes(h[6:10], "little"))
-        shape = (hh, w) if h[7] % 2 == 0 else (hh, w, 3)
-        img = rng.randint(0, 256, shape).astype(np.uint8)
-        payloads.append(
-            encode_png(img) if h[5] % 2 == 0
-            else encode_jpeg_baseline(img, quality=85)
-        )
+        if h[0] % 2 == 0:
+            types.append("image")
+            w = 16 + h[2] % 64
+            hh = 16 + h[3] % 64
+            shape = (hh, w) if h[7] % 2 == 0 else (hh, w, 3)
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            payloads.append(
+                encode_png(img) if h[5] % 2 == 0
+                else encode_jpeg_baseline(img, quality=85)
+            )
+        else:
+            types.append("audio")
+            # 8 kHz → frames = ms × 8 exactly, so the decoded duration
+            # reproduces the planted value with no rounding slack
+            ms = 500 + h[4] * 20
+            samples = rng.randint(
+                -20000, 20000, ms * 8
+            ).astype(np.int16)
+            payloads.append(encode_wav_pcm16(samples, sample_rate=8000))
         metas.append("{}")
     return pa.Table.from_arrays(
         [
             pa.array(ids, pa.string()),
-            pa.array(["image"] * len(ids), pa.string()),
+            pa.array(types, pa.string()),
             pa.array(payloads, pa.binary()),
             pa.array(metas, pa.string()),
         ],
@@ -134,8 +148,8 @@ def media_from_vault(docs, synth=synth_media_batch):
     """Vault documents → media asset table (one row per distinct
     media_ref, asset ids from the media spans).  ``synth`` maps the
     deduped asset-id table to payload rows — :func:`synth_media_batch`
-    (fake bytes + metadata) by default, :func:`synth_real_image_batch`
-    for real PNG/JPEG payloads."""
+    (fake bytes + metadata) by default, :func:`synth_real_media_batch`
+    for real PNG/JPEG/WAV payloads."""
     def refs(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -200,11 +214,33 @@ class MediaDecoder:
                 emb = hist @ self.proj
                 norm = float(np.linalg.norm(emb)) or 1.0
                 return w_px, h_px, 0, average_hash(img), emb / norm
+        elif media_type == "audio":
+            # REAL audio path: RIFF/PCM WAV via stages/wav.py — true
+            # duration, segment-RMS embedding, energy hash.  Compressed
+            # codecs (MP3/AAC/Opus) fall through to fake/strict.
+            from .wav import (
+                decode_wav,
+                energy_hash,
+                is_wav,
+                segment_energies,
+            )
+
+            if is_wav(payload):
+                try:
+                    samples, rate = decode_wav(payload)
+                except ValueError:
+                    samples = None
+                if samples is not None:
+                    dur = int(round(1000.0 * samples.shape[0] / rate))
+                    feats = segment_energies(samples, 256)
+                    emb = feats @ self.proj
+                    norm = float(np.linalg.norm(emb)) or 1.0
+                    return 0, 0, dur, energy_hash(samples), emb / norm
         if self.strict:
             raise NotImplementedError(
-                "strict decode: only 8-bit non-interlaced PNG and baseline "
-                "JPEG are decodable without PIL/torchaudio in this "
-                f"container — payload is {media_type!r} and neither"
+                "strict decode: only PNG, baseline JPEG and PCM WAV are "
+                "decodable without PIL/torchaudio/ffmpeg in this "
+                f"container — payload is {media_type!r} and none of those"
             )
         # deterministic fake: byte-histogram "embedding" + meta passthrough
         hist = np.bincount(

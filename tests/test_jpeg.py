@@ -158,21 +158,22 @@ class TestMediaDecoderIntegration:
         with pytest.raises(NotImplementedError):
             MediaDecoder(strict=True)(t)
 
-    def test_synth_real_batch_dims_match_md5(self):
-        """synth_real_image_batch payloads decode (strict) to the
-        md5-derived dimensions — the invariant the SQL oracle of the
-        media_decode_real driver query relies on."""
+    def test_synth_real_batch_matches_md5_plants(self):
+        """synth_real_media_batch payloads decode (strict) to the
+        md5-derived dimensions/durations — the invariant the SQL
+        oracle of the media_decode_real driver query relies on — and
+        the fixture set exercises all three real codecs."""
         import hashlib
 
         import pyarrow as pa
 
         from obsidian_parser_ray.stages.multimodal import (
             MediaDecoder,
-            synth_real_image_batch,
+            synth_real_media_batch,
         )
 
-        ids = [f"assets/img_{i}.png" for i in range(10)]
-        media = synth_real_image_batch(
+        ids = [f"assets/img_{i}.png" for i in range(20)]
+        media = synth_real_media_batch(
             pa.table({"asset_id": pa.array(ids, pa.string())})
         )
         out = MediaDecoder(strict=True)(media)
@@ -180,7 +181,15 @@ class TestMediaDecoderIntegration:
         codecs = set()
         for a in ids:
             h = hashlib.md5(a.encode()).digest()
-            assert rows[a]["width"] == 16 + h[2] % 64
-            assert rows[a]["height"] == 16 + h[3] % 64
-            codecs.add("png" if h[5] % 2 == 0 else "jpeg")
-        assert codecs == {"png", "jpeg"}  # both real codecs exercised
+            if h[0] % 2 == 0:
+                assert rows[a]["media_type"] == "image"
+                assert rows[a]["width"] == 16 + h[2] % 64
+                assert rows[a]["height"] == 16 + h[3] % 64
+                assert rows[a]["duration_ms"] == 0
+                codecs.add("png" if h[5] % 2 == 0 else "jpeg")
+            else:
+                assert rows[a]["media_type"] == "audio"
+                assert rows[a]["duration_ms"] == 500 + h[4] * 20
+                assert rows[a]["width"] == 0 and rows[a]["height"] == 0
+                codecs.add("wav")
+        assert codecs == {"png", "jpeg", "wav"}  # all real codecs hit
