@@ -196,6 +196,21 @@ def _q_emb_label_by_lang(sf_dir: str):
     )
 
 
+def _q_emb_lang_centroid(sf_dir: str):
+    """Per-language embedding centroid, hash-exact: embeddings ⋈
+    documents on the int id, then per-(lang, dim) integer-grid sums
+    (Σ floor(val × 1e6) as int64 — associative, so the distributed
+    result is bit-identical to the SQL twin; stages/clustering.py
+    grouped_centroid_sums)."""
+    from obsidian_parser_ray.stages.clustering import grouped_centroid_sums
+    from obsidian_parser_ray.stages.joins import hash_join_unique
+
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    j = hash_join_unique(embs, docs, left_key="vec_id", right_key="doc_id")
+    return grouped_centroid_sums(j, key_col="lang")
+
+
 def _q_events_running_spend(sf_dir: str):
     """Per-user running spend: SQL windowed SUM/row_number twin.
     Value is integer cents (floor(value·100)) — float window sums have
@@ -1381,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "doc_prep_pipeline": _q_doc_prep_pipeline,
         "emb_label_by_lang": _q_emb_label_by_lang,
+        "emb_lang_centroid": _q_emb_lang_centroid,
         "events_running_spend": _q_events_running_spend,
         "events_never_purchased": _q_events_never_purchased,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -2044,6 +2060,23 @@ FROM xx
             " FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id"
             " GROUP BY 1, 2"
         ),
+        # exact per-(lang, dim) centroid sums on the floor(val*1e6)
+        # integer grid — int64 addition is associative, so the
+        # distributed sums hash-match SQL bit-for-bit (float avg would
+        # differ in the last ulp by summation order)
+        "emb_lang_centroid": """
+WITH x AS (
+  SELECT vec_id,
+         unnest(embedding) AS val,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+)
+SELECT d.lang, x.dim::BIGINT AS dim,
+       sum(floor(x.val::DOUBLE * 1000000))::BIGINT AS sum_scaled,
+       count(*)::BIGINT AS n_vecs
+FROM x JOIN documents d ON x.vec_id = d.doc_id
+GROUP BY 1, 2
+""",
         "events_running_spend": """
 WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS s, event_id,
                   floor(value*100)::BIGINT AS cents FROM events)

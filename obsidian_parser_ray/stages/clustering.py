@@ -127,3 +127,61 @@ def kmeans_assign(ds, centroids: np.ndarray, *,
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_centroid_sums(ds, *, key_col: str, vec_col: str = "embedding",
+                          scale: float = 1_000_000.0):
+    """Per-key embedding centroid as EXACT integer-grid sums:
+    ``(key, dim, sum_scaled, n_vecs)`` with
+    ``sum_scaled = Σ floor(value × scale)`` as int64.
+
+    Working on the floor-scaled integer grid makes the distributed
+    result bit-identical to a sequential (or SQL) evaluation — float
+    summation order across blocks can differ in the last ulp, which
+    would break hash-level oracle comparison; int64 addition is
+    associative.  ``floor`` (not round) avoids the half-way
+    tie-breaking difference between IEEE round-half-even and SQL
+    round-half-away.  The true centroid is
+    ``sum_scaled / (n_vecs × scale)`` within 1/scale per element.
+
+    Dataflow: one fused map_batches computes per-block (key, dim)
+    partial sums via ``np.add.at`` (k×d rows per block, independent of
+    block size), then a tiny groupby merges the partials — the same
+    mergeable-partial shape as :func:`kmeans_fit`'s M-step.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        x = _batch_matrix(t, vec_col)
+        n, d = x.shape if x.size else (0, 0)
+        if not n:
+            return pa.table({
+                key_col: pa.array([], keys.type),
+                "dim": pa.array([], pa.int64()),
+                "_s": pa.array([], pa.int64()),
+                "_n": pa.array([], pa.int64()),
+            })
+        scaled = np.floor(x * scale).astype(np.int64)
+        uniq, codes = np.unique(np.asarray(keys), return_inverse=True)
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, codes, scaled)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        k = len(uniq)
+        return pa.table({
+            key_col: pa.array(np.repeat(uniq, d), keys.type),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+            "_s": pa.array(sums.reshape(-1)),
+            "_n": pa.array(np.repeat(cnt, d)),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "dim"])
+        .aggregate(
+            Sum("_s", alias_name="sum_scaled"),
+            Sum("_n", alias_name="n_vecs"),
+        )
+    )

@@ -77,3 +77,40 @@ class TestKMeans:
         ]).astype(np.float32)
         cents = kmeans_fit(_make_ds(x), 4, n_iter=4)
         assert np.isfinite(cents).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedCentroids:
+    def test_matches_numpy_reference_exactly(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.clustering import grouped_centroid_sums
+
+        rng = np.random.RandomState(7)
+        n, d = 400, 6
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        keys = rng.choice(["en", "de", "fr"], size=n)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array(keys),
+                    "embedding": pa.array(
+                        [row.tolist() for row in x], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).repartition(8)  # partials must merge across blocks
+
+        out = grouped_centroid_sums(ds, key_col="lang").to_pandas()
+        scaled = np.floor(x.astype(np.float64) * 1_000_000).astype(np.int64)
+        for k in ("en", "de", "fr"):
+            mask = keys == k
+            want = scaled[mask].sum(axis=0)
+            got = (
+                out[out["lang"] == k]
+                .sort_values("dim")["sum_scaled"]
+                .to_numpy()
+            )
+            assert np.array_equal(got, want)  # bit-exact, order-independent
+            assert (out[out["lang"] == k]["n_vecs"] == mask.sum()).all()
+        assert len(out) == 3 * d
