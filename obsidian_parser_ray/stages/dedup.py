@@ -271,10 +271,17 @@ class _MinHashDocs:
         offsets = pa.array(
             np.arange(n + 1, dtype=np.int32) * self.bands, pa.int32()
         )
+        # FixedSizeBinary signature: one contiguous buffer, zero-copy
+        # numpy view downstream (a variable-width binary column would
+        # cost a per-row Python bytes object in the verify kernel)
+        width = self.mh.num_hashes * sigs.dtype.itemsize
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), n, [None, pa.py_buffer(sigs.tobytes())]
+        )
         return pa.table(
             {
                 "doc_id": t[self.id_col],
-                "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
+                "sig": sig_arr,
                 "band_hashes": pa.ListArray.from_arrays(
                     offsets, pa.array(band.ravel(), pa.int64())
                 ),
@@ -402,48 +409,71 @@ def minhash_lsh_pairs(
         }
     )
 
-    def bucket_verified_pairs(g: pd.DataFrame) -> pa.Table:
-        # singleton buckets dropped vectorized; pair fan-out via numpy
-        # triu indices; est-Jaccard computed IN THE BUCKET from the
-        # members' full signatures (delivered on the band rows) — the
-        # estimate is pair-level (component equality over the whole
-        # signature), so it is identical no matter which band surfaces
-        # the pair, and the global Max-dedup below stays exact.
-        sizes = g.groupby(["band_id", "band_hash"], sort=False)[
-            "doc_id"
-        ].transform("size")
-        g = g[sizes >= 2]
-        ia, ib, ee = [], [], []
-        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
-            sub = sub.sort_values("doc_id", kind="stable").head(max_bucket)
-            ids = sub["doc_id"].to_numpy()
-            sig = np.frombuffer(
-                b"".join(sub["sig"]), dtype=_SIG_DTYPE
-            ).reshape(len(ids), sig_words)
+    import pyarrow.compute as pc
+
+    def bucket_verified_pairs(g: pa.Table) -> pa.Table:
+        # Pure Arrow/numpy kernel — the 256-byte signatures NEVER
+        # become per-row Python objects: one Arrow sort_by, a
+        # zero-copy FixedSizeBinary→numpy matrix view, run-length
+        # bucket boundaries, then numpy fan-out + est-Jaccard per
+        # bucket.  The estimate is pair-level (component equality over
+        # the whole signature), so it is identical no matter which
+        # band surfaces the pair, and the global Max-dedup stays exact.
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by(
+            [("band_id", "ascending"), ("band_hash", "ascending"),
+             ("doc_id", "ascending")]
+        )
+        band_id = g["band_id"].combine_chunks().to_numpy()
+        band_hash = g["band_hash"].combine_chunks().to_numpy()
+        sig = g["sig"].combine_chunks()
+        flat = np.frombuffer(sig.buffers()[1], dtype=_SIG_DTYPE)
+        mat = flat[
+            sig.offset * sig_words:(sig.offset + len(sig)) * sig_words
+        ].reshape(len(sig), sig_words)
+        n = len(band_id)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (band_id[1:] != band_id[:-1]) | (
+            band_hash[1:] != band_hash[:-1]
+        )
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        ia_pos, ib_pos, ee = [], [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            e = min(int(e), int(s) + max_bucket)
+            m = mat[s:e]
             if star:
                 # linear star fan-out: min-id representative → member
-                est = (sig[0] == sig[1:]).mean(axis=1)
+                # (rows are doc_id-sorted, so position s is the min)
+                est = (m[0] == m[1:]).mean(axis=1)
                 keep = est >= threshold
-                ia.extend(np.repeat(ids[0], int(keep.sum())))
-                ib.extend(ids[1:][keep])
-                ee.extend(est[keep])
+                if keep.any():
+                    ia_pos.append(np.full(int(keep.sum()), s, np.int64))
+                    ib_pos.append(np.arange(s + 1, e, dtype=np.int64)[keep])
+                    ee.append(est[keep])
             else:
-                iu, ju = np.triu_indices(len(ids), k=1)
-                est = (sig[iu] == sig[ju]).mean(axis=1)
+                iu, ju = np.triu_indices(e - s, k=1)
+                est = (m[iu] == m[ju]).mean(axis=1)
                 keep = est >= threshold
-                ia.extend(ids[iu][keep])
-                ib.extend(ids[ju][keep])
-                ee.extend(est[keep])
+                if keep.any():
+                    ia_pos.append(iu[keep].astype(np.int64) + s)
+                    ib_pos.append(ju[keep].astype(np.int64) + s)
+                    ee.append(est[keep])
+        if not ia_pos:
+            return empty
+        ids = g["doc_id"].combine_chunks()
         t = pa.table(
             {
-                "id_a": pa.array(ia, id_t),
-                "id_b": pa.array(ib, id_t),
-                "est_jaccard": pa.array(np.asarray(ee, dtype=np.float64),
-                                        pa.float64()),
+                "id_a": pc.take(ids, pa.array(np.concatenate(ia_pos))),
+                "id_b": pc.take(ids, pa.array(np.concatenate(ib_pos))),
+                "est_jaccard": pa.array(
+                    np.concatenate(ee).astype(np.float64), pa.float64()
+                ),
             }
         )
-        if t.num_rows == 0:
-            return t
         # within-partition dedup cuts the global-dedup shuffle volume
         out = t.group_by(["id_a", "id_b"]).aggregate([("est_jaccard", "max")])
         return out.rename_columns(
@@ -454,7 +484,7 @@ def minhash_lsh_pairs(
     pairs = (
         docs.map_batches(explode_bands, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(bucket_verified_pairs, batch_format="pandas")
+        .map_groups(bucket_verified_pairs, batch_format="pyarrow")
     )
     return _dedup_pairs(pairs, empty, Max("est_jaccard", alias_name="est_jaccard"))
 
