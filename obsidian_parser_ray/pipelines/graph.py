@@ -106,6 +106,19 @@ def _dict_exceeds_broadcast(combined, max_entries: int, max_bytes: int) -> bool:
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
+    # metadata short-circuit: on the materialized combined table both
+    # count() and size_bytes() are free; the dictionary side is a
+    # subset of the whole table, so if the WHOLE table fits the guard
+    # the dictionary certainly does — no probe pass at all.  Only
+    # oversized tables (where the probe cost is a rounding error of
+    # the build) pay the exact dict-side sweep.
+    try:
+        if (combined.count() <= max_entries
+                and combined.size_bytes() <= max_bytes):
+            return False
+    except Exception:
+        pass
+
     def stats(t):
         import pyarrow as pa
 
