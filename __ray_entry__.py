@@ -1152,6 +1152,20 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_doc_strip_boilerplate(sf_dir: str):
+    """Cross-document repeated-substring REMOVAL (Lee et al. 2022
+    span-excision, stages/dedup.py remove_repeated_ngrams): every word
+    span inside a 5-gram shared by ≥2 distinct docs is excised; the
+    SQL twin recomputes the exact clean_text (string_agg of surviving
+    tokens) and removal counts — a full value check of both shuffles
+    and the interval-union rewrite."""
+    from obsidian_parser_ray.stages.dedup import remove_repeated_ngrams
+
+    return remove_repeated_ngrams(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=5, min_docs=2
+    )
+
+
 def _q_media_decode_real(sf_dir: str):
     """REAL three-codec decode, value-checked: every payload is an
     actual encoded file (PNG or baseline JPEG for images, PCM WAV for
@@ -1405,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_approx_users": _q_events_type_approx_users,
         "media_features": _q_media_features,
         "media_decode_real": _q_media_decode_real,
+        "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_redact": _q_doc_redact,
         "events_bloom_purchasers": _q_events_bloom_purchasers,
@@ -2236,6 +2251,49 @@ SELECT asset_id,
        CASE WHEN b0 % 2 = 0 THEN 16 + b3 % 64 ELSE 0 END::BIGINT AS height,
        CASE WHEN b0 % 2 = 0 THEN 0 ELSE 500 + b4 * 20 END::BIGINT AS duration_ms
 FROM h
+""",
+        # cross-doc repeated 5-gram span removal: dup grams by DISTINCT
+        # doc count, word positions unioned per doc via an inequality
+        # join, surviving tokens re-joined with single spaces —
+        # byte-identical to remove_repeated_ngrams' rewrite
+        "doc_strip_boilerplate": r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                               i -> array_to_string(w[i:i+4], ' '))) AS g,
+         unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i
+  FROM words
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT DISTINCT doc_id, i FROM grams JOIN dup USING (g)),
+tokens AS (
+  SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS j
+  FROM words
+),
+removed AS (
+  SELECT DISTINCT t.doc_id, t.j
+  FROM tokens t JOIN hits h
+    ON t.doc_id = h.doc_id AND t.j BETWEEN h.i AND h.i + 4
+),
+kept AS (
+  SELECT t.doc_id, string_agg(t.word, ' ' ORDER BY t.j) AS clean_text
+  FROM tokens t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.j = r.j
+  WHERE r.j IS NULL
+  GROUP BY t.doc_id
+),
+counts AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM removed GROUP BY 1)
+SELECT w.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       len(w.w)::BIGINT AS n_words,
+       coalesce(c.n_removed, 0)::BIGINT AS n_removed
+FROM words w
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN counts c USING (doc_id)
 """,
         # sliding-window n-grams (NO partial gram for docs shorter than
         # n words — word_ngrams_exact parity); hits = DISTINCT shared

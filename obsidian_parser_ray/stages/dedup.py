@@ -1159,3 +1159,219 @@ def drop_minhash_duplicates(ds, *, text_col: str = "text",
         left_key=id_col, right_key="node", how="anti",
         num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-substring removal (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — the
+# span-removal variant, expressed as two bounded shuffles)
+# ---------------------------------------------------------------------------
+
+
+def gram_hash_positions(words: list[str], n: int) -> np.ndarray:
+    """uint64 identity hash of EVERY n-word window, position-aligned
+    (index i hashes words[i:i+n]).  Same order-sensitive token-hash
+    mix as :func:`shingle_hashes`, without the distinct-set reduction.
+    Returns an empty array for docs shorter than n words (no partial
+    windows — exact sliding grams only, SQL-twin parity)."""
+    from ..hashing import hash64_array
+
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    th = hash64_array(words)
+    n_out = len(words) - n + 1
+    acc = np.zeros(n_out, dtype=np.uint64)
+    for j in range(n):
+        if j >= len(_SHINGLE_MIX):  # pragma: no cover - n ≤ 8 in tests
+            mix = np.uint64(2 * j + 1)
+        else:
+            mix = _SHINGLE_MIX[j]
+        acc ^= th[j:j + n_out] * mix
+    return acc
+
+
+def remove_repeated_ngrams(ds, *, n: int = 20, min_docs: int = 2,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_partitions: int = 64):
+    """Remove every word span that participates in an n-gram appearing
+    in ``min_docs``+ DISTINCT documents; returns
+    ``(id, clean_text, n_words, n_removed)`` for EVERY input row.
+
+    The cross-document boilerplate killer (navigation chrome, license
+    headers, templated paragraphs): unlike whole-document near-dup
+    drops, this rewrites documents in place, excising only the shared
+    spans.  Overlapping hit windows merge (interval union per doc).
+    Words are ASCII-``\\S+`` tokens rejoined with single spaces —
+    a normalization the SQL twin reproduces exactly.
+
+    Dataflow (both shuffles bounded, nothing driver-side):
+
+    1. gram explode → ``(part=hash(gram), gram_hash, id, pos)`` →
+       ``groupby(part)``: every row of a gram co-locates, so the
+       distinct-doc count and the ``≥ min_docs`` filter happen inside
+       the partition → hit rows ``(id, pos)`` only;
+    2. hits ∪ docs co-partitioned on the id → per-doc numpy interval
+       union (add-at/cumsum sweep) → rewrite.
+
+    Gram identity is a 64-bit hash (order-sensitive positional mix);
+    a collision could remove a span spuriously with probability
+    ~(total_grams)²/2⁶⁵ — negligible against the LSH family's own
+    error rates, and the SQL oracle (exact strings) would catch a
+    systematic discrepancy.
+    """
+    import pyarrow.compute as pc
+
+    id_t = _id_type(ds, id_col)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_h, out_id, out_pos = [], [], []
+        for d, x in zip(ids, texts):
+            words = _ASCII_WORD_RE.findall(x)
+            h = gram_hash_positions(words, n)
+            if not len(h):
+                continue
+            out_h.append(h.astype(np.int64))  # int64 view for Arrow
+            out_id.extend([d] * len(h))
+            out_pos.append(np.arange(len(h), dtype=np.int32))
+        if not out_h:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "gram_hash": pa.array([], pa.int64()),
+                    id_col: pa.array([], id_t),
+                    "pos": pa.array([], pa.int32()),
+                }
+            )
+        hh = np.concatenate(out_h)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hh.view(np.uint64) % np.uint64(num_partitions)).astype(
+                        np.int32
+                    )
+                ),
+                "gram_hash": pa.array(hh),
+                id_col: pa.array(out_id, id_t),
+                "pos": pa.array(np.concatenate(out_pos)),
+            }
+        )
+
+    def dup_hits(g: pa.Table) -> pa.Table:
+        counts = g.group_by(["gram_hash"]).aggregate(
+            [(id_col, "count_distinct")]
+        )
+        dup = counts.filter(
+            pc.greater_equal(
+                counts[id_col + "_count_distinct"], min_docs
+            )
+        )["gram_hash"]
+        if isinstance(dup, pa.ChunkedArray):
+            dup = dup.combine_chunks()
+        keep = pc.is_in(g["gram_hash"], value_set=dup)
+        kept = g.filter(keep)
+        return kept.select([id_col, "pos"])
+
+    hits = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_hits, batch_format="pyarrow")
+    )
+
+    # stage 2: co-partition hits with the doc rows on the id
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        m = len(ids)
+        return pa.table(
+            {
+                "part": hash_bucket_array(ids, num_partitions),
+                "is_hit": pa.array([False] * m, pa.bool_()),
+                id_col: ids,
+                "text": t[text_col],
+                "pos": pa.nulls(m, pa.int32()),
+            }
+        )
+
+    def hit_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        m = len(ids)
+        return pa.table(
+            {
+                "part": hash_bucket_array(ids, num_partitions),
+                "is_hit": pa.array([True] * m, pa.bool_()),
+                id_col: ids,
+                "text": pa.nulls(m, pa.string()),
+                "pos": t["pos"],
+            }
+        )
+
+    tagged = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        hits.map_batches(hit_rows, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            (id_col, id_t),
+            ("clean_text", pa.string()),
+            ("n_words", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def rewrite(g: pa.Table) -> pa.Table:
+        is_hit = _arr = g["is_hit"]
+        if isinstance(is_hit, pa.ChunkedArray):
+            is_hit = is_hit.combine_chunks()
+        docs_side = g.filter(pc.invert(is_hit))
+        if docs_side.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], f.type) for f in out_schema], schema=out_schema
+            )
+        hit_side = g.filter(is_hit)
+        pos_by_doc: dict = {}
+        for d, p in zip(
+            hit_side[id_col].to_pylist(), hit_side["pos"].to_pylist()
+        ):
+            pos_by_doc.setdefault(d, []).append(p)
+        ids_out, clean, n_words, n_removed = [], [], [], []
+        for d, x in zip(
+            docs_side[id_col].to_pylist(), docs_side["text"].to_pylist()
+        ):
+            words = _ASCII_WORD_RE.findall(x)
+            w = len(words)
+            positions = pos_by_doc.get(d)
+            if positions and w:
+                starts = np.asarray(positions, dtype=np.int64)
+                ends = np.minimum(starts + n, w)
+                mark = np.zeros(w + 1, dtype=np.int64)
+                np.add.at(mark, starts, 1)
+                np.add.at(mark, ends, -1)
+                removed = np.cumsum(mark[:-1]) > 0
+                kept_words = [
+                    words[i] for i in range(w) if not removed[i]
+                ]
+                ids_out.append(d)
+                clean.append(" ".join(kept_words))
+                n_words.append(w)
+                n_removed.append(int(removed.sum()))
+            else:
+                ids_out.append(d)
+                clean.append(" ".join(words))
+                n_words.append(w)
+                n_removed.append(0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids_out, id_t),
+                pa.array(clean, pa.string()),
+                pa.array(n_words, pa.int64()),
+                pa.array(n_removed, pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return tagged.groupby("part").map_groups(rewrite, batch_format="pyarrow")

@@ -270,6 +270,13 @@ def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16, seed: int = 42
     ``_IVF_MANIFEST.json`` holding the centroid matrix and per-list
     row counts.  Assignment is a streaming ``map_batches`` pass; the
     write is the only shuffle-like step (grouped by partition value).
+
+    Storage contract: ``index_dir`` must be shared storage visible to
+    the driver and every node — the same requirement every sink here
+    has (``write_adjacency``, ``write_markdown_files``).  The driver's
+    post-write ``list_rows`` derivation reads ONLY parquet footers
+    (metadata, no data bytes), so it stays O(files) regardless of
+    index size.
     """
     import json
     import os

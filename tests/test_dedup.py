@@ -451,3 +451,90 @@ class TestMinhashClusterDedup:
         ).to_pandas()
         assert len(star) < len(full)          # linear vs quadratic surface
         assert comps(star) == comps(full)     # same clusters
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRemoveRepeatedNgrams:
+    def _brute(self, docs: dict, n: int, min_docs: int = 2):
+        import re
+
+        wre = re.compile(r"\S+", re.ASCII)
+        words = {d: wre.findall(t) for d, t in docs.items()}
+        gram_docs: dict = {}
+        for d, w in words.items():
+            for i in range(max(0, len(w) - n + 1)):
+                gram_docs.setdefault(tuple(w[i:i + n]), set()).add(d)
+        dup = {g for g, ds_ in gram_docs.items() if len(ds_) >= min_docs}
+        out = {}
+        for d, w in words.items():
+            removed = [False] * len(w)
+            for i in range(max(0, len(w) - n + 1)):
+                if tuple(w[i:i + n]) in dup:
+                    for j in range(i, min(i + n, len(w))):
+                        removed[j] = True
+            clean = " ".join(x for x, r in zip(w, removed) if not r)
+            out[d] = (clean, len(w), sum(removed))
+        return out
+
+    def test_matches_bruteforce(self):
+        import numpy as np
+        import ray.data as rd
+        import pyarrow as pa
+
+        from obsidian_parser_ray.stages.dedup import remove_repeated_ngrams
+
+        rng = np.random.RandomState(3)
+        vocab = [f"w{i}" for i in range(40)]
+        boiler = "the quick brown fox jumps over lazy dogs today"
+        docs = {}
+        for i in range(30):
+            body = " ".join(rng.choice(vocab, size=25))
+            # plant the shared boilerplate in 1 of 3 docs, mid-text
+            if i % 3 == 0:
+                body = body + " " + boiler + " " + " ".join(
+                    rng.choice(vocab, size=5)
+                )
+            docs[f"d{i:02d}"] = body
+        docs["empty"] = ""
+        docs["short"] = "just two"
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs)),
+                    "text": pa.array(list(docs.values())),
+                }
+            )
+        ).repartition(6)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+            for r in remove_repeated_ngrams(
+                ds, n=5, num_partitions=8
+            ).take_all()
+        }
+        want = self._brute(docs, n=5)
+        assert got == want
+        # sanity: the boilerplate actually got removed somewhere
+        assert any(v[2] > 0 for v in got.values())
+        # and untouched docs stayed word-identical
+        assert got["short"] == ("just two", 2, 0)
+        assert got["empty"] == ("", 0, 0)
+
+    def test_within_doc_repeat_not_removed(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.dedup import remove_repeated_ngrams
+
+        # the repeated 3-gram lives in ONE doc only -> min_docs=2 keeps it
+        docs = {
+            "a": "x y z x y z tail",
+            "b": "completely different words here",
+        }
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(list(docs)),
+                      "text": pa.array(list(docs.values()))})
+        )
+        got = {r["doc_id"]: r["n_removed"]
+               for r in remove_repeated_ngrams(ds, n=3).take_all()}
+        assert got == {"a": 0, "b": 0}
