@@ -1166,6 +1166,90 @@ def _q_doc_strip_boilerplate(sf_dir: str):
     )
 
 
+def _q_doc_pack(sf_dir: str):
+    """Sequence packing (stages/chunking.py pack_sequences) as a
+    CONSERVATION + CONSTRAINT gate: chunks → 256-token next-fit bins;
+    the query re-verifies DISTRIBUTEDLY that (a) every bin's recorded
+    fill equals the sum of its members' tokens, (b) no multi-chunk bin
+    exceeds capacity (single oversize chunks ride alone by contract),
+    and emits the exact chunk/token totals, which the SQL twin
+    recomputes from the same chunk derivation (doc_chunks oracle) —
+    expecting (n_chunks, total_tokens, TRUE, TRUE)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from obsidian_parser_ray.stages.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    chunks = chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        window=200, overlap=50,
+    )
+    packed = pack_sequences(chunks, capacity=256)
+
+    per_bin = packed.groupby("bin_id").aggregate(
+        Sum("n_tokens", alias_name="member_sum"),
+        Max("bin_fill", alias_name="fill"),
+        Min("bin_fill", alias_name="fill_min"),
+        Count(alias_name="n_members"),
+    )
+
+    def check(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        consistent = pc.and_(
+            pc.equal(t["member_sum"], t["fill"]),
+            pc.equal(t["fill"], t["fill_min"]),
+        )
+        within = pc.or_(
+            pc.less_equal(t["fill"], 256), pc.equal(t["n_members"], 1)
+        )
+        ok = pc.and_(consistent, within)
+        return pa.table(
+            {
+                "bins": pa.array([t.num_rows], pa.int64()),
+                "ok": pa.array(
+                    [bool(pc.min(ok).as_py()) if t.num_rows else True],
+                    pa.bool_(),
+                ),
+                "chunks": pa.array(
+                    [int(pc.sum(t["n_members"]).as_py() or 0)], pa.int64()
+                ),
+                "tokens": pa.array(
+                    [int(pc.sum(t["member_sum"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    agg = per_bin.map_batches(check, batch_format="pyarrow").aggregate(
+        Sum("chunks", alias_name="chunks"),
+        Sum("tokens", alias_name="tokens"),
+        Min("ok", alias_name="ok"),
+    )
+    n_chunks = int(agg["chunks"] or 0)
+    total_tokens = int(agg["tokens"] or 0)
+    bins_ok = bool(agg["ok"]) if agg["ok"] is not None else True
+    # conservation vs the un-packed chunk table (independent lineage)
+    src = chunks.aggregate(
+        Count(alias_name="n"), Sum("n_tokens", alias_name="tok")
+    )
+    conserve_ok = (n_chunks == int(src["n"] or 0)
+                   and total_tokens == int(src["tok"] or 0))
+    return pd.DataFrame(
+        [
+            {
+                "n_chunks": n_chunks,
+                "total_tokens": total_tokens,
+                "fill_ok": bool(bins_ok),
+                "conserve_ok": bool(conserve_ok),
+            }
+        ]
+    )
+
+
 def _q_media_decode_real(sf_dir: str):
     """REAL three-codec decode, value-checked: every payload is an
     actual encoded file (PNG or baseline JPEG for images, PCM WAV for
@@ -1420,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_decode_real": _q_media_decode_real,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
+        "doc_pack": _q_doc_pack,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_redact": _q_doc_redact,
         "events_bloom_purchasers": _q_events_bloom_purchasers,
@@ -2251,6 +2336,27 @@ SELECT asset_id,
        CASE WHEN b0 % 2 = 0 THEN 16 + b3 % 64 ELSE 0 END::BIGINT AS height,
        CASE WHEN b0 % 2 = 0 THEN 0 ELSE 500 + b4 * 20 END::BIGINT AS duration_ms
 FROM h
+""",
+        # packing gate: totals recomputed from the doc_chunks
+        # derivation; the constraint booleans must both hold
+        "doc_pack": r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (
+  SELECT doc_id, array_length(ws) AS n,
+         CASE WHEN array_length(ws) <= 200 THEN 1
+              ELSE 1 + CAST(ceil((array_length(ws) - 200) / 150.0) AS INT)
+         END AS k
+  FROM w
+),
+x AS (SELECT doc_id, n, unnest(generate_series(1, k)) AS i FROM c)
+SELECT count(*)::BIGINT AS n_chunks,
+       sum(least((i-1)*150 + 200, n) - (i-1)*150)::BIGINT AS total_tokens,
+       TRUE AS fill_ok,
+       TRUE AS conserve_ok
+FROM x
 """,
         # cross-doc repeated 5-gram span removal: dup grams by DISTINCT
         # doc count, word positions unioned per doc via an inequality

@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -139,3 +140,78 @@ def deterministic_sample_per_key(ds, *, key_col: str, id_col: str,
         add_rank, batch_format="pyarrow", batch_size=batch_size
     ).map_batches(partial_topk, batch_format="pandas", batch_size=batch_size)
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def pack_sequences(chunks, *, capacity: int, token_col: str = "n_tokens",
+                   id_col: str = "doc_id", order_col: str = "chunk_idx",
+                   num_partitions: int = 64):
+    """Pack chunk rows into fixed-token-capacity training sequences —
+    the last preprocessing step before batching a causal-LM corpus.
+
+    Distributed shape: rows hash-partition by ``id_col`` (a document's
+    chunks co-locate and stay contiguous), each partition packs ITS
+    rows independently with deterministic NEXT-FIT over the
+    ``(id, order)`` sort order — bins are consecutive runs, found with
+    an O(n_bins log n) cumsum + searchsorted sweep (no per-row Python).
+    Global bin ids are ``part * 2^32 + seq``, so no cross-partition
+    coordination exists at any scale.
+
+    Guarantees (each gate-checked by the ``doc_pack`` driver query):
+
+    * every bin's fill ≤ ``capacity``, EXCEPT single-chunk bins whose
+      one chunk alone exceeds capacity (they are emitted alone and
+      flagged ``oversize`` rather than dropped — token counts are
+      preserved exactly);
+    * token totals in == out (packing moves rows, never edits them);
+    * next-fit on consecutive runs wastes < capacity per bin
+      boundary: every non-final bin of a partition has
+      fill + next_chunk > capacity, so avg fill of non-final bins
+      exceeds capacity − max_chunk_tokens.
+
+    Returns the chunk rows + ``(bin_id: int64, bin_fill: int64,
+    oversize: bool)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash_bucket_array
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return t.append_column("part", hash_bucket_array(ids, num_partitions))
+
+    def pack_partition(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(id_col, "ascending"), (order_col, "ascending")])
+        toks = g[token_col].combine_chunks().to_numpy()
+        n = len(toks)
+        part = int(g["part"][0].as_py())
+        cs = np.cumsum(toks.astype(np.int64))
+        bin_of = np.empty(n, dtype=np.int64)
+        fills = []
+        start = 0
+        seq = 0
+        while start < n:
+            base = cs[start - 1] if start else 0
+            j = int(np.searchsorted(cs, base + capacity, side="right"))
+            j = max(j, start + 1)  # an oversize chunk rides alone
+            bin_of[start:j] = seq
+            fills.append(int((cs[j - 1] - base)))
+            seq += 1
+            start = j
+        fills = np.asarray(fills, dtype=np.int64)
+        bin_fill = fills[bin_of]
+        oversize = bin_fill > capacity
+        out = g.drop_columns(["part"])
+        out = out.append_column(
+            "bin_id",
+            pa.array(bin_of + (np.int64(part) << np.int64(32)), pa.int64()),
+        )
+        out = out.append_column("bin_fill", pa.array(bin_fill, pa.int64()))
+        return out.append_column("oversize", pa.array(oversize, pa.bool_()))
+
+    return (
+        chunks.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack_partition, batch_format="pyarrow")
+    )

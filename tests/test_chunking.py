@@ -145,3 +145,66 @@ class TestDeterministicSample:
             ds, key_col="lang", id_col="doc_id", k=10
         ).to_pandas()
         assert sorted(out["doc_id"]) == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackSequences:
+    def test_constraints_and_next_fit_parity(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.chunking import pack_sequences
+
+        rng = np.random.RandomState(0)
+        rows = []
+        for d in range(40):
+            for c in range(int(rng.randint(1, 6))):
+                rows.append((f"d{d:02d}", c, int(rng.randint(10, 120))))
+        rows.append(("dbig", 0, 999))  # oversize chunk rides alone
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows]),
+                    "chunk_idx": pa.array([r[1] for r in rows], pa.int64()),
+                    "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+        ).repartition(5)
+        cap = 256
+        out = pack_sequences(ds, capacity=cap, num_partitions=4).to_pandas()
+
+        # token conservation, row conservation
+        assert len(out) == len(rows)
+        assert out["n_tokens"].sum() == sum(r[2] for r in rows)
+        # every bin: fill == sum of member tokens; <= cap unless oversize
+        for b, grp in out.groupby("bin_id"):
+            assert (grp["bin_fill"] == grp["n_tokens"].sum()).all()
+            if not grp["oversize"].any():
+                assert grp["bin_fill"].iloc[0] <= cap
+            else:
+                assert len(grp) == 1  # oversize chunks are alone
+        # deterministic: same input → same bins
+        out2 = pack_sequences(ds, capacity=cap, num_partitions=4).to_pandas()
+        a = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        b = out2.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        assert a.equals(b)
+        # next-fit within partition: sequential reference per partition
+        from obsidian_parser_ray.hashing import hash_bucket_scalar
+
+        for part in range(4):
+            mine = a[[hash_bucket_scalar(d, 4) == part
+                      for d in a["doc_id"]]].sort_values(
+                ["doc_id", "chunk_idx"]
+            )
+            toks = mine["n_tokens"].to_numpy()
+            want_bins = []
+            fill, seq = 0, 0
+            for t in toks:
+                if fill and fill + t > cap:
+                    seq += 1
+                    fill = 0
+                fill += t
+                want_bins.append(seq)
+            got_bins = (mine["bin_id"] - (part << 32)).to_numpy()
+            assert list(got_bins) == want_bins
