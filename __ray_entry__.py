@@ -1166,6 +1166,87 @@ def _q_doc_strip_boilerplate(sf_dir: str):
     )
 
 
+def _q_events_gap_median(sf_dir: str):
+    """Per-user inter-event gap stats (stages/events.py
+    inter_event_gaps): count + interpolated median of the gaps between
+    consecutive events in integer seconds — numpy median over sorted
+    int gaps is exactly SQL median() (mean of the two middles on even
+    counts, exactly representable)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.events import inter_event_gaps
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_s(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        return pa.table({"user_id": t["user_id"], "s": s})
+
+    out = inter_event_gaps(ev.map_batches(to_s, batch_format="pyarrow"))
+
+    def as_arrow(t: pa.Table) -> pa.Table:
+        return t  # normalize pandas blocks → Arrow for the compare
+
+    return out.map_batches(as_arrow, batch_format="pyarrow")
+
+
+def _q_customer_full_join(sf_dir: str):
+    """FULL OUTER equi-join (stages/joins.py hash_join_unique
+    how='full', USING-style coalesced key): a filtered customer subset
+    against per-customer order counts — right-only rows are the
+    customers the filter removed but who still have orders; left-only
+    rows are order-less kept customers.  All outputs coalesced to
+    non-null for hash-stable compare."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from obsidian_parser_ray.stages.joins import hash_join_unique
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        import numpy as np
+
+        mask = pa.array(keys.to_numpy(zero_copy_only=False) % 3 != 0)
+        t = t.filter(mask)
+        return t.append_column(
+            "has_customer", pa.array([True] * t.num_rows, pa.bool_())
+        )
+
+    left = cust.map_batches(mark, batch_format="pyarrow")
+    right = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["c_custkey" if c == "o_custkey" else c for c in t.column_names]
+        )
+
+    j = hash_join_unique(
+        left, right.map_batches(rename, batch_format="pyarrow"),
+        left_key="c_custkey", how="full",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "has_customer": pc.fill_null(t["has_customer"], False),
+                "n_orders": pc.fill_null(t["n_orders"], pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_doc_pack(sf_dir: str):
     """Sequence packing (stages/chunking.py pack_sequences) as a
     CONSERVATION + CONSTRAINT gate: chunks → 256-token next-fit bins;
@@ -1505,6 +1586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_real": _q_media_decode_real,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_pack": _q_doc_pack,
+        "customer_full_join": _q_customer_full_join,
+        "events_gap_median": _q_events_gap_median,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_redact": _q_doc_redact,
         "events_bloom_purchasers": _q_events_bloom_purchasers,
@@ -2336,6 +2419,36 @@ SELECT asset_id,
        CASE WHEN b0 % 2 = 0 THEN 16 + b3 % 64 ELSE 0 END::BIGINT AS height,
        CASE WHEN b0 % 2 = 0 THEN 0 ELSE 500 + b4 * 20 END::BIGINT AS duration_ms
 FROM h
+""",
+        # gaps between consecutive events per user; median() over
+        # BIGINT gaps interpolates exactly like numpy on sorted ints
+        "events_gap_median": """
+WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS s FROM events),
+d AS (
+  SELECT user_id,
+         s - lag(s) OVER (PARTITION BY user_id ORDER BY s) AS gap
+  FROM e
+)
+SELECT user_id, count(gap)::BIGINT AS n_gaps,
+       median(gap)::DOUBLE AS median_gap
+FROM d WHERE gap IS NOT NULL
+GROUP BY 1
+""",
+        # FULL OUTER JOIN USING semantics: coalesced key, right-only
+        # rows kept (orders whose customer the %3 filter removed)
+        "customer_full_join": """
+WITH c AS (
+  SELECT c_custkey, TRUE AS has_customer
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+o AS (
+  SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(c.c_custkey, o.c_custkey) AS c_custkey,
+       COALESCE(c.has_customer, FALSE) AS has_customer,
+       COALESCE(o.n_orders, 0)::BIGINT AS n_orders
+FROM c FULL JOIN o ON c.c_custkey = o.c_custkey
 """,
         # packing gate: totals recomputed from the doc_chunks
         # derivation; the constraint booleans must both hold

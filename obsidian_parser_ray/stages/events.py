@@ -703,3 +703,54 @@ def retention_cohorts(events, *, key_col: str = "user_id",
         .groupby(["cohort_bucket", "bucket_offset"])
         .aggregate(Sum("_n", alias_name="n_users"))
     )
+
+
+def inter_event_gaps(events, *, key_col: str = "user_id", ts_col: str = "s",
+                     num_partitions: int = 64):
+    """Per-key inter-event gap statistics: ``(key, n_gaps,
+    median_gap)`` over the gaps between CONSECUTIVE events in time
+    order (keys with fewer than two events emit nothing).
+
+    The sorted-diff multiset is invariant to tie order, so only the
+    timestamp column orders the sweep.  Median = numpy linear
+    interpolation on the sorted gaps — identical to SQL ``median()``
+    over integers (mean of the two middles on even counts, exactly
+    representable when timestamps are integer seconds).
+
+    One bounded hash shuffle on the key, then a vectorized
+    sort/diff/groupby-median sweep per partition (the sessionize
+    shape).
+    """
+    from ..hashing import hash_bucket_array
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return t.select([key_col, ts_col]).append_column(
+            "part", hash_bucket_array(keys, num_partitions)
+        )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="stable")
+        same_key = g[key_col].eq(g[key_col].shift())
+        gaps = g[ts_col].diff()
+        d = pd.DataFrame({key_col: g[key_col], "gap": gaps})[same_key]
+        if not len(d):
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype=g[key_col].dtype),
+                 "n_gaps": pd.Series([], dtype="int64"),
+                 "median_gap": pd.Series([], dtype="float64")}
+            )
+        out = d.groupby(key_col, sort=False)["gap"].agg(
+            n_gaps="size", median_gap="median"
+        ).reset_index()
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        out["median_gap"] = out["median_gap"].astype("float64")
+        return out
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pandas")
+    )

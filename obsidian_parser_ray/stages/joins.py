@@ -34,16 +34,21 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     for ``how="semi"``/``"anti"``, which are pure presence checks and
     accept any right side.  ``how`` is ``"inner"``, ``"left"``
     (unmatched left rows keep typed nulls on the right value columns),
-    ``"semi"`` (left rows WITH a match, left columns only) or
-    ``"anti"`` (left rows WITHOUT a match, left columns only).  Right
-    value columns colliding with a left column name get ``suffix``.
+    ``"semi"`` (left rows WITH a match, left columns only), ``"anti"``
+    (left rows WITHOUT a match, left columns only) or ``"full"`` (left
+    mode PLUS one row per unmatched right key; USING-style key
+    semantics — the ``left_key`` column carries the coalesced key, so
+    right-only rows stay identifiable, matching
+    ``FULL JOIN ... USING (k)`` in SQL).  Right value columns
+    colliding with a left column name get ``suffix``.
 
-    Output columns: all left columns, then (inner/left only) each
-    right non-key column.
+    Output columns: all left columns, then (inner/left/full only)
+    each right non-key column.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(
-            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+            f"how must be 'inner', 'left', 'semi', 'anti' or 'full', "
+            f"got {how!r}"
         )
     right_key = right_key or left_key
 
@@ -55,6 +60,13 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     # schema is unknown (e.g. a map_groups stage that emitted only
     # empty tables) — the join result is then determined without it
     if l_schema is None:
+        if how == "full":
+            raise ValueError(
+                "hash_join_unique(how='full'): left side has no schema "
+                "(block-less empty dataset) — cannot type the null left "
+                "columns of right-only rows; materialize an empty typed "
+                "table instead"
+            )
         return left  # empty: inner/semi/anti/left results are all empty
     if r_schema is None:
         if how == "anti":
@@ -62,7 +74,7 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
         if how in ("semi", "inner"):
             return left.limit(0)
         raise ValueError(
-            "hash_join_unique(how='left'): right side has no schema "
+            f"hash_join_unique(how={how!r}): right side has no schema "
             "(block-less empty dataset) — cannot type the null value "
             "columns; materialize an empty typed table instead"
         )
@@ -134,7 +146,7 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     def join_partition(t: pa.Table) -> pa.Table:
         side = t["_side"]
         lf = t.filter(pc.equal(side, 0))
-        if lf.num_rows == 0:
+        if lf.num_rows == 0 and how != "full":
             return empty
         rf = t.filter(pc.equal(side, 1))
         rkeys = rf["_k"].combine_chunks()
@@ -150,7 +162,29 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
         cols = [lf[n] for n in l_names]
         for f in r_value:
             cols.append(pc.take(rf["_rv_" + f.name], idx))
-        return pa.Table.from_arrays(cols, schema=out_schema)
+        out = pa.Table.from_arrays(cols, schema=out_schema)
+        if how != "full" or rf.num_rows == 0:
+            return out
+        # full: append one row per right key with NO left match —
+        # left columns null except left_key, which carries the key
+        # (USING-style coalesced-key semantics)
+        r_unmatched = pc.invert(
+            pc.is_in(rkeys, value_set=lf["_k"].combine_chunks())
+        )
+        ro = rf.filter(r_unmatched)
+        if ro.num_rows == 0:
+            return out
+        ro_cols = []
+        for f in l_fields:
+            if f.name == left_key:
+                ro_cols.append(ro["_k"].cast(f.type))
+            else:
+                ro_cols.append(pa.nulls(ro.num_rows, f.type))
+        for f in r_value:
+            ro_cols.append(ro["_rv_" + f.name])
+        return pa.concat_tables(
+            [out, pa.Table.from_arrays(ro_cols, schema=out_schema)]
+        )
 
     return tagged.groupby("part").map_groups(
         join_partition, batch_format="pyarrow"

@@ -211,3 +211,43 @@ def test_broadcast_join_empty_right_all_modes(ray_session):
     ).to_pandas()
     assert len(left) == 5
     assert left["w"].isna().all()
+
+
+def test_full_outer_join_matches_reference(ray_session):
+    """how='full': left rows keep matched/null right values AND every
+    unmatched right key comes back as a right-only row carrying the
+    key in the left_key column (USING-style) — checked against a
+    dict-based reference over keys present in both/one/neither side,
+    including partitions with an empty left side."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    l_keys = [f"k{i}" for i in rng.choice(60, 40, replace=False)]
+    r_keys = [f"k{i}" for i in rng.choice(90, 35, replace=False)]
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(l_keys),
+                  "v": pa.array(range(len(l_keys)), type=pa.int64())})
+    ).repartition(4)
+    right = rd.from_arrow(
+        pa.table({"kk": pa.array(r_keys),
+                  "w": pa.array(range(100, 100 + len(r_keys)),
+                                type=pa.int64())})
+    ).repartition(3)
+    out = hash_join_unique(
+        left, right, left_key="k", right_key="kk", how="full",
+        num_partitions=16,
+    ).to_pandas()
+
+    rmap = {k: 100 + i for i, k in enumerate(r_keys)}
+    want = []
+    for i, k in enumerate(l_keys):
+        want.append((k, i, rmap.get(k)))
+    for k in r_keys:
+        if k not in set(l_keys):
+            want.append((k, None, rmap[k]))
+    got = sorted(
+        (r.k, None if pd.isna(r.v) else int(r.v),
+         None if pd.isna(r.w) else int(r.w))
+        for r in out.itertuples()
+    )
+    assert got == sorted(want)
