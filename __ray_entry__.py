@@ -179,6 +179,21 @@ def _q_doc_prep_pipeline(sf_dir: str):
     )
 
 
+def _q_doc_prep_boiler(sf_dir: str):
+    """Prep pipeline v2: boilerplate strip (shared-5-gram span
+    removal) → quality+lang filter → exact dedup → chunking — the
+    WHOLE four-stage composition hash-checked against one chained SQL
+    twin (the strip CTEs feeding the existing prep chain)."""
+    from obsidian_parser_ray.pipelines.prepare import prepare_training_corpus
+
+    return prepare_training_corpus(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        min_quality_micro=650000,
+        langs=("en", "de"),
+        strip_ngram=5,
+    )
+
+
 def _q_emb_label_by_lang(sf_dir: str):
     """Cross-table fact↔dimension join: embeddings ⋈ documents on the
     int id (hash_join_unique — docs unique per doc_id), then a grouped
@@ -1574,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_overlap": _q_events_interval_overlap,
         "events_hopping": _q_events_hopping,
         "doc_prep_pipeline": _q_doc_prep_pipeline,
+        "doc_prep_boiler": _q_doc_prep_boiler,
         "emb_label_by_lang": _q_emb_label_by_lang,
         "emb_lang_centroid": _q_emb_lang_centroid,
         "events_running_spend": _q_events_running_spend,
@@ -2213,6 +2229,99 @@ q AS (
 ),
 f AS (
   SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+  WHERE q.qm >= 650000 AND d.lang IN ('en', 'de')
+),
+k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+kd AS (SELECT f.doc_id, f.text FROM f JOIN k USING (doc_id)),
+w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM kd WHERE trim(text) <> ''
+),
+c AS (
+  SELECT doc_id, ws, array_length(ws) AS n,
+         CASE WHEN array_length(ws) <= 200 THEN 1
+              ELSE 1 + CAST(ceil((array_length(ws) - 200) / 150.0) AS INT)
+         END AS kk
+  FROM w
+),
+xx AS (
+  SELECT doc_id, ws, n, unnest(generate_series(1, kk)) AS i FROM c
+)
+SELECT doc_id,
+       (i - 1)::BIGINT AS chunk_idx,
+       array_to_string(ws[(i-1)*150 + 1 : least((i-1)*150 + 200, n)], ' ')
+         AS chunk_text,
+       (least((i-1)*150 + 200, n) - (i-1)*150)::BIGINT AS n_tokens
+FROM xx
+""",
+        # v2: the doc_strip_boilerplate CTEs produce `cleaned`, which
+        # then flows through the SAME quality/dedup/chunk chain as
+        # doc_prep_pipeline — one end-to-end twin for four stages
+        "doc_prep_boiler": rf"""
+WITH sw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                               i -> array_to_string(w[i:i+4], ' '))) AS g,
+         unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i
+  FROM sw
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT DISTINCT doc_id, i FROM grams JOIN dup USING (g)),
+tokens AS (
+  SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS j
+  FROM sw
+),
+removed AS (
+  SELECT DISTINCT t.doc_id, t.j
+  FROM tokens t JOIN hits h
+    ON t.doc_id = h.doc_id AND t.j BETWEEN h.i AND h.i + 4
+),
+keptw AS (
+  SELECT t.doc_id, string_agg(t.word, ' ' ORDER BY t.j) AS clean_text
+  FROM tokens t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.j = r.j
+  WHERE r.j IS NULL
+  GROUP BY t.doc_id
+),
+cleaned AS (
+  SELECT d.doc_id, coalesce(k.clean_text, '') AS text, d.lang
+  FROM documents d LEFT JOIN keptw k USING (doc_id)
+),
+qs AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT
+      AS nw0,
+    length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        x -> x IN ({_sql_list("en")})))::BIGINT AS n_stop
+  FROM cleaned
+),
+qx AS (
+  SELECT doc_id, CASE WHEN nw0 = 0 THEN 1 ELSE nw0 END AS nw,
+         n_chars, n_punct, n_stop FROM qs
+),
+qy AS (
+  SELECT doc_id,
+    least(1.0, nw / 50.0) * (CASE WHEN nw < 2000 THEN 1.0 ELSE 0.5 END)
+      AS len_score,
+    CASE WHEN n_punct / greatest(1, n_chars) < 0.1 THEN 1.0 ELSE 0.5 END
+      AS punct_score,
+    least(1.0, n_stop / nw * 5) AS stop_score
+  FROM qx
+),
+q AS (
+  SELECT doc_id,
+    floor((len_score + punct_score + stop_score) / 3 * 1000000.0)::BIGINT
+      AS qm
+  FROM qy
+),
+f AS (
+  SELECT d.doc_id, d.text FROM cleaned d JOIN q USING (doc_id)
   WHERE q.qm >= 650000 AND d.lang IN ('en', 'de')
 ),
 k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),

@@ -22,7 +22,9 @@ def prepare_training_corpus(docs, *, min_quality_micro: int = 0,
                             langs: tuple | None = None,
                             lang_col: str = "lang",
                             window: int = 200, overlap: int = 50,
-                            num_partitions: int = 64):
+                            num_partitions: int = 64,
+                            strip_ngram: int | None = None,
+                            strip_min_docs: int = 2):
     """documents (doc_id, text[, lang]) → chunk Dataset
     ``(doc_id, chunk_idx, chunk_text, n_tokens)``.
 
@@ -31,6 +33,13 @@ def prepare_training_corpus(docs, *, min_quality_micro: int = 0,
     ``langs`` keeps only the listed language codes (column equality,
     not detection — use ``text.lang_id`` upstream when the corpus has
     no trusted lang column).
+
+    ``strip_ngram`` (optional) prepends cross-document
+    repeated-substring removal (``dedup.remove_repeated_ngrams``):
+    spans inside any ``strip_ngram``-gram shared by
+    ``strip_min_docs``+ docs are excised BEFORE quality scoring — so
+    boilerplate can no longer prop up (or drag down) a document's
+    quality, and downstream exact dedup sees normalized text.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -38,6 +47,30 @@ def prepare_training_corpus(docs, *, min_quality_micro: int = 0,
     from ..stages.chunking import chunk_documents
     from ..stages.dedup import drop_exact_duplicates
     from ..stages.text import quality_score_batch
+
+    if strip_ngram is not None:
+        from ..stages.dedup import remove_repeated_ngrams
+        from ..stages.joins import hash_join_unique
+
+        cleaned = remove_repeated_ngrams(
+            docs, n=strip_ngram, min_docs=strip_min_docs,
+            num_partitions=num_partitions,
+        )
+
+        def as_text(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": t["doc_id"], "text": t["clean_text"]}
+            )
+
+        left = cleaned.map_batches(as_text, batch_format="pyarrow")
+        if langs is not None:
+            # re-attach the language column (unique per doc_id)
+            docs = hash_join_unique(
+                left, docs.select_columns(["doc_id", lang_col]),
+                left_key="doc_id", num_partitions=num_partitions,
+            )
+        else:
+            docs = left
 
     scored = docs.map_batches(
         quality_score_batch, batch_format="pyarrow", batch_size=512
