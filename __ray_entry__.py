@@ -772,6 +772,49 @@ def _q_emb_knn_ivf(sf_dir: str):
     )
 
 
+def _q_emb_knn_pq(sf_dir: str):
+    """Product-quantization kNN (stages/similarity.py pq_knn — 8-byte
+    codes, ADC scan, exact re-rank of the refine candidates) as a
+    RECALL GATE vs brute force: mean recall@5 ≥ 0.7 at refine=32
+    (measured 0.88–0.98 across sf0.001/0.01/0.1; a codebook/encode/ADC
+    regression drops it to ~0).  Additionally asserts EXACT cosine
+    parity on overlapping pairs — the re-rank must reproduce brute
+    force's scores bit-for-bit."""
+    import pandas as pd
+
+    from obsidian_parser_ray.stages.similarity import (
+        knn_bruteforce,
+        load_queries,
+        pq_knn,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = load_queries(ds, n_queries=10)
+    pq = pq_knn(ds, q, k=5, refine=32, concurrency=2).to_pandas()
+    bf = knn_bruteforce(ds, q, k=5, concurrency=2).to_pandas()
+    me = {(r.query_id, r.neighbor_id): r.cosine for r in bf.itertuples()}
+    cos_exact = all(
+        abs(me[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+        for r in pq.itertuples()
+        if (r.query_id, r.neighbor_id) in me
+    )
+    recalls = []
+    for qid in sorted(set(bf["query_id"])):
+        a = set(pq[pq.query_id == qid]["neighbor_id"])
+        b = set(bf[bf.query_id == qid]["neighbor_id"])
+        recalls.append(len(a & b) / len(b))
+    mean_recall = sum(recalls) / len(recalls)
+    return pd.DataFrame(
+        [
+            {
+                "n_queries": len(recalls),
+                "recall_ok": bool(mean_recall >= 0.7),
+                "rerank_exact": bool(cos_exact),
+            }
+        ]
+    )
+
+
 def _q_emb_neardup(sf_dir: str):
     """Embedding near-dup RECALL/PRECISION GATE over a derived corpus
     with PLANTED near-duplicates (the raw table has no pair above
@@ -1577,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_neardup": _q_doc_simhash_neardup,
         "emb_knn": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
+        "emb_knn_pq": _q_emb_knn_pq,
         "emb_neardup": _q_emb_neardup,
         "emb_kmeans": _q_emb_kmeans,
         "events_hourly": _q_events_hourly,
@@ -2053,6 +2097,11 @@ WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.5
         # regression flips the boolean
         "emb_knn_ivf": (
             "SELECT count(*)::BIGINT AS n_queries, TRUE AS recall_ok"
+            " FROM embeddings WHERE vec_id < 10"
+        ),
+        "emb_knn_pq": (
+            "SELECT count(*)::BIGINT AS n_queries, TRUE AS recall_ok,"
+            " TRUE AS rerank_exact"
             " FROM embeddings WHERE vec_id < 10"
         ),
         # planted-pair gate: one true pair per planted copy

@@ -126,3 +126,100 @@ class TestPersistedIVF:
         for r in some:
             per_q.setdefault(r["query_id"], []).append(r["rank"])
         assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPQ:
+    def test_pq_recall_and_schema(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.similarity import (
+            knn_bruteforce,
+            load_queries,
+            pq_knn,
+        )
+
+        rng = np.random.RandomState(0)
+        n, d = 400, 32
+        # clustered data: PQ codebooks should capture the structure
+        centers = rng.standard_normal((8, d)) * 3
+        x = centers[rng.randint(0, 8, n)] + rng.standard_normal((n, d))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in x.astype(np.float32)],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        ).repartition(4)
+        q = load_queries(ds, n_queries=8)
+        exact = knn_bruteforce(ds, q, k=5, concurrency=1).to_pandas()
+        approx = pq_knn(
+            ds, q, k=5, m=8, refine=48, sample_size=400, concurrency=1
+        ).to_pandas()
+        assert set(approx.columns) == {"query_id", "neighbor_id",
+                                       "cosine", "rank"}
+        te = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+        ta = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+        assert len(te & ta) / len(te) >= 0.8
+        # exact re-rank: any overlapping (query, neighbor) pair must
+        # carry the IDENTICAL exact cosine as brute force
+        me = {(r.query_id, r.neighbor_id): r.cosine
+              for r in exact.itertuples()}
+        for r in approx.itertuples():
+            if (r.query_id, r.neighbor_id) in me:
+                assert abs(me[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+
+    def test_pq_deterministic(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.similarity import load_queries, pq_knn
+
+        rng = np.random.RandomState(1)
+        n, d = 200, 16
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in x], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+        q = load_queries(ds, n_queries=5)
+        a = pq_knn(ds, q, k=3, m=4, sample_size=200,
+                   concurrency=1).to_pandas()
+        b = pq_knn(ds, q, k=3, m=4, sample_size=200,
+                   concurrency=1).to_pandas()
+        key = lambda df: sorted(  # noqa: E731
+            (r.query_id, r.rank, r.neighbor_id) for r in df.itertuples()
+        )
+        assert key(a) == key(b)
+
+    def test_pq_rejects_bad_dim(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.similarity import train_pq_codebooks
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1], pa.int64()),
+                    "embedding": pa.array(
+                        [[1.0, 2.0, 3.0]] * 2, pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            train_pq_codebooks(ds, m=2)
