@@ -42,11 +42,14 @@ def main() -> None:
     ap.add_argument("--materialize-notes", action="store_true",
                     help="force pinning the notes table (multi-consumer "
                          "small-vault case)")
-    ap.add_argument("--link-mode", choices=["broadcast", "shuffle"],
-                    default="broadcast",
-                    help="'shuffle' = fused single-pass shuffle join (no "
-                         "broadcast dictionary — the topology beyond the "
-                         "broadcast size ceiling)")
+    ap.add_argument("--link-mode",
+                    choices=["auto", "broadcast", "shuffle"],
+                    default="auto",
+                    help="'auto' (default) size-selects broadcast vs the "
+                         "combined shuffle join from the measured "
+                         "dictionary; 'shuffle' forces the fused "
+                         "single-pass shuffle join (no broadcast "
+                         "dictionary)")
     ap.add_argument("--linker-concurrency", type=int, default=8)
     ap.add_argument("--num-blocks", type=int, default=None)
     ap.add_argument("--output-partitions", type=int, default=None,
