@@ -386,6 +386,117 @@ def interval_join(points, intervals, *, key_col: str, ts_col: str,
     return grouped.map_groups(join_partition, batch_format="pyarrow")
 
 
+def _as_int64_time(v: np.ndarray):
+    """View a time-like column as int64 for banding, or None if not
+    representable (ints, datetime64, and integral floats qualify)."""
+    if np.issubdtype(v.dtype, np.datetime64):
+        return v.astype("datetime64[ns]").astype(np.int64)
+    if np.issubdtype(v.dtype, np.integer):
+        return v.astype(np.int64)
+    if np.issubdtype(v.dtype, np.floating) and len(v):
+        f = np.floor(v)
+        if np.all(np.isfinite(v)) and np.all(f == v) and \
+                np.all(np.abs(v) < 2**53):
+            return f.astype(np.int64)
+    return None
+
+
+_NO_PAIRS = (np.empty(0, np.int64), np.empty(0, np.int64))
+
+
+def _overlap_pairs_vectorized(pf, itf, key_col, ts_col, start_col, end_col):
+    """Whole-partition overlap sweep, zero per-key Python.
+
+    Both frames are (key, time)-sorted.  Keys map to shared ordinals;
+    times are banded per key (``code × BIG + (t - tmin)``), which makes
+    the interval-start array globally sorted, turns the per-key running
+    max-end into a segmented cummax (banding keeps it globally
+    nondecreasing), and lets ONE global searchsorted pair find every
+    point's candidate range.  Returns (point_indices,
+    interval_indices) or None when times aren't int64-representable
+    (caller falls back to the per-key loop).
+    """
+    ts_raw = pf[ts_col].to_numpy()
+    st_raw = itf[start_col].to_numpy()
+    en_raw = itf[end_col].to_numpy()
+    ts = _as_int64_time(ts_raw)
+    st = _as_int64_time(st_raw)
+    en = _as_int64_time(en_raw)
+    if ts is None or st is None or en is None:
+        return None
+
+    # shared key ordinals (both frames sorted by key → codes ascending)
+    all_keys, codes = np.unique(
+        np.concatenate([pf[key_col].to_numpy(), itf[key_col].to_numpy()]),
+        return_inverse=True,
+    )
+    p_code = codes[: len(pf)]
+    i_code = codes[len(pf):]
+
+    lo_t = min(ts.min(), st.min(), en.min())
+    hi_t = max(ts.max(), st.max(), en.max())
+    big = np.int64(hi_t - lo_t + 2)
+    if int(big) * len(all_keys) >= np.iinfo(np.int64).max // 2:
+        return None  # banding would overflow — fall back
+
+    comp_st = i_code * big + (st - lo_t)
+    cmax = np.maximum.accumulate(i_code * big + (en - lo_t)) if len(en) \
+        else np.empty(0, np.int64)
+    comp_ts = p_code * big + (ts - lo_t)
+
+    # per-key slice of the interval frame
+    i_first = np.searchsorted(i_code, np.arange(len(all_keys)), side="left")
+    i_last = np.searchsorted(i_code, np.arange(len(all_keys)), side="right")
+
+    j = np.searchsorted(comp_st, comp_ts, side="right")
+    lo = np.searchsorted(cmax, comp_ts, side="left")
+    # clamp to the point's own key slice: j already ≤ slice end (comp
+    # ordering), lo can land before the slice when the previous key's
+    # band tops out below the probe
+    lo = np.maximum(lo, i_first[p_code])
+    j = np.minimum(j, i_last[p_code])
+    cnt = np.maximum(j - lo, 0)
+    total = int(cnt.sum())
+    if not total:
+        return _NO_PAIRS
+    rep_p = np.repeat(np.arange(len(ts)), cnt)
+    offs = np.cumsum(cnt) - cnt
+    cand = np.arange(total) - np.repeat(offs, cnt) + np.repeat(lo, cnt)
+    mask = en[cand] >= ts[rep_p]
+    return rep_p[mask], cand[mask]
+
+
+def _overlap_pairs_by_key(pf, itf, key_col, ts_col, start_col, end_col):
+    """Per-key loop fallback (arbitrary orderable time types)."""
+    iv_groups = itf.groupby(key_col, sort=False).indices
+    out_pi, out_ii = [], []
+    for k, p_idx in pf.groupby(key_col, sort=False).indices.items():
+        g_iv = iv_groups.get(k)
+        if g_iv is None:
+            continue
+        starts = itf[start_col].to_numpy()[g_iv]
+        ends = itf[end_col].to_numpy()[g_iv]
+        cmax = np.maximum.accumulate(ends)
+        ts = pf[ts_col].to_numpy()[p_idx]
+        j = np.searchsorted(starts, ts, side="right")
+        lo = np.searchsorted(cmax, ts, side="left")
+        cnt = np.maximum(j - lo, 0)
+        total = int(cnt.sum())
+        if not total:
+            continue
+        rep_p = np.repeat(np.arange(len(ts)), cnt)
+        offs = np.cumsum(cnt) - cnt
+        cand = np.arange(total) - np.repeat(offs, cnt) + np.repeat(lo, cnt)
+        mask = ends[cand] >= ts[rep_p]
+        if not mask.any():
+            continue
+        out_pi.append(p_idx[rep_p[mask]])
+        out_ii.append(g_iv[cand[mask]])
+    if not out_pi:
+        return _NO_PAIRS
+    return np.concatenate(out_pi), np.concatenate(out_ii)
+
+
 def interval_join_overlapping(points, intervals, *, key_col: str,
                               ts_col: str, start_col: str, end_col: str,
                               num_partitions: int = 64):
@@ -399,9 +510,16 @@ def interval_join_overlapping(points, intervals, *, key_col: str,
     MAX of end.  For point ts, candidates are the index range
     [first cmax ≥ ts, count of starts ≤ ts) — two ``searchsorted``
     calls — then one exact ``end >= ts`` filter over the expanded
-    candidates.  All numpy (multi-range arange expansion, no per-point
-    Python); output-sized work is inherent to the operator (a point in
-    k intervals emits k rows).
+    candidates.  All numpy (multi-range arange expansion), and — for
+    integer/datetime columns — the whole PARTITION is one composite-key
+    sweep: keys become ordinals, values are offset into per-key bands
+    (``code × BIG + value``), the running max-end is a segmented
+    cummax via the same banding, and both boundary lookups are ONE
+    global ``searchsorted`` each — no per-key Python loop, so a
+    partition with millions of keys costs a handful of numpy calls.
+    Non-numeric time columns fall back to a per-key loop with
+    identical semantics.  Output-sized work is inherent to the
+    operator (a point in k intervals emits k rows).
 
     Output: all point columns + all interval columns except the key.
     Prefer :func:`interval_join` when intervals are known
@@ -435,34 +553,14 @@ def interval_join_overlapping(points, intervals, *, key_col: str,
         itf = itf.sort_values([key_col, start_col], kind="stable").reset_index(
             drop=True
         )
-        iv_groups = itf.groupby(key_col, sort=False).indices
-        out_pi, out_ii = [], []
-        for k, p_idx in pf.groupby(key_col, sort=False).indices.items():
-            g_iv = iv_groups.get(k)
-            if g_iv is None:
-                continue
-            starts = itf[start_col].to_numpy()[g_iv]
-            ends = itf[end_col].to_numpy()[g_iv]
-            cmax = np.maximum.accumulate(ends)
-            ts = pf[ts_col].to_numpy()[p_idx]
-            j = np.searchsorted(starts, ts, side="right")
-            lo = np.searchsorted(cmax, ts, side="left")
-            cnt = np.maximum(j - lo, 0)
-            total = int(cnt.sum())
-            if not total:
-                continue
-            rep_p = np.repeat(np.arange(len(ts)), cnt)
-            offs = np.cumsum(cnt) - cnt
-            cand = np.arange(total) - np.repeat(offs, cnt) + np.repeat(lo, cnt)
-            mask = ends[cand] >= ts[rep_p]
-            if not mask.any():
-                continue
-            out_pi.append(p_idx[rep_p[mask]])
-            out_ii.append(g_iv[cand[mask]])
-        if not out_pi:
+        pi_ii = _overlap_pairs_vectorized(pf, itf, key_col, ts_col,
+                                          start_col, end_col)
+        if pi_ii is None:  # non-bandable time columns → per-key loop
+            pi_ii = _overlap_pairs_by_key(pf, itf, key_col, ts_col,
+                                          start_col, end_col)
+        pi, ii = pi_ii
+        if not len(pi):
             return empty.copy()
-        pi = np.concatenate(out_pi)
-        ii = np.concatenate(out_ii)
         m = pf.iloc[pi].reset_index(drop=True)
         for c in i_cols:
             m[c] = itf[c].to_numpy()[ii]

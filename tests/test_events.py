@@ -504,6 +504,27 @@ class TestTemporalJoinRandomizedParity:
             assert int(r.lo) == iv_lo[int(r.iv)]
             assert int(r.hi) == iv_hi[int(r.iv)]
 
+        # fractional float times can't band into int64 → the per-key
+        # fallback runs; results must be IDENTICAL to the int case
+        # (same values scaled by 0.5 keeps all comparisons equivalent)
+        pts_f = rd.from_arrow(
+            pa.table({"pid": pa.array(np.arange(n_p, dtype=np.int64)),
+                      "k": pa.array(p_keys),
+                      "s": pa.array(p_ts.astype(np.float64) + 0.5)})
+        )
+        ivs_f = rd.from_arrow(
+            pa.table({"k": pa.array(iv_keys),
+                      "iv": pa.array(np.arange(n_iv, dtype=np.int64)),
+                      "lo": pa.array(iv_lo.astype(np.float64) + 0.5),
+                      "hi": pa.array(iv_hi.astype(np.float64) + 0.5)})
+        )
+        out_f = interval_join_overlapping(
+            pts_f, ivs_f, key_col="k", ts_col="s", start_col="lo",
+            end_col="hi", num_partitions=8,
+        ).to_pandas()
+        got_f = sorted((int(r.pid), int(r.iv)) for r in out_f.itertuples())
+        assert got_f == want  # +0.5 uniformly → same containment set
+
 
 def test_running_sum_matches_pandas(ray_session):
     import numpy as np
