@@ -1210,6 +1210,53 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_doc_dedup_incremental(sf_dir: str):
+    """Continuous-ingestion exact dedup (stages/dedup.py
+    dedup_against_index): even-id docs are ingested first into a fresh
+    persisted digest index, then odd-id docs are deduped against BOTH
+    that index and themselves — the SQL twin recomputes the admitted
+    odd-id set (text unseen in batch 1, min-id keeper within batch
+    2)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.dedup import dedup_against_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            keys = t["doc_id"]
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            mask = pa.array(
+                keys.to_numpy(zero_copy_only=False) % 2 == parity
+            )
+            return t.filter(mask)
+
+        return f
+
+    idx = tempfile.mkdtemp(prefix="digest_idx_")
+    try:
+        # batch 1: even ids seed the index (output not compared)
+        dedup_against_index(
+            docs.map_batches(half(0), batch_format="pyarrow"), idx,
+            num_partitions=8,
+        ).materialize()
+        admitted = dedup_against_index(
+            docs.map_batches(half(1), batch_format="pyarrow"), idx,
+            num_partitions=8,
+        )
+        return admitted.select_columns(["doc_id"]).materialize()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_doc_strip_boilerplate(sf_dir: str):
     """Cross-document repeated-substring REMOVAL (Lee et al. 2022
     span-excision, stages/dedup.py remove_repeated_ngrams): every word
@@ -1645,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_decode_real": _q_media_decode_real,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
+        "doc_dedup_incremental": _q_doc_dedup_incremental,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
         "events_gap_median": _q_events_gap_median,
@@ -2628,6 +2676,15 @@ SELECT count(*)::BIGINT AS n_chunks,
        TRUE AS fill_ok,
        TRUE AS conserve_ok
 FROM x
+""",
+        # two-batch ingestion: odd-id docs admitted iff their text is
+        # unseen among even-id docs, min-id keeper within the batch
+        "doc_dedup_incremental": """
+WITH b1 AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+SELECT min(doc_id)::BIGINT AS doc_id
+FROM b2 WHERE text NOT IN (SELECT text FROM b1)
+GROUP BY text
 """,
         # cross-doc repeated 5-gram span removal: dup grams by DISTINCT
         # doc count, word positions unioned per doc via an inequality

@@ -1375,3 +1375,156 @@ def remove_repeated_ngrams(ds, *, n: int = 20, min_docs: int = 2,
         )
 
     return tagged.groupby("part").map_groups(rewrite, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup against a PERSISTED digest index — the
+# continuous-ingestion shape: every batch of new documents is deduped
+# against everything ever admitted, without touching prior corpora.
+# ---------------------------------------------------------------------------
+
+_DIGEST_MANIFEST = "_DIGEST_MANIFEST.json"
+
+
+def dedup_against_index(ds, index_dir: str, *, text_col: str = "text",
+                        id_col: str = "doc_id", digest: str = "md5",
+                        num_partitions: int = 64):
+    """Admit only rows whose text digest was never seen — across THIS
+    batch (min-id keeper) and every previous :func:`dedup_against_index`
+    call on the same ``index_dir`` — then append the new digests.
+
+    Layout: ``{index_dir}/db=<b>/gen-<g>-*.parquet`` (digest strings,
+    hash-bucketed) + a generation manifest.  Each partition task reads
+    ONLY its own bucket's files at generations ≤ the run's snapshot,
+    so (a) lookup work is 1/num_partitions of the index per task, (b)
+    re-executing the returned Dataset's lineage after the append still
+    sees the pre-append snapshot — the result is stable under Ray
+    retries and lazy re-consumption.
+
+    ``index_dir`` must be shared storage (the standard sink contract).
+    Crash safety: bucket gen-files land via tmp + atomic rename BEFORE
+    the manifest bump; a crash in between leaves admitted digests at a
+    generation the manifest doesn't acknowledge — the NEXT run snaps
+    to the old generation and may re-admit that batch (at-least-once
+    ingestion; consumers dedup on doc_id or rerun the batch, same
+    contract as any resumable sink).
+
+    Returns the admitted rows (all input columns).  Scale shape: one
+    bounded hash shuffle on the digest; index reads are
+    parquet-columnar per bucket; the append writes only the NEW
+    digests.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    h = _digest_fn(digest)
+    os.makedirs(index_dir, exist_ok=True)
+    man_path = os.path.join(index_dir, _DIGEST_MANIFEST)
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        if int(man["num_buckets"]) != num_partitions:
+            raise ValueError(
+                f"index at {index_dir} was built with "
+                f"num_buckets={man['num_buckets']}; pass the same value"
+            )
+        if man.get("digest", digest) != digest:
+            raise ValueError("digest algorithm mismatch with existing index")
+        gen_snapshot = int(man["generation"])
+    else:
+        man = {"num_buckets": num_partitions, "generation": 0,
+               "digest": digest}
+        gen_snapshot = 0
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hashes = [h(x.encode("utf-8")) for x in t[text_col].to_pylist()]
+        t = t.append_column("content_hash", pa.array(hashes, pa.string()))
+        return t.append_column(
+            "part",
+            hash_bucket_array(np.asarray(hashes, dtype=object),
+                              num_partitions),
+        )
+
+    def admit(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        b = int(g["part"].iloc[0])
+        bdir = os.path.join(index_dir, f"db={b}")
+        seen: set = set()
+        if os.path.isdir(bdir):
+            for fname in sorted(os.listdir(bdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                try:
+                    gen = int(fname.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if gen <= gen_snapshot:  # snapshot isolation (see doc)
+                    seen.update(
+                        pq.read_table(
+                            os.path.join(bdir, fname)
+                        )["content_hash"].to_pylist()
+                    )
+        fresh = g[~g["content_hash"].isin(seen)]
+        # min-id keeper within the incoming batch
+        fresh = (
+            fresh.sort_values(id_col, kind="stable")
+            .groupby("content_hash", sort=False)
+            .head(1)
+        )
+        return fresh.drop(columns=["part"])
+
+    kept = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(admit, batch_format="pandas")
+    ).materialize()  # pin: consumed by the caller AND the append below
+
+    def drop_hash(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["content_hash"])
+
+    if kept.count() == 0:
+        # nothing admitted → nothing to append, no generation bump
+        return kept.map_batches(drop_hash, batch_format="pyarrow")
+
+    # append the admitted digests as a new generation, bucket by bucket
+    new_gen = gen_snapshot + 1
+    tmp = os.path.join(index_dir, f".gen-{new_gen}-{uuid.uuid4().hex}.tmp")
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        hh = t["content_hash"]
+        if isinstance(hh, pa.ChunkedArray):
+            hh = hh.combine_chunks()
+        return pa.table(
+            {
+                "content_hash": hh,
+                "db": hash_bucket_array(
+                    np.asarray(hh.to_pylist(), dtype=object),
+                    num_partitions,
+                ),
+            }
+        )
+
+    kept.map_batches(rebucket, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["db"]
+    )
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("db="):
+            continue
+        src = os.path.join(tmp, d)
+        dst = os.path.join(index_dir, d)
+        os.makedirs(dst, exist_ok=True)
+        for i, fname in enumerate(sorted(os.listdir(src))):
+            if fname.endswith(".parquet"):
+                os.replace(
+                    os.path.join(src, fname),
+                    os.path.join(dst, f"gen-{new_gen}-{i:05d}.parquet"),
+                )
+    shutil.rmtree(tmp, ignore_errors=True)
+    man["generation"] = new_gen
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+
+    return kept.map_batches(drop_hash, batch_format="pyarrow")

@@ -538,3 +538,67 @@ class TestRemoveRepeatedNgrams:
         got = {r["doc_id"]: r["n_removed"]
                for r in remove_repeated_ngrams(ds, n=3).take_all()}
         assert got == {"a": 0, "b": 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupAgainstIndex:
+    def _ds(self, rows):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows]),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            )
+        )
+
+    def test_cross_batch_and_within_batch(self, tmp_path):
+        import json
+        import os
+
+        from obsidian_parser_ray.stages.dedup import dedup_against_index
+
+        idx = str(tmp_path / "digests")
+        # batch 1: b/c share text -> min-id keeper 'b'
+        kept1 = dedup_against_index(
+            self._ds([("a", "alpha text"), ("b", "same text"),
+                      ("c", "same text")]),
+            idx, num_partitions=4,
+        ).to_pandas()
+        assert sorted(kept1["doc_id"]) == ["a", "b"]
+        with open(os.path.join(idx, "_DIGEST_MANIFEST.json")) as f:
+            assert json.load(f)["generation"] == 1
+
+        # batch 2: 'd' repeats batch-1 text -> dropped; 'e' is new
+        kept2_ds = dedup_against_index(
+            self._ds([("d", "same text"), ("e", "brand new")]),
+            idx, num_partitions=4,
+        )
+        kept2 = kept2_ds.to_pandas()
+        assert sorted(kept2["doc_id"]) == ["e"]
+        # lazy re-consumption AFTER the append sees the same snapshot
+        assert sorted(kept2_ds.to_pandas()["doc_id"]) == ["e"]
+
+        # batch 3: everything seen -> empty
+        kept3 = dedup_against_index(
+            self._ds([("f", "alpha text"), ("g", "brand new")]),
+            idx, num_partitions=4,
+        ).to_pandas()
+        assert len(kept3) == 0
+
+    def test_guardrails(self, tmp_path):
+        import pytest as _pytest
+
+        from obsidian_parser_ray.stages.dedup import dedup_against_index
+
+        idx = str(tmp_path / "digests2")
+        dedup_against_index(self._ds([("a", "x")]), idx, num_partitions=4)
+        with _pytest.raises(ValueError, match="num_buckets"):
+            dedup_against_index(self._ds([("b", "y")]), idx,
+                                num_partitions=8)
+        with _pytest.raises(ValueError, match="digest"):
+            dedup_against_index(self._ds([("b", "y")]), idx,
+                                num_partitions=4, digest="sha256")
