@@ -1210,6 +1210,57 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_doc_lm_quality(sf_dir: str):
+    """Char-trigram LM surprisal (stages/text.py train_char_lm /
+    char_lm_surprisal — the KenLM-shaped quality filter) as a
+    SELF-VALIDATING gate: the model is trained on the corpus, then
+    every document is scored against a deterministically scrambled
+    twin (same characters, seeded shuffle) — language-like structure
+    must be less surprising, so ≥95% of docs must beat their twin.  A
+    counting/smoothing/lookup regression collapses the separation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from obsidian_parser_ray.stages.text import (
+        char_lm_surprisal,
+        train_char_lm,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    logp, _total = train_char_lm(docs)
+    ref = ray.put(logp)
+
+    def scramble(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out = []
+        for d, x in zip(ids, t["text"].to_pylist()):
+            rng = np.random.RandomState(int(d) % (2**31))
+            chars = list(x)
+            rng.shuffle(chars)
+            out.append("".join(chars))
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    orig = {
+        r["doc_id"]: r["surprisal_micro"]
+        for r in char_lm_surprisal(docs, ref).take_all()
+    }
+    scr = {
+        r["doc_id"]: r["surprisal_micro"]
+        for r in char_lm_surprisal(
+            docs.map_batches(scramble, batch_format="pyarrow"), ref
+        ).take_all()
+    }
+    better = sum(scr[d] > orig[d] for d in orig)
+    frac = better / len(orig) if orig else 1.0
+    return pd.DataFrame(
+        [{"n_docs": len(orig), "lm_ok": bool(frac >= 0.95)}]
+    )
+
+
 def _q_doc_dedup_incremental(sf_dir: str):
     """Continuous-ingestion exact dedup (stages/dedup.py
     dedup_against_index): even-id docs are ingested first into a fresh
@@ -1693,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_real": _q_media_decode_real,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
+        "doc_lm_quality": _q_doc_lm_quality,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
         "events_gap_median": _q_events_gap_median,
@@ -2677,6 +2729,10 @@ SELECT count(*)::BIGINT AS n_chunks,
        TRUE AS conserve_ok
 FROM x
 """,
+        "doc_lm_quality": (
+            "SELECT count(*)::BIGINT AS n_docs, TRUE AS lm_ok"
+            " FROM documents"
+        ),
         # two-batch ingestion: odd-id docs admitted iff their text is
         # unseen among even-id docs, min-id keeper within the batch
         "doc_dedup_incremental": """

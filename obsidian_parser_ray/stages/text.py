@@ -426,3 +426,95 @@ def redact_pii(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pa.table(cols)
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram LM surprisal — the KenLM-shaped quality filter
+# (CCNet/Gopher-style: score documents by how "language-like" their
+# byte statistics are under a model trained on the corpus itself)
+# ---------------------------------------------------------------------------
+
+
+def _byte_trigrams(text: str) -> np.ndarray:
+    """uint32 codes of every byte trigram (UTF-8), vectorized."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < 3:
+        return np.empty(0, dtype=np.uint32)
+    return (
+        b[:-2].astype(np.uint32) * np.uint32(65536)
+        + b[1:-1].astype(np.uint32) * np.uint32(256)
+        + b[2:].astype(np.uint32)
+    )
+
+
+def train_char_lm(ds, *, text_col: str = "text", alpha: float = 1.0):
+    """Distributed byte-trigram counts → dense log-probability table.
+
+    Per-block partial: ``np.unique`` over the block's trigram codes
+    (sparse — shuffle carries distinct-trigram rows, not corpus
+    bytes); one Ray groupby-sum merges partials; the driver folds the
+    ≤2²⁴-entry sparse result into a dense float32 table (64 MB) that
+    broadcasts once via ``ray.put``.  Add-α smoothing over the full
+    2²⁴ trigram space keeps unseen trigrams finite and maximally
+    surprising.
+
+    Returns ``(logp: float32[2**24], total: int)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes = [ _byte_trigrams(x) for x in t[text_col].to_pylist() ]
+        codes = [c for c in codes if len(c)]
+        if not codes:
+            return pa.table(
+                {"tri": pa.array([], pa.int64()),
+                 "_n": pa.array([], pa.int64())}
+            )
+        tri, cnt = np.unique(np.concatenate(codes), return_counts=True)
+        return pa.table(
+            {"tri": pa.array(tri.astype(np.int64)),
+             "_n": pa.array(cnt.astype(np.int64))}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tri")
+        .aggregate(Sum("_n", alias_name="n"))
+        .take_all()
+    )
+    v = 1 << 24
+    counts = np.zeros(v, dtype=np.float64)
+    total = 0
+    for r in rows:
+        counts[int(r["tri"])] = float(r["n"])
+        total += int(r["n"])
+    logp = (np.log(counts + alpha) - np.log(total + alpha * v)).astype(
+        np.float32
+    )
+    return logp, total
+
+
+def char_lm_surprisal(ds, logp_ref, *, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      out_col: str = "surprisal_micro"):
+    """Per-document mean byte-trigram surprisal (−mean log p), as an
+    int64 MICRO value (⌊nats × 1e6⌋ — deterministic to compare and
+    threshold; float mean over a fixed-order per-doc array is
+    reproducible bit-for-bit).  Docs shorter than one trigram score
+    NULL-free 0.  ``logp_ref`` is the ``ray.put`` handle of
+    :func:`train_char_lm`'s table — fetched once per task from the
+    local object store."""
+    import ray
+
+    def score(t: pa.Table) -> pa.Table:
+        logp = ray.get(logp_ref)
+        out = np.zeros(t.num_rows, dtype=np.int64)
+        for i, x in enumerate(t[text_col].to_pylist()):
+            tri = _byte_trigrams(x)
+            if len(tri):
+                out[i] = int(
+                    np.floor(-float(np.mean(logp[tri])) * 1_000_000)
+                )
+        return pa.table({id_col: t[id_col], out_col: pa.array(out)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -260,3 +260,75 @@ class TestRedaction:
             ).fetchall()
         ]
         assert got == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCharLM:
+    def test_scrambled_text_scores_worse(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import (
+            char_lm_surprisal,
+            train_char_lm,
+        )
+
+        rng = np.random.RandomState(0)
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "reads a long book about language statistics ")
+        docs = []
+        for i in range(40):
+            t = base * (2 + i % 3)
+            docs.append((f"d{i:02d}", t))
+        # scrambled twins: same chars, order destroyed
+        for i in range(40):
+            chars = list(docs[i][1])
+            rng.shuffle(chars)
+            docs.append((f"s{i:02d}", "".join(chars)))
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([d[0] for d in docs]),
+                      "text": pa.array([d[1] for d in docs])})
+        ).repartition(4)
+
+        # model trained on the originals only
+        orig = ds.filter(lambda r: r["doc_id"].startswith("d"))
+        logp, total = train_char_lm(orig)
+        assert total > 0
+        ref = ray.put(logp)
+        scores = {
+            r["doc_id"]: r["surprisal_micro"]
+            for r in char_lm_surprisal(ds, ref).take_all()
+        }
+        worse = sum(
+            scores[f"s{i:02d}"] > scores[f"d{i:02d}"] for i in range(40)
+        )
+        assert worse == 40  # scrambling always hurts on clean text
+        # determinism
+        scores2 = {
+            r["doc_id"]: r["surprisal_micro"]
+            for r in char_lm_surprisal(ds, ref).take_all()
+        }
+        assert scores == scores2
+
+    def test_short_and_empty_docs(self):
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import (
+            char_lm_surprisal,
+            train_char_lm,
+        )
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(["a", "b", "c"]),
+                      "text": pa.array(["hello world", "hi", ""])})
+        )
+        logp, _ = train_char_lm(ds)
+        ref = ray.put(logp)
+        out = {r["doc_id"]: r["surprisal_micro"]
+               for r in char_lm_surprisal(ds, ref).take_all()}
+        assert out["a"] > 0
+        assert out["b"] == 0 and out["c"] == 0  # < 3 bytes → no trigram
