@@ -1210,6 +1210,16 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_doc_normalize(sf_dir: str):
+    """Vectorized corpus normalization (stages/text.py normalize_text:
+    control-strip → lowercase → whitespace collapse, all RE2/Arrow
+    kernels) — the SQL twin applies the identical rewrite chain, so
+    the normalized text is value-checked byte-for-byte."""
+    from obsidian_parser_ray.stages.text import normalize_text
+
+    return normalize_text(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_doc_lm_quality(sf_dir: str):
     """Char-trigram LM surprisal (stages/text.py train_char_lm /
     char_lm_surprisal — the KenLM-shaped quality filter) as a
@@ -1745,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "doc_lm_quality": _q_doc_lm_quality,
+        "doc_normalize": _q_doc_normalize,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
         "events_gap_median": _q_events_gap_median,
@@ -2733,6 +2744,20 @@ FROM x
             "SELECT count(*)::BIGINT AS n_docs, TRUE AS lm_ok"
             " FROM documents"
         ),
+        # identical rewrite chain: control-strip -> lower -> \s+ -> ' '
+        # -> trim; RE2 on both engines makes it byte-identical
+        "doc_normalize": r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    lower(regexp_replace(text,
+      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+    '\s+', ' ', 'g')) AS norm_text,
+  length(trim(regexp_replace(
+    lower(regexp_replace(text,
+      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+    '\s+', ' ', 'g')))::BIGINT AS n_chars
+FROM documents
+""",
         # two-batch ingestion: odd-id docs admitted iff their text is
         # unseen among even-id docs, min-id keeper within the batch
         "doc_dedup_incremental": """

@@ -518,3 +518,39 @@ def char_lm_surprisal(ds, logp_ref, *, text_col: str = "text",
         return pa.table({id_col: t[id_col], out_col: pa.array(out)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def normalize_text(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   lowercase: bool = True, collapse_ws: bool = True,
+                   strip_control: bool = True,
+                   out_col: str = "norm_text"):
+    """Standard corpus normalization, fully Arrow-vectorized (RE2
+    kernels — DuckDB reproduces each step exactly): optional
+    lowercasing, control-character stripping, whitespace collapse to
+    single spaces with outer trim.  Returns
+    ``(id, norm_text, n_chars)`` where ``n_chars`` counts the
+    normalized UTF-8 characters."""
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if strip_control:
+            s = pc.replace_substring_regex(
+                s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
+            )
+        if lowercase:
+            s = pc.utf8_lower(s)
+        if collapse_ws:
+            s = pc.replace_substring_regex(s, r"\s+", " ")
+            s = pc.utf8_trim_whitespace(s)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                out_col: s,
+                "n_chars": pc.utf8_length(s).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
