@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 
 def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None,
                      how: str = "inner", suffix: str = "_r",
-                     num_partitions: int = 64):
+                     num_partitions: int = 64, salt: int = 1):
     """Equi-join ``left`` against a ``right`` side unique per key.
 
     ``right`` MUST have at most one row per ``right_key`` value (an
@@ -44,11 +44,27 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
 
     Output columns: all left columns, then (inner/left/full only)
     each right non-key column.
+
+    ``salt > 1`` splits every key partition into ``salt`` slots: left
+    rows round-robin across the slots of their key partition and the
+    (unique-keyed, hence small) right side replicates into every slot
+    — the standard hot-key remedy, turning one straggler task holding
+    the whole hub key into ``salt`` even tasks.  Results are
+    IDENTICAL for left-driven modes (inner/left/semi/anti: every left
+    row still meets its full right set); ``how="full"`` rejects
+    ``salt > 1`` because right-only detection needs cross-slot
+    visibility.  Cost: ``salt × |right|`` extra shuffle rows.
     """
     if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(
             f"how must be 'inner', 'left', 'semi', 'anti' or 'full', "
             f"got {how!r}"
+        )
+    salt = max(1, int(salt))
+    if salt > 1 and how == "full":
+        raise ValueError(
+            "hash_join_unique(how='full') does not support salt > 1: "
+            "right-only rows need cross-slot visibility"
         )
     right_key = right_key or left_key
 
@@ -110,13 +126,23 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     )
 
     def pad_left(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        base = hash_bucket_array(t[left_key], num_partitions)
+        if salt > 1:
+            slot = np.arange(t.num_rows, dtype=np.int64) % salt
+            part = pa.array(
+                (base.to_numpy().astype(np.int64) * salt + slot).astype(
+                    "int32"
+                ),
+                pa.int32(),
+            )
+        else:
+            part = base
         cols = [t[left_key]]
         cols += [t[n] for n in l_names]
         cols += [pa.nulls(t.num_rows, f.type) for f in r_value]
-        cols += [
-            pa.array([0] * t.num_rows, pa.int8()),
-            hash_bucket_array(t[left_key], num_partitions),
-        ]
+        cols += [pa.array([0] * t.num_rows, pa.int8()), part]
         return pa.Table.from_arrays(
             [c.cast(f.type) if hasattr(c, "cast") else c
              for c, f in zip(cols, carrier)],
@@ -124,13 +150,26 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
         )
 
     def pad_right(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        base = hash_bucket_array(t[right_key], num_partitions)
+        if salt > 1:
+            # replicate each right row into every slot of its partition
+            n = t.num_rows
+            rep = np.repeat(np.arange(n, dtype=np.int64), salt)
+            t = t.take(pa.array(rep))
+            slots = np.tile(np.arange(salt, dtype=np.int64), n)
+            part = pa.array(
+                (base.to_numpy().astype(np.int64)[rep] * salt
+                 + slots).astype("int32"),
+                pa.int32(),
+            )
+        else:
+            part = base
         cols = [t[right_key]]
         cols += [pa.nulls(t.num_rows, f.type) for f in l_fields]
         cols += [t[f.name] for f in r_value]
-        cols += [
-            pa.array([1] * t.num_rows, pa.int8()),
-            hash_bucket_array(t[right_key], num_partitions),
-        ]
+        cols += [pa.array([1] * t.num_rows, pa.int8()), part]
         return pa.Table.from_arrays(
             [c.cast(f.type) if hasattr(c, "cast") else c
              for c, f in zip(cols, carrier)],

@@ -251,3 +251,41 @@ def test_full_outer_join_matches_reference(ray_session):
         for r in out.itertuples()
     )
     assert got == sorted(want)
+
+
+def test_salted_join_identical_results_under_hot_key(ray_session):
+    """salt splits a hub key across slots without changing ANY
+    left-driven result: inner/left/semi/anti must match the unsalted
+    join row-for-row on data where one key holds 90% of the rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    keys = ["hub"] * 900 + [f"k{i}" for i in rng.integers(0, 40, 100)]
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(keys),
+                  "v": pa.array(range(len(keys)), type=pa.int64())})
+    ).repartition(5)
+    right = rd.from_arrow(
+        pa.table({"kk": pa.array(["hub"] + [f"k{i}" for i in range(30)]),
+                  "w": pa.array(range(31), type=pa.int64())})
+    )
+    for how in ("inner", "left", "semi", "anti"):
+        plain = (
+            hash_join_unique(left, right, left_key="k", right_key="kk",
+                             how=how, num_partitions=8)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        salted = (
+            hash_join_unique(left, right, left_key="k", right_key="kk",
+                             how=how, num_partitions=8, salt=4)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            plain[sorted(plain.columns)], salted[sorted(salted.columns)]
+        ), how
+
+
+def test_salted_full_join_rejected(ray_session):
+    with pytest.raises(ValueError, match="salt"):
+        hash_join_unique(_left(), _right(), left_key="k", right_key="kk",
+                         how="full", salt=4)
