@@ -1210,6 +1210,54 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_dq_referential(sf_dir: str):
+    """Data-quality constraint sweep: referential integrity
+    (orders→customer, lineitem→orders via distributed ANTI joins) and
+    key uniqueness (customer.c_custkey) — the checks an ingestion job
+    gates on before publishing a table.  Exact SQL twin."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from obsidian_parser_ray.stages.joins import hash_join_unique
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def rn(new):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([new])
+
+        return f
+
+    orphan_orders = hash_join_unique(
+        orders, cust.map_batches(rn("o_custkey"), batch_format="pyarrow"),
+        left_key="o_custkey", how="anti",
+    ).count()
+    orphan_lineitems = hash_join_unique(
+        li,
+        orders.select_columns(["o_orderkey"]).map_batches(
+            rn("l_orderkey"), batch_format="pyarrow"
+        ),
+        left_key="l_orderkey", how="anti",
+    ).count()
+    per_key = cust.groupby("c_custkey").aggregate(Count(alias_name="n"))
+    dup_custkeys = per_key.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).count()
+    return pd.DataFrame(
+        [
+            {
+                "orphan_orders": int(orphan_orders),
+                "orphan_lineitems": int(orphan_lineitems),
+                "dup_custkeys": int(dup_custkeys),
+            }
+        ]
+    )
+
+
 def _q_doc_normalize(sf_dir: str):
     """Vectorized corpus normalization (stages/text.py normalize_text:
     control-strip → lowercase → whitespace collapse, all RE2/Arrow
@@ -1756,6 +1804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "doc_lm_quality": _q_doc_lm_quality,
         "doc_normalize": _q_doc_normalize,
+        "dq_referential": _q_dq_referential,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
         "events_gap_median": _q_events_gap_median,
@@ -2744,6 +2793,18 @@ FROM x
             "SELECT count(*)::BIGINT AS n_docs, TRUE AS lm_ok"
             " FROM documents"
         ),
+        "dq_referential": """
+SELECT
+  (SELECT count(*) FROM orders o
+    WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+    AS orphan_orders,
+  (SELECT count(*) FROM lineitem l
+    WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+    AS orphan_lineitems,
+  (SELECT count(*) FROM (
+     SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1
+   ))::BIGINT AS dup_custkeys
+""",
         # identical rewrite chain: control-strip -> lower -> \s+ -> ' '
         # -> trim; RE2 on both engines makes it byte-identical
         "doc_normalize": r"""

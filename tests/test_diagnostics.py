@@ -59,3 +59,47 @@ class TestDiagnostics:
         assert partition_skew(ds, "k").take_all() == []
         rep = block_shape(ds)
         assert rep["rows_total"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestProfileTable:
+    def test_profile_mixed_types(self):
+        import datetime as dt
+
+        from obsidian_parser_ray.stages.diagnostics import profile_table
+
+        n = 500
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "i": pa.array(list(range(n)), pa.int64()),
+                    "f": pa.array(
+                        [None if x % 10 == 0 else x / 4.0 for x in range(n)],
+                        pa.float64(),
+                    ),
+                    "s": pa.array([f"v{x % 37}" for x in range(n)]),
+                    "t": pa.array(
+                        [dt.datetime(2024, 1, 1) +
+                         dt.timedelta(minutes=x) for x in range(n)]
+                    ),
+                }
+            )
+        ).repartition(4)
+        prof = profile_table(ds)
+        assert prof["i"]["n_rows"] == n and prof["i"]["n_nulls"] == 0
+        assert prof["i"]["min"] == 0.0 and prof["i"]["max"] == float(n - 1)
+        assert prof["f"]["n_nulls"] == 50
+        assert prof["s"]["min"] == "v0" and prof["s"]["max"] == "v9"
+        # HLL within 10% of true cardinalities
+        assert abs(prof["i"]["approx_distinct"] - n) / n < 0.1
+        assert abs(prof["s"]["approx_distinct"] - 37) / 37 < 0.1
+        assert prof["t"]["min"] < prof["t"]["max"]  # epoch int64 order
+
+    def test_profile_empty(self):
+        from obsidian_parser_ray.stages.diagnostics import profile_table
+
+        ds = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+        prof = profile_table(ds)
+        assert prof["x"]["n_rows"] == 0
+        assert prof["x"]["approx_distinct"] == 0
+        assert prof["x"]["min"] is None
