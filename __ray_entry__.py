@@ -1281,41 +1281,43 @@ def _q_doc_lm_quality(sf_dir: str):
     import pyarrow as pa
     import ray
 
-    from obsidian_parser_ray.stages.text import (
-        char_lm_surprisal,
-        train_char_lm,
-    )
+    from ray.data.aggregate import Sum
+
+    from obsidian_parser_ray.stages.text import train_char_lm
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     logp, _total = train_char_lm(docs)
     ref = ray.put(logp)
 
-    def scramble(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        out = []
-        for d, x in zip(ids, t["text"].to_pylist()):
+    def scramble_and_compare(t: pa.Table) -> pa.Table:
+        # both scores computed IN the batch → the comparison stays
+        # distributed; only two counters reach the driver
+        from obsidian_parser_ray.stages.text import _byte_trigrams
+
+        table = ray.get(ref)
+        n = t.num_rows
+        better = 0
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             rng = np.random.RandomState(int(d) % (2**31))
             chars = list(x)
             rng.shuffle(chars)
-            out.append("".join(chars))
+            tri_o = _byte_trigrams(x)
+            tri_s = _byte_trigrams("".join(chars))
+            s_o = -float(np.mean(table[tri_o])) if len(tri_o) else 0.0
+            s_s = -float(np.mean(table[tri_s])) if len(tri_s) else 0.0
+            better += s_s > s_o
         return pa.table(
-            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+            {"n": pa.array([n], pa.int64()),
+             "better": pa.array([better], pa.int64())}
         )
 
-    orig = {
-        r["doc_id"]: r["surprisal_micro"]
-        for r in char_lm_surprisal(docs, ref).take_all()
-    }
-    scr = {
-        r["doc_id"]: r["surprisal_micro"]
-        for r in char_lm_surprisal(
-            docs.map_batches(scramble, batch_format="pyarrow"), ref
-        ).take_all()
-    }
-    better = sum(scr[d] > orig[d] for d in orig)
-    frac = better / len(orig) if orig else 1.0
+    agg = docs.map_batches(
+        scramble_and_compare, batch_format="pyarrow"
+    ).aggregate(Sum("n", alias_name="n"), Sum("better", alias_name="b"))
+    n_docs = int(agg["n"] or 0)
+    frac = (int(agg["b"] or 0) / n_docs) if n_docs else 1.0
     return pd.DataFrame(
-        [{"n_docs": len(orig), "lm_ok": bool(frac >= 0.95)}]
+        [{"n_docs": n_docs, "lm_ok": bool(frac >= 0.95)}]
     )
 
 
