@@ -193,3 +193,44 @@ class TestMediaDecoderIntegration:
                 assert rows[a]["width"] == 0 and rows[a]["height"] == 0
                 codecs.add("wav")
         assert codecs == {"png", "jpeg", "wav"}  # all real codecs hit
+
+
+class TestJpegProperties:
+    """Property-based round-trips: any uint8 image of any legal shape
+    must decode to exact dimensions with bounded error at high
+    quality (no reference codec exists in-container, so the encoder
+    and decoder check each other across the whole shape space)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _img(h, w, ch, seed):
+        rng = np.random.RandomState(seed)
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        return rng.randint(0, 256, shape).astype(np.uint8)
+
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        ch=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**16),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_shape_and_bounded_error(self, h, w, ch, seed):
+        img = self._img(h, w, ch, seed)
+        out = decode_jpeg_baseline(encode_jpeg_baseline(img, 95))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert err < 20.0  # noise at q95: visually lossy but bounded
+
+    @given(
+        h=st.integers(1, 32),
+        w=st.integers(1, 32),
+        val=st.integers(0, 255),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_constant_images_exact(self, h, w, val):
+        img = np.full((h, w), val, np.uint8)
+        out = decode_jpeg_baseline(encode_jpeg_baseline(img, 85))
+        assert np.array_equal(out, img)
