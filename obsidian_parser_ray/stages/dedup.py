@@ -1324,7 +1324,7 @@ def remove_repeated_ngrams(ds, *, n: int = 20, min_docs: int = 2,
     )
 
     def rewrite(g: pa.Table) -> pa.Table:
-        is_hit = _arr = g["is_hit"]
+        is_hit = g["is_hit"]
         if isinstance(is_hit, pa.ChunkedArray):
             is_hit = is_hit.combine_chunks()
         docs_side = g.filter(pc.invert(is_hit))
@@ -1412,7 +1412,11 @@ def dedup_against_index(ds, index_dir: str, *, text_col: str = "text",
     Returns the admitted rows (all input columns).  Scale shape: one
     bounded hash shuffle on the digest; index reads are
     parquet-columnar per bucket; the append writes only the NEW
-    digests.
+    digests.  The admitted batch is pinned (``materialize``) because
+    both the caller and the append consume it — size ingestion batches
+    to the object store, or checkpoint upstream for jumbo batches.
+    Single writer per index at a time (generations are not fenced
+    against concurrent appends).
     """
     import json
     import os
