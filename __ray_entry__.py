@@ -1210,6 +1210,109 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_graph_walks(sf_dir: str):
+    """Deterministic random walks (stages/graphops.py random_walks —
+    hash-min uniform neighbor sampling, one bounded shuffle per step)
+    over the customer→order→supplier graph, gated: exactly one walk
+    per customer-with-orders (SQL-exact count) and EVERY emitted hop
+    must be a real edge (distributed anti-join of hop pairs vs the
+    edge set → zero violations)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.graphops import random_walks
+    from obsidian_parser_ray.stages.joins import hash_join_unique
+
+    def as_edges(prefix_a, prefix_b, ka, kb):
+        def f(t: pa.Table) -> pa.Table:
+            a = pc.binary_join_element_wise(
+                pa.array([prefix_a] * t.num_rows),
+                pc.cast(t[ka], pa.string()), ":",
+            )
+            b = pc.binary_join_element_wise(
+                pa.array([prefix_b] * t.num_rows),
+                pc.cast(t[kb], pa.string()), ":",
+            )
+            n = t.num_rows
+            return pa.table(
+                {
+                    "subj": a,
+                    "pred": pa.array(["links_to"] * n, pa.string()),
+                    "obj": b,
+                    "weight": pa.array([1] * n, pa.int64()),
+                }
+            )
+
+        return f
+
+    edges = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        as_edges("c", "o", "o_custkey", "o_orderkey"),
+        batch_format="pyarrow",
+    ).union(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+            as_edges("o", "s", "l_orderkey", "l_suppkey"),
+            batch_format="pyarrow",
+        )
+    )
+    walks = random_walks(
+        edges, walks_per_node=1, walk_len=2, num_partitions=16
+    ).materialize()
+
+    # distributed validity: every (step k-1 → step k) hop is an edge
+    def hop_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["walk_id", "step"])
+        prev = df.groupby("walk_id", sort=False)["node"].shift()
+        m = prev.notna()
+        # join with Arrow, NOT pandas: `Series + "\x00"` silently drops
+        # the NUL (C-string truncation inside pandas' scalar-op path)
+        return pa.table(
+            {
+                "k": pc.binary_join_element_wise(
+                    pa.array(prev[m].to_numpy(), pa.string()),
+                    pa.array(df["node"][m].to_numpy(), pa.string()),
+                    "\x00",
+                )
+            }
+        )
+
+    # walk rows for one walk can span blocks — co-locate per walk first
+    from obsidian_parser_ray.hashing import hash_bucket_array
+
+    def tag(t: pa.Table) -> pa.Table:
+        w = t["walk_id"]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        return t.append_column("part", hash_bucket_array(w, 16))
+
+    pairs = (
+        walks.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(hop_pairs, batch_format="pyarrow")
+    )
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": pc.binary_join_element_wise(t["subj"], t["obj"], "\x00")}
+        )
+
+    violations = hash_join_unique(
+        pairs.map_batches(lambda t: t, batch_format="pyarrow"),
+        edges.map_batches(edge_keys, batch_format="pyarrow"),
+        left_key="k", how="anti", num_partitions=16,
+    ).count()
+    n_walks = walks.filter(expr="step == 0").count()
+    walk_starts = n_walks  # one per distinct subject by construction
+    return pd.DataFrame(
+        [
+            {
+                "n_walks": int(walk_starts),
+                "valid_ok": bool(violations == 0),
+            }
+        ]
+    )
+
+
 def _q_dq_referential(sf_dir: str):
     """Data-quality constraint sweep: referential integrity
     (orders→customer, lineitem→orders via distributed ANTI joins) and
@@ -1807,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_quality": _q_doc_lm_quality,
         "doc_normalize": _q_doc_normalize,
         "dq_referential": _q_dq_referential,
+        "graph_walks": _q_graph_walks,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
         "events_gap_median": _q_events_gap_median,
@@ -2794,6 +2898,11 @@ FROM x
         "doc_lm_quality": (
             "SELECT count(*)::BIGINT AS n_docs, TRUE AS lm_ok"
             " FROM documents"
+        ),
+        "graph_walks": (
+            "SELECT (SELECT count(DISTINCT o_custkey) FROM orders)"
+            " + (SELECT count(DISTINCT l_orderkey) FROM lineitem)"
+            " AS n_walks, TRUE AS valid_ok"
         ),
         "dq_referential": """
 SELECT

@@ -375,3 +375,172 @@ def k_core(triples, *, k: int = 2, num_partitions: int = 16,
         )
         edges = edges.repartition(num_partitions, shuffle=False).materialize()
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
+
+
+def random_walks(triples, *, walks_per_node: int = 1, walk_len: int = 4,
+                 pred: str | None = "links_to", seed: int = 42,
+                 num_partitions: int = 64):
+    """Deterministic uniform random walks over the directed edge set —
+    DeepWalk/node2vec-style corpus generation for graph ML.
+
+    Every node starts ``walks_per_node`` walks; at each step the next
+    hop is chosen uniformly among the current node's out-neighbors by
+    HASH-MIN sampling: ``argmin hash64(seed, walk_id, step, neighbor)``
+    — deterministic (reruns emit identical walks), uniform per step,
+    and computable inside the partition holding the node's adjacency.
+    Walks at sink nodes (no out-edges) simply stop.
+
+    Dataflow per step (``walk_len`` bounded rounds, the BFS shape):
+    co-partition the walk frontier with the edges on the current node
+    (one bounded hash shuffle per step); inside each partition a
+    pandas merge fans each walk out to its neighbors and a grouped
+    idxmin picks the hash-min hop — per-step work is Σ deg(cur), the
+    inherent cost of uniform neighbor sampling without a prebuilt
+    alias table.  The frontier re-partitions every round exactly like
+    ``bfs_hops`` (coalesced blocks, no growth).
+
+    Output: ``(walk_id, step, node)`` rows, step 0 = the start node.
+    """
+    import pandas as pd
+
+    from ..hashing import hash64_array, hash_bucket_array
+
+    edges = triples
+    if pred is not None:
+        edges = edges.filter(expr=f"pred == '{pred}'")
+    edges = edges.select_columns(["subj", "obj"])
+
+    # start frontier: every distinct subject × walks_per_node
+    def starts(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        subj = t["subj"]
+        if isinstance(subj, pa.ChunkedArray):
+            subj = subj.combine_chunks()
+        u = pc.unique(subj)
+        n = len(u)
+        rep = pc.take(u, pa.array(
+            _np.repeat(_np.arange(n), walks_per_node)))
+        k = pa.array(
+            _np.tile(_np.arange(walks_per_node), n).astype("int64"))
+        wid = pc.binary_join_element_wise(
+            rep, pc.cast(k, pa.string()), "#")
+        return pa.table({"walk_id": wid, "cur": rep})
+
+    frontier = edges.map_batches(starts, batch_format="pyarrow")
+    # distinct start rows (subjects repeat across blocks)
+    frontier = frontier.groupby("walk_id").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    ).materialize()
+
+    out_parts = []
+
+    def emit(step: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "walk_id": t["walk_id"],
+                    "step": pa.array([step] * t.num_rows, pa.int64()),
+                    "node": t["cur"],
+                }
+            )
+
+        return f
+
+    out_parts.append(frontier.map_batches(emit(0), batch_format="pyarrow"))
+
+    def tag_walk(t: pa.Table) -> pa.Table:
+        cur = t["cur"]
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        n = t.num_rows
+        return pa.table(
+            {
+                "part": hash_bucket_array(cur, num_partitions),
+                "is_edge": pa.array([False] * n, pa.bool_()),
+                "key": cur,
+                "walk_id": t["walk_id"],
+                "obj": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        subj = t["subj"]
+        if isinstance(subj, pa.ChunkedArray):
+            subj = subj.combine_chunks()
+        n = t.num_rows
+        return pa.table(
+            {
+                "part": hash_bucket_array(subj, num_partitions),
+                "is_edge": pa.array([True] * n, pa.bool_()),
+                "key": subj,
+                "walk_id": pa.nulls(n, pa.string()),
+                "obj": t["obj"],
+            }
+        )
+
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow")
+
+    for step in range(1, walk_len + 1):
+        step_seed = f"{seed}|{step}|"
+
+        def hop(g: pa.Table, _ss=step_seed) -> pa.Table:
+            is_edge = g["is_edge"]
+            if isinstance(is_edge, pa.ChunkedArray):
+                is_edge = is_edge.combine_chunks()
+            walks = g.filter(pc.invert(is_edge))
+            if walks.num_rows == 0:
+                return pa.table(
+                    {"walk_id": pa.array([], pa.string()),
+                     "cur": pa.array([], pa.string())}
+                )
+            eg = g.filter(is_edge)
+            wdf = pd.DataFrame(
+                {"walk_id": walks["walk_id"].to_pylist(),
+                 "cur": walks["key"].to_pylist()}
+            )
+            edf = pd.DataFrame(
+                {"cur": eg["key"].to_pylist(),
+                 "nxt": eg["obj"].to_pylist()}
+            )
+            m = wdf.merge(edf, on="cur", how="inner")
+            if not len(m):
+                return pa.table(
+                    {"walk_id": pa.array([], pa.string()),
+                     "cur": pa.array([], pa.string())}
+                )
+            # NB: pandas `Series + "\x00"` silently drops the NUL
+            # (C-string truncation) — use a printable separator; the
+            # hash key only needs distinctness WITHIN one walk group,
+            # where walk_id is constant and nxt values are distinct
+            h = hash64_array(
+                (_ss + m["walk_id"] + "|" + m["nxt"]).to_numpy()
+            )
+            m = m.assign(_h=h)
+            pick = m.loc[m.groupby("walk_id", sort=False)["_h"].idxmin()]
+            return pa.table(
+                {
+                    "walk_id": pa.array(pick["walk_id"].to_numpy(),
+                                        pa.string()),
+                    "cur": pa.array(pick["nxt"].to_numpy(), pa.string()),
+                }
+            )
+
+        frontier = (
+            frontier.map_batches(tag_walk, batch_format="pyarrow")
+            .union(tagged_edges)
+            .groupby("part")
+            .map_groups(hop, batch_format="pyarrow")
+            .repartition(num_partitions, shuffle=False)
+            .materialize()
+        )
+        if frontier.count() == 0:
+            break
+        out_parts.append(
+            frontier.map_batches(emit(step), batch_format="pyarrow")
+        )
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out
