@@ -1210,6 +1210,19 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_doc_cooccurrence(sf_dir: str):
+    """Windowed word co-occurrence counts (stages/text.py
+    cooccurrence_counts — the GloVe/PMI corpus statistic): unordered
+    in-window pairs, exact integer counts, min_count floor — full
+    value check against a positional self-join SQL twin."""
+    from obsidian_parser_ray.stages.text import cooccurrence_counts
+
+    return cooccurrence_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        window=4, min_count=3,
+    )
+
+
 def _q_graph_walks(sf_dir: str):
     """Deterministic random walks (stages/graphops.py random_walks —
     hash-min uniform neighbor sampling, one bounded shuffle per step)
@@ -1911,6 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": _q_doc_normalize,
         "dq_referential": _q_dq_referential,
         "graph_walks": _q_graph_walks,
+        "doc_cooccurrence": _q_doc_cooccurrence,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
         "events_gap_median": _q_events_gap_median,
@@ -2904,6 +2918,29 @@ FROM x
             " + (SELECT count(DISTINCT l_orderkey) FROM lineitem)"
             " AS n_walks, TRUE AS valid_ok"
         ),
+        # unordered in-window pairs via positional self-join; UTF-8
+        # byte order == codepoint order, so least/greatest matches the
+        # Ray side's canonical pair ordering
+        "doc_cooccurrence": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(ws) AS w,
+         unnest(range(1, len(ws) + 1)) AS j
+  FROM w
+),
+pairs AS (
+  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.j > a.j AND b.j - a.j <= 4
+)
+SELECT w1, w2, count(*)::BIGINT AS n_cooc
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+""",
         "dq_referential": """
 SELECT
   (SELECT count(*) FROM orders o

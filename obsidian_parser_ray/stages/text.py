@@ -554,3 +554,67 @@ def normalize_text(ds, *, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
+                        min_count: int = 2, num_partitions: int = 64):
+    """Word co-occurrence counts within a token window — the corpus
+    statistic under GloVe/PMI-style embedding training and collocation
+    mining.  Output: ``(w1, w2, n_cooc)`` with ``w1 < w2``
+    (unordered pairs, each in-window pair of positions counted once),
+    ``n_cooc >= min_count``.
+
+    Vectorized per doc: one token array, ``window`` shifted zips (no
+    per-pair Python), canonical pair ordering by string compare;
+    per-block pandas combine, then ONE bounded groupby-sum shuffle
+    keyed by the pair.  Tokens are ASCII-``\\S+`` words lowercased —
+    the exact universe the SQL twin reproduces.
+    """
+    from ray.data.aggregate import Sum
+
+    from obsidian_parser_ray.stages.dedup import _ASCII_WORD_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        a_all, b_all = [], []
+        for x in t[text_col].to_pylist():
+            toks = np.array(
+                _ASCII_WORD_RE.findall(x.lower()), dtype=object
+            )
+            n = len(toks)
+            if n < 2:
+                continue
+            for d in range(1, min(window, n - 1) + 1):
+                left = toks[:-d]
+                right = toks[d:]
+                swap = left > right
+                a_all.append(np.where(swap, right, left))
+                b_all.append(np.where(swap, left, right))
+        if not a_all:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "_n": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame(
+            {"w1": np.concatenate(a_all), "w2": np.concatenate(b_all)}
+        )
+        g = df.groupby(["w1", "w2"], as_index=False, sort=False).size()
+        return pa.table(
+            {
+                "w1": pa.array(g["w1"].to_numpy(), pa.string()),
+                "w2": pa.array(g["w2"].to_numpy(), pa.string()),
+                "_n": pa.array(g["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("_n", alias_name="n_cooc"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_cooc"], min_count)),
+        batch_format="pyarrow",
+    )
