@@ -544,3 +544,223 @@ def random_walks(triples, *, walks_per_node: int = 1, walk_len: int = 4,
     for p in out_parts[1:]:
         out = out.union(p)
     return out
+
+
+def biased_walks(triples, *, walks_per_node: int = 1, walk_len: int = 4,
+                 p: float = 1.0, q: float = 1.0,
+                 pred: str | None = "links_to", seed: int = 42,
+                 num_partitions: int = 64):
+    """node2vec-biased random walks (Grover & Leskovec 2016): the next
+    hop is drawn with weight ``1/p`` for returning to the previous
+    node, ``1`` for a neighbor of the previous node (BFS-ish), and
+    ``1/q`` otherwise (DFS-ish).
+
+    Weighted sampling is DETERMINISTIC via Efraimidis–Spirakis keys:
+    ``argmin −ln(u)/w`` with ``u`` derived from
+    ``hash64(seed, walk_id, step, candidate)`` — reruns emit identical
+    walks; ``p = q = 1`` degenerates to uniform sampling.  The first
+    hop (no previous node) is uniform.
+
+    Cost per step: the candidate fan-out shuffle (Σ deg(cur), as in
+    :func:`random_walks`) PLUS one distance-1 classification join of
+    the (prev, candidate) pairs against the unique edge-key set —
+    node2vec's inherent extra lookup, kept as a bounded
+    ``hash_join_unique(how="left")``.
+
+    Output: ``(walk_id, step, node)`` rows, step 0 = the start node.
+    """
+    import pandas as pd
+
+    from ..hashing import hash64_array, hash_bucket_array
+    from .joins import hash_join_unique
+
+    edges = triples
+    if pred is not None:
+        edges = edges.filter(expr=f"pred == '{pred}'")
+    edges = edges.select_columns(["subj", "obj"])
+
+    def starts(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        subj = t["subj"]
+        if isinstance(subj, pa.ChunkedArray):
+            subj = subj.combine_chunks()
+        u = pc.unique(subj)
+        n = len(u)
+        rep = pc.take(u, pa.array(_np.repeat(_np.arange(n), walks_per_node)))
+        k = pa.array(_np.tile(_np.arange(walks_per_node), n).astype("int64"))
+        wid = pc.binary_join_element_wise(rep, pc.cast(k, pa.string()), "#")
+        return pa.table(
+            {"walk_id": wid, "prev": pa.array([""] * len(wid), pa.string()),
+             "cur": rep}
+        )
+
+    frontier = (
+        edges.map_batches(starts, batch_format="pyarrow")
+        .groupby("walk_id")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def emit(step: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "walk_id": t["walk_id"],
+                    "step": pa.array([step] * t.num_rows, pa.int64()),
+                    "node": t["cur"],
+                }
+            )
+
+        return f
+
+    out_parts = [frontier.map_batches(emit(0), batch_format="pyarrow")]
+
+    def edge_marks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pk": pc.binary_join_element_wise(
+                    t["subj"], t["obj"], "\x00"
+                ),
+                "is_d1": pa.array([True] * t.num_rows, pa.bool_()),
+            }
+        )
+
+    edge_key_tbl = edges.map_batches(edge_marks, batch_format="pyarrow")
+
+    def tag_walk(t: pa.Table) -> pa.Table:
+        cur = t["cur"]
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        n = t.num_rows
+        return pa.table(
+            {
+                "part": hash_bucket_array(cur, num_partitions),
+                "is_edge": pa.array([False] * n, pa.bool_()),
+                "key": cur,
+                "walk_id": t["walk_id"],
+                "prev": t["prev"],
+                "obj": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        subj = t["subj"]
+        if isinstance(subj, pa.ChunkedArray):
+            subj = subj.combine_chunks()
+        n = t.num_rows
+        return pa.table(
+            {
+                "part": hash_bucket_array(subj, num_partitions),
+                "is_edge": pa.array([True] * n, pa.bool_()),
+                "key": subj,
+                "walk_id": pa.nulls(n, pa.string()),
+                "prev": pa.nulls(n, pa.string()),
+                "obj": t["obj"],
+            }
+        )
+
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow")
+
+    for step in range(1, walk_len + 1):
+        def fanout(g: pa.Table) -> pa.Table:
+            is_edge = g["is_edge"]
+            if isinstance(is_edge, pa.ChunkedArray):
+                is_edge = is_edge.combine_chunks()
+            walks = g.filter(pc.invert(is_edge))
+            empty = pa.table(
+                {"walk_id": pa.array([], pa.string()),
+                 "prev": pa.array([], pa.string()),
+                 "cur": pa.array([], pa.string()),
+                 "nxt": pa.array([], pa.string())}
+            )
+            if walks.num_rows == 0:
+                return empty
+            eg = g.filter(is_edge)
+            wdf = pd.DataFrame(
+                {"walk_id": walks["walk_id"].to_pylist(),
+                 "prev": walks["prev"].to_pylist(),
+                 "cur": walks["key"].to_pylist()}
+            )
+            edf = pd.DataFrame(
+                {"cur": eg["key"].to_pylist(), "nxt": eg["obj"].to_pylist()}
+            )
+            m = wdf.merge(edf, on="cur", how="inner")
+            if not len(m):
+                return empty
+            return pa.table(
+                {
+                    "walk_id": pa.array(m["walk_id"].to_numpy(), pa.string()),
+                    "prev": pa.array(m["prev"].to_numpy(), pa.string()),
+                    "cur": pa.array(m["cur"].to_numpy(), pa.string()),
+                    "nxt": pa.array(m["nxt"].to_numpy(), pa.string()),
+                }
+            )
+
+        cands = (
+            frontier.map_batches(tag_walk, batch_format="pyarrow")
+            .union(tagged_edges)
+            .groupby("part")
+            .map_groups(fanout, batch_format="pyarrow")
+        )
+
+        def add_pk(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "pk",
+                pc.binary_join_element_wise(t["prev"], t["nxt"], "\x00"),
+            )
+
+        classified = hash_join_unique(
+            cands.map_batches(add_pk, batch_format="pyarrow"),
+            edge_key_tbl,
+            left_key="pk", how="left", num_partitions=num_partitions,
+        )
+
+        step_seed = f"{seed}|{step}|"
+
+        def pick(g: pd.DataFrame, _ss=step_seed) -> pd.DataFrame:
+            if not len(g):
+                return pd.DataFrame(
+                    {"walk_id": pd.Series([], dtype="object"),
+                     "prev": pd.Series([], dtype="object"),
+                     "cur": pd.Series([], dtype="object")}
+                )
+            h = hash64_array((_ss + g["walk_id"] + "|" + g["nxt"]).to_numpy())
+            u = (h.astype(np.float64) + 0.5) / 2.0**64
+            w = np.where(
+                g["nxt"].to_numpy() == g["prev"].to_numpy(), 1.0 / p,
+                np.where(g["is_d1"].fillna(False).to_numpy(), 1.0, 1.0 / q),
+            )
+            g = g.assign(_es=(-np.log(u)) / w)
+            sel = g.loc[g.groupby("walk_id", sort=False)["_es"].idxmin()]
+            return pd.DataFrame(
+                {"walk_id": sel["walk_id"].to_numpy(),
+                 "prev": sel["cur"].to_numpy(),
+                 "cur": sel["nxt"].to_numpy()}
+            )
+
+        def tag_by_walk(t: pa.Table) -> pa.Table:
+            w = t["walk_id"]
+            if isinstance(w, pa.ChunkedArray):
+                w = w.combine_chunks()
+            return t.append_column(
+                "wpart", hash_bucket_array(w, num_partitions)
+            )
+
+        frontier = (
+            classified.map_batches(tag_by_walk, batch_format="pyarrow")
+            .groupby("wpart")
+            .map_groups(pick, batch_format="pandas")
+            .repartition(num_partitions, shuffle=False)
+            .materialize()
+        )
+        if frontier.count() == 0:
+            break
+        out_parts.append(
+            frontier.map_batches(emit(step), batch_format="pyarrow")
+        )
+
+    out = out_parts[0]
+    for prt in out_parts[1:]:
+        out = out.union(prt)
+    return out

@@ -282,3 +282,79 @@ class TestRandomWalks:
         assert sum(counts.values()) == 200
         for i in range(4):
             assert counts[f"n{i}"] > 20  # crude uniformity floor
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBiasedWalks:
+    def _edges(self, pairs):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, _ in pairs]),
+                    "pred": pa.array(["links_to"] * len(pairs)),
+                    "obj": pa.array([b for _, b in pairs]),
+                    "weight": pa.array([1] * len(pairs), pa.int64()),
+                }
+            )
+        )
+
+    def test_valid_and_deterministic(self):
+        from obsidian_parser_ray.stages.graphops import biased_walks
+
+        pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+                 ("c", "b"), ("a", "c")]
+        tri = self._edges(pairs)
+        out = biased_walks(tri, walks_per_node=3, walk_len=4, p=2.0,
+                           q=0.5, num_partitions=4).to_pandas()
+        edge_set = set(pairs)
+        w: dict = {}
+        for r in out.itertuples():
+            w.setdefault(r.walk_id, {})[r.step] = r.node
+        assert len(w) == 9
+        for wid, steps in w.items():
+            for s in sorted(steps)[1:]:
+                assert (steps[s - 1], steps[s]) in edge_set
+        out2 = biased_walks(tri, walks_per_node=3, walk_len=4, p=2.0,
+                            q=0.5, num_partitions=4).to_pandas()
+        assert sorted(map(tuple, out.to_numpy())) == \
+            sorted(map(tuple, out2.to_numpy()))
+
+    def test_return_bias_direction(self):
+        """tiny p makes returning to the previous node overwhelmingly
+        likely; large p suppresses returns — check both directions on
+        a graph where 'm' always has the return option plus others."""
+        import collections
+
+        from obsidian_parser_ray.stages.graphops import biased_walks
+
+        # star: m <-> s0..s3; from any s the only move is back to m,
+        # from m the RETURN edge competes with 3 others
+        pairs = []
+        for i in range(4):
+            pairs += [("m", f"s{i}"), (f"s{i}", "m")]
+        tri = self._edges(pairs)
+
+        def return_rate(p):
+            out = biased_walks(
+                tri, walks_per_node=60, walk_len=3, p=p, q=1.0,
+                num_partitions=4,
+            ).to_pandas()
+            w: dict = {}
+            for r in out.itertuples():
+                w.setdefault(r.walk_id, {})[r.step] = r.node
+            ret = tot = 0
+            for steps in w.values():
+                # step1 -> step2 -> step3: step3 from 'm' has a
+                # return option (step2's node) iff step2 == 'm'... use
+                # transitions FROM m at step >= 2 (prev = some s_i)
+                for s in sorted(steps)[2:]:
+                    if steps[s - 1] == "m":
+                        tot += 1
+                        ret += steps[s] == steps[s - 2]
+            return ret / tot if tot else 0.0
+
+        assert return_rate(0.01) > 0.9   # near-certain return
+        assert return_rate(100.0) < 0.2  # returns suppressed
