@@ -1210,6 +1210,21 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_doc_mixture(sf_dir: str):
+    """Proportional training-mix sampling (stages/chunking.py
+    sample_mixture): per-language quotas floor(frac × n_lang), members
+    = smallest md5(doc_id) per language — exact SQL twin via windowed
+    rank against per-key counts."""
+    from obsidian_parser_ray.stages.chunking import sample_mixture
+
+    return sample_mixture(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        key_col="lang",
+        fractions={"en": 0.5, "de": 0.25, "fr": 0.1},
+        id_col="doc_id",
+    )
+
+
 def _q_doc_cooccurrence(sf_dir: str):
     """Windowed word co-occurrence counts (stages/text.py
     cooccurrence_counts — the GloVe/PMI corpus statistic): unordered
@@ -1925,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_referential": _q_dq_referential,
         "graph_walks": _q_graph_walks,
         "doc_cooccurrence": _q_doc_cooccurrence,
+        "doc_mixture": _q_doc_mixture,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
         "events_gap_median": _q_events_gap_median,
@@ -2918,6 +2934,28 @@ FROM x
             " + (SELECT count(DISTINCT l_orderkey) FROM lineitem)"
             " AS n_walks, TRUE AS valid_ok"
         ),
+        # per-lang quota = floor(frac * n_lang); members ranked by
+        # md5(doc_id) — the same hash-rank convention as doc_sample
+        "doc_mixture": """
+WITH n AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+q AS (
+  SELECT lang,
+         CASE lang WHEN 'en' THEN floor(0.5 * c)
+                   WHEN 'de' THEN floor(0.25 * c)
+                   WHEN 'fr' THEN floor(0.1 * c) END AS quota
+  FROM n WHERE lang IN ('en', 'de', 'fr')
+),
+r AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY md5(d.doc_id::VARCHAR), d.doc_id)
+           AS rk
+  FROM documents d
+)
+SELECT r.doc_id, r.lang
+FROM r JOIN q USING (lang)
+WHERE r.rk <= q.quota
+""",
         # unordered in-window pairs via positional self-join; UTF-8
         # byte order == codepoint order, so least/greatest matches the
         # Ray side's canonical pair ordering

@@ -215,3 +215,65 @@ def pack_sequences(chunks, *, capacity: int, token_col: str = "n_tokens",
         .groupby("part")
         .map_groups(pack_partition, batch_format="pyarrow")
     )
+
+
+def sample_mixture(ds, *, key_col: str, fractions: dict, id_col: str,
+                   batch_size: int | None = None):
+    """Proportional mixture sampling: keep ``floor(frac[key] × n_key)``
+    rows per key, chosen as the smallest-``md5(id)`` subset — the
+    training-mix construction step ("30% of source A, 5% of source
+    B"), deterministic across runs and cluster layouts and EXACTLY
+    reproducible in SQL (``row_number() over (partition by key order
+    by md5(id), id)`` against per-key counts).  Keys absent from
+    ``fractions`` are dropped.
+
+    Dataflow: one tiny groupby for the per-key counts (the quota
+    input), then the same partial-top-k shape as
+    :func:`deterministic_sample_per_key` with per-key quotas — the
+    shuffle carries at most ``quota_k`` rows per key per block.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    counts = {
+        r[key_col]: r["n"]
+        for r in ds.groupby(key_col).aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+    quotas = {
+        k: int(fractions[k] * counts.get(k, 0))
+        for k in fractions
+    }
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids]
+        return t.append_column("_h", pa.array(h, pa.string()))
+
+    import pandas as pd
+
+    def partial_topk(p: pd.DataFrame) -> pd.DataFrame:
+        p = p[p[key_col].isin(quotas)]
+        if not len(p):
+            return p.drop(columns=["_h"], errors="ignore")
+        p = p.sort_values(["_h", id_col], kind="stable")
+        return p.groupby(key_col, sort=False, group_keys=False).apply(
+            lambda g: g.head(quotas[g.name])
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g.drop(columns=["_h"], errors="ignore")
+        key = g[key_col].iloc[0]
+        out = g.sort_values(["_h", id_col], kind="stable").head(
+            quotas.get(key, 0)
+        )
+        return out.drop(columns=["_h"])
+
+    partials = ds.map_batches(
+        add_rank, batch_format="pyarrow", batch_size=batch_size
+    ).map_batches(partial_topk, batch_format="pandas")
+    return partials.groupby(key_col).map_groups(
+        merge, batch_format="pandas"
+    )

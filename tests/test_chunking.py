@@ -208,3 +208,40 @@ class TestPackSequences:
                 want_bins.append(seq)
             got_bins = (mine["bin_id"] - (part << 32)).to_numpy()
             assert list(got_bins) == want_bins
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampleMixture:
+    def test_quotas_and_determinism(self):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.chunking import sample_mixture
+
+        rows = [(f"id{i:03d}", ["a", "b", "c"][i % 3]) for i in range(300)]
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([r[0] for r in rows]),
+                      "src": pa.array([r[1] for r in rows])})
+        ).repartition(5)
+        out = sample_mixture(
+            ds, key_col="src", fractions={"a": 0.4, "b": 0.1},
+            id_col="doc_id",
+        ).to_pandas()
+        # quotas: floor(0.4*100)=40, floor(0.1*100)=10; 'c' dropped
+        counts = out["src"].value_counts().to_dict()
+        assert counts == {"a": 40, "b": 10}
+        # membership = smallest md5(id) per key (sequential reference)
+        for key, quota in (("a", 40), ("b", 10)):
+            ids = [r[0] for r in rows if r[1] == key]
+            want = set(sorted(
+                ids, key=lambda i: (hashlib.md5(i.encode()).hexdigest(), i)
+            )[:quota])
+            got = set(out[out["src"] == key]["doc_id"])
+            assert got == want
+        out2 = sample_mixture(
+            ds, key_col="src", fractions={"a": 0.4, "b": 0.1},
+            id_col="doc_id",
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
