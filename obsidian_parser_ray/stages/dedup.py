@@ -1224,17 +1224,19 @@ def remove_repeated_ngrams(ds, *, n: int = 20, min_docs: int = 2,
     id_t = _id_type(ds, id_col)
 
     def gram_rows(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         texts = t[text_col].to_pylist()
-        out_h, out_id, out_pos = [], [], []
-        for d, x in zip(ids, texts):
+        out_h, out_pos, out_parent = [], [], []
+        for i, x in enumerate(texts):
             words = _ASCII_WORD_RE.findall(x)
             h = gram_hash_positions(words, n)
             if not len(h):
                 continue
             out_h.append(h.astype(np.int64))  # int64 view for Arrow
-            out_id.extend([d] * len(h))
             out_pos.append(np.arange(len(h), dtype=np.int32))
+            out_parent.append(np.full(len(h), i, dtype=np.int64))
         if not out_h:
             return pa.table(
                 {
@@ -1245,6 +1247,9 @@ def remove_repeated_ngrams(ds, *, n: int = 20, min_docs: int = 2,
                 }
             )
         hh = np.concatenate(out_h)
+        # id fan-out via ONE Arrow take (a Python list of ~words-per-
+        # block id copies was the dominant cost on long documents)
+        id_out = pc.take(ids, pa.array(np.concatenate(out_parent)))
         return pa.table(
             {
                 "part": pa.array(
@@ -1253,7 +1258,7 @@ def remove_repeated_ngrams(ds, *, n: int = 20, min_docs: int = 2,
                     )
                 ),
                 "gram_hash": pa.array(hh),
-                id_col: pa.array(out_id, id_t),
+                id_col: id_out,
                 "pos": pa.array(np.concatenate(out_pos)),
             }
         )
