@@ -567,11 +567,13 @@ def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
     Two-pass, integer-coded dataflow (measured 8× the throughput of a
     string-pair shuffle on web-page-sized docs):
 
-    1. vocabulary sweep: per-block distinct tokens, driver union,
-       SORTED → code order ≡ string order, so canonical (min, max)
-       code pairs are exactly the ``least/greatest`` string pairs the
-       SQL twin computes; the sorted vocab broadcasts once
-       (``ray.put``);
+    1. FREQUENT-vocabulary sweep (distributed token counts, floor =
+       ``min_count`` — lossless: a pair reaching the floor needs both
+       words at the floor), SORTED → code order ≡ string order, so
+       canonical (min, max) code pairs are exactly the
+       ``least/greatest`` string pairs the SQL twin computes; the
+       vocab broadcasts once (``ray.put``), driver state bounded by
+       the frequent-token count;
     2. per doc: one ``pc.index_in`` tokenize-to-codes probe, shifted
        zips per window offset, pairs PACKED into one int64
        (``w1 << 32 | w2``) — per-block ``np.unique`` combine, ONE
@@ -588,19 +590,36 @@ def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
 
     from obsidian_parser_ray.stages.dedup import _ASCII_WORD_RE
 
-    # pass 1: sorted vocabulary (driver union of per-block distincts)
-    def distinct_tokens(t: pa.Table) -> pa.Table:
-        toks = set()
-        for x in t[text_col].to_pylist():
-            toks.update(_ASCII_WORD_RE.findall(x.lower()))
-        return pa.table({"w": pa.array(sorted(toks), pa.string())})
+    # pass 1: FREQUENT vocabulary — a pair can only reach min_count if
+    # BOTH its words occur >= min_count times globally, so pruning the
+    # vocab at that floor is provably lossless AND bounds the driver
+    # collect by the frequent-token count, not the raw vocabulary.
+    # Rare tokens keep their POSITIONS (coded −1) so window distances
+    # across them are unchanged.
+    def token_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
 
-    vocab_set: set = set()
-    for b in ds.map_batches(
-        distinct_tokens, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        vocab_set.update(b["w"].to_pylist())
-    vocab = pa.array(sorted(vocab_set), pa.string())
+        c: Counter = Counter()
+        for x in t[text_col].to_pylist():
+            c.update(_ASCII_WORD_RE.findall(x.lower()))
+        return pa.table(
+            {"w": pa.array(list(c.keys()), pa.string()),
+             "_n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    freq = (
+        ds.map_batches(token_counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("_n", alias_name="n"))
+    )
+    words: list = []
+    for b in freq.iter_batches(batch_format="pyarrow"):
+        keep = pc.greater_equal(b["n"], min_count)
+        words.extend(b["w"].filter(
+            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray)
+            else keep
+        ).to_pylist())
+    vocab = pa.array(sorted(words), pa.string())
     if len(vocab) >= (1 << 32):
         raise ValueError("vocabulary exceeds the 32-bit pair pack")
     vocab_ref = ray.put(vocab)
@@ -624,7 +643,8 @@ def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
                 itertools.chain.from_iterable(toks_per_doc),
                 pa.string(), size=total,
             )
-            codes = pc.index_in(flat, v).to_numpy(
+            idx = pc.index_in(flat, v)
+            codes = pc.fill_null(idx, -1).to_numpy(
                 zero_copy_only=False
             ).astype(np.int64)
             doc_of = np.repeat(np.arange(len(lens)), lens)
@@ -633,7 +653,7 @@ def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
                     break
                 a = codes[:-d]
                 b = codes[d:]
-                valid = doc_of[:-d] == doc_of[d:]
+                valid = (doc_of[:-d] == doc_of[d:]) & (a >= 0) & (b >= 0)
                 lo = np.minimum(a, b)[valid]
                 hi = np.maximum(a, b)[valid]
                 if len(lo):
