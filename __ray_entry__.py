@@ -772,6 +772,55 @@ def _q_emb_knn_ivf(sf_dir: str):
     )
 
 
+def _q_emb_dedup_drop(sf_dir: str):
+    """Semantic (embedding-space) dedup DROP gate
+    (stages/dedup.py drop_embedding_duplicates): over the same
+    planted-copy corpus as emb_neardup, dropping cosine-≥0.9 clusters
+    must keep exactly the original table (every planted copy pairs
+    with its source, min id wins; the raw table has no pair above
+    0.52 so no original may be lost).  The oracle states the exact
+    expected survivor count."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from obsidian_parser_ray.stages.dedup import drop_embedding_duplicates
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        vecs = t["embedding"].to_pylist()
+        out_id, out_vec = [], []
+        for i, v in zip(ids, vecs):
+            if i < 25:
+                rng = np.random.RandomState(1000 + i)
+                pert = np.asarray(v, dtype=np.float64)
+                pert = pert + rng.standard_normal(len(pert)) * 0.01 * (
+                    np.abs(pert).mean() or 1.0
+                )
+                out_id.append(i + 1_000_000)
+                out_vec.append(pert.astype(np.float32).tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(out_id, pa.int64()),
+                "embedding": pa.array(out_vec, pa.list_(pa.float32())),
+            }
+        )
+
+    corpus = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    n_orig = ds.count()
+    kept = drop_embedding_duplicates(
+        corpus, threshold=0.9, num_tables=3
+    ).to_pandas()
+    kept_ids = set(int(v) for v in kept["vec_id"])
+    orig_ids = set(range(n_orig))
+    survivors_ok = kept_ids == orig_ids  # min id per planted cluster
+    return pd.DataFrame(
+        [{"n_kept": len(kept_ids), "survivors_ok": bool(survivors_ok)}]
+    )
+
+
 def _q_emb_knn_pq(sf_dir: str):
     """Product-quantization kNN (stages/similarity.py pq_knn — 8-byte
     codes, ADC scan, exact re-rank of the refine candidates) as a
@@ -1910,6 +1959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_knn_pq": _q_emb_knn_pq,
+        "emb_dedup_drop": _q_emb_dedup_drop,
         "emb_neardup": _q_emb_neardup,
         "emb_kmeans": _q_emb_kmeans,
         "events_hourly": _q_events_hourly,
@@ -2399,6 +2449,10 @@ WHERE p.inter / (na.n_sh + nb.n_sh - p.inter) >= 0.5
             "SELECT count(*)::BIGINT AS n_queries, TRUE AS recall_ok,"
             " TRUE AS rerank_exact"
             " FROM embeddings WHERE vec_id < 10"
+        ),
+        "emb_dedup_drop": (
+            "SELECT count(*)::BIGINT AS n_kept, TRUE AS survivors_ok"
+            " FROM embeddings"
         ),
         # planted-pair gate: one true pair per planted copy
         # (vec_id < 25); LSH recall >= 0.8 and exact precision

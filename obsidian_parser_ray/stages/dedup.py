@@ -1537,3 +1537,80 @@ def dedup_against_index(ds, index_dir: str, *, text_col: str = "text",
         json.dump(man, f)
 
     return kept.map_batches(drop_hash, batch_format="pyarrow")
+
+
+def drop_embedding_duplicates(ds, *, vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              threshold: float = 0.9,
+                              num_planes: int = 12, num_tables: int = 2,
+                              seed: int = 42, max_bucket: int = 1000,
+                              num_partitions: int = 64,
+                              cc_max_iters: int = 50,
+                              cc_num_partitions: int = 16):
+    """Embedding near-duplicate dedup at CLUSTER granularity: keep the
+    min-id member of every cosine-≥threshold connected component —
+    the vector-space sibling of :func:`drop_minhash_duplicates`
+    (semantic dedup of a training corpus by its embeddings).
+
+    LSH candidate pairs (:func:`embedding_neardup_pairs`, exact-cosine
+    verified) → pointer-jumping connected components over ONLY the
+    near-dup subgraph → size-adaptive anti join of the corpus against
+    the loser id set.  Same scale shape as the text-side drops: no
+    all-pairs work, no driver-side candidate state.
+    """
+    from ..pipelines.components import connected_components
+    from .joins import broadcast_join_unique
+
+    pairs = embedding_neardup_pairs(
+        ds, vec_col=vec_col, id_col=id_col, threshold=threshold,
+        num_planes=num_planes, num_tables=num_tables, seed=seed,
+        max_bucket=max_bucket, num_partitions=num_partitions,
+    )
+
+    def _node_key(col):
+        # connected_components keeps the STRING-min node per cluster;
+        # numeric ids must be zero-padded so string order == numeric
+        # order ("1000005" < "5" otherwise steals the keeper slot)
+        import pyarrow.compute as pc
+
+        s = pc.cast(col, pa.string())
+        if pa.types.is_integer(col.type):
+            s = pc.utf8_lpad(s, 20, "0")
+        return s
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks() if isinstance(
+            t["id_a"], pa.ChunkedArray) else t["id_a"]
+        b = t["id_b"].combine_chunks() if isinstance(
+            t["id_b"], pa.ChunkedArray) else t["id_b"]
+        return pa.table({"subj": _node_key(a), "obj": _node_key(b)})
+
+    no_nodes = ds.select_columns([id_col]).limit(0).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pa.array([], pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"), no_nodes,
+        max_iters=cc_max_iters, num_partitions=cc_num_partitions,
+    )
+
+    def losers(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.invert(pc.equal(t["node"], t["component"]))
+        return pa.table({"node": t["node"].filter(keep)})
+
+    def key_str(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        return t.append_column("_k", _node_key(ids))
+
+    kept = broadcast_join_unique(
+        ds.map_batches(key_str, batch_format="pyarrow"),
+        comp.map_batches(losers, batch_format="pyarrow"),
+        left_key="_k", right_key="node", how="anti",
+        num_partitions=num_partitions,
+    )
+    return kept.drop_columns(["_k"])

@@ -602,3 +602,52 @@ class TestDedupAgainstIndex:
         with _pytest.raises(ValueError, match="digest"):
             dedup_against_index(self._ds([("b", "y")]), idx,
                                 num_partitions=4, digest="sha256")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDropEmbeddingDuplicates:
+    def test_cluster_dedup_keeps_min_id(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.dedup import drop_embedding_duplicates
+
+        rng = np.random.RandomState(1)
+        base_a = rng.standard_normal(32)
+        base_b = rng.standard_normal(32)
+        rows = []
+        # cluster A: ids 10, 11, 12 (near-identical)
+        for i, jitter in ((10, 0.0), (11, 0.005), (12, 0.008)):
+            rows.append((i, base_a + rng.standard_normal(32) * jitter))
+        # cluster B: ids 20, 21
+        for i, jitter in ((20, 0.0), (21, 0.004)):
+            rows.append((i, base_b + rng.standard_normal(32) * jitter))
+        # singletons
+        for i in range(30, 36):
+            rows.append((i, rng.standard_normal(32)))
+        df = pd.DataFrame(
+            {"vec_id": [r[0] for r in rows],
+             "embedding": [r[1].tolist() for r in rows]}
+        )
+        kept = drop_embedding_duplicates(
+            rd.from_pandas(df), threshold=0.95, num_tables=3,
+            num_partitions=4,
+        ).to_pandas()
+        got = sorted(int(v) for v in kept["vec_id"])
+        # min id survives per cluster; singletons untouched
+        assert got == [10, 20, 30, 31, 32, 33, 34, 35]
+
+    def test_no_duplicates_is_identity(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.dedup import drop_embedding_duplicates
+
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame(
+            {"vec_id": list(range(12)),
+             "embedding": [rng.standard_normal(16).tolist()
+                           for _ in range(12)]}
+        )
+        kept = drop_embedding_duplicates(
+            rd.from_pandas(df), threshold=0.99, num_partitions=4
+        ).to_pandas()
+        assert sorted(kept["vec_id"]) == list(range(12))
