@@ -647,3 +647,57 @@ class TestRetention:
             (0, 0): 1, (0, 1): 1, (0, 3): 1,
             (1, 0): 1, (1, 2): 1,
         }
+
+
+class TestIntervalOverlapProperty:
+    """Hypothesis sweep: arbitrary key/interval/point layouts must
+    match the nested-loop reference exactly (vectorized banding path
+    AND semantics under duplicates, zero-length intervals, ties)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        seed=st.integers(0, 2**16),
+        n_iv=st.integers(0, 25),
+        n_p=st.integers(0, 40),
+        span=st.integers(1, 30),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_matches_bruteforce(self, ray_session, seed, n_iv, n_p, span):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import (
+            interval_join_overlapping,
+        )
+
+        rng = np.random.default_rng(seed)
+        iv_keys = rng.integers(0, 4, n_iv).astype(np.int64)
+        iv_lo = rng.integers(0, 50, n_iv).astype(np.int64)
+        iv_hi = iv_lo + rng.integers(0, span, n_iv).astype(np.int64)
+        p_keys = rng.integers(0, 5, n_p).astype(np.int64)
+        p_ts = rng.integers(0, 60, n_p).astype(np.int64)
+
+        pts = rd.from_arrow(
+            pa.table({"pid": pa.array(np.arange(n_p, dtype=np.int64)),
+                      "k": pa.array(p_keys), "s": pa.array(p_ts)})
+        )
+        ivs = rd.from_arrow(
+            pa.table({"k": pa.array(iv_keys),
+                      "iv": pa.array(np.arange(n_iv, dtype=np.int64)),
+                      "lo": pa.array(iv_lo), "hi": pa.array(iv_hi)})
+        )
+        out = interval_join_overlapping(
+            pts, ivs, key_col="k", ts_col="s", start_col="lo",
+            end_col="hi", num_partitions=4,
+        ).to_pandas()
+        got = sorted((int(r.pid), int(r.iv)) for r in out.itertuples())
+        want = sorted(
+            (i, j)
+            for i in range(n_p)
+            for j in range(n_iv)
+            if p_keys[i] == iv_keys[j] and iv_lo[j] <= p_ts[i] <= iv_hi[j]
+        )
+        assert got == want
