@@ -1259,6 +1259,40 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_doc_collocations(sf_dir: str):
+    """Collocation statistics: co-occurrence pairs joined to BOTH
+    words' exact global frequencies — the integer sufficient
+    statistics of PMI (all-exact join composition:
+    cooccurrence_counts ⋈ token_frequencies ⋈ token_frequencies)."""
+    import pyarrow as pa
+
+    from obsidian_parser_ray.stages.joins import hash_join_unique
+    from obsidian_parser_ray.stages.text import (
+        cooccurrence_counts,
+        token_frequencies,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cooc = cooccurrence_counts(docs, window=4, min_count=3)
+    freq = token_frequencies(docs)
+
+    def rn(new):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([new, "c" + new[1]])
+
+        return f
+
+    j = hash_join_unique(
+        cooc, freq.map_batches(rn("w1"), batch_format="pyarrow"),
+        left_key="w1",
+    )
+    j = hash_join_unique(
+        j, freq.map_batches(rn("w2"), batch_format="pyarrow"),
+        left_key="w2",
+    )
+    return j.select_columns(["w1", "w2", "n_cooc", "c1", "c2"])
+
+
 def _q_doc_mixture(sf_dir: str):
     """Proportional training-mix sampling (stages/chunking.py
     sample_mixture): per-language quotas floor(frac × n_lang), members
@@ -1991,6 +2025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks": _q_graph_walks,
         "doc_cooccurrence": _q_doc_cooccurrence,
         "doc_mixture": _q_doc_mixture,
+        "doc_collocations": _q_doc_collocations,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
         "events_gap_median": _q_events_gap_median,
@@ -2988,6 +3023,34 @@ FROM x
             " + (SELECT count(DISTINCT l_orderkey) FROM lineitem)"
             " AS n_walks, TRUE AS valid_ok"
         ),
+        # co-occurrence pairs + both marginals — the exact-integer
+        # sufficient statistics of PMI
+        "doc_collocations": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS j
+  FROM w
+),
+freq AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+pairs AS (
+  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.j > a.j AND b.j - a.j <= 4
+),
+cooc AS (
+  SELECT w1, w2, count(*)::BIGINT AS n_cooc
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT cooc.w1, cooc.w2, cooc.n_cooc,
+       f1.c AS c1, f2.c AS c2
+FROM cooc JOIN freq f1 ON cooc.w1 = f1.w
+          JOIN freq f2 ON cooc.w2 = f2.w
+""",
         # per-lang quota = floor(frac * n_lang); members ranked by
         # md5(doc_id) — the same hash-rank convention as doc_sample
         "doc_mixture": """

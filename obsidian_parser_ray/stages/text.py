@@ -698,3 +698,31 @@ def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
         .groupby("part")
         .map_groups(reduce_part, batch_format="pyarrow")
     )
+
+
+def token_frequencies(ds, *, text_col: str = "text"):
+    """Global token frequencies ``(w, n)`` over lowercased
+    ASCII-``\\S+`` words — the marginal counts under PMI/collocation
+    scoring (pair with :func:`cooccurrence_counts`, whose tokenizer
+    this matches exactly).  Per-block Counter partials → one
+    groupby-sum."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from obsidian_parser_ray.stages.dedup import _ASCII_WORD_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t[text_col].to_pylist():
+            c.update(_ASCII_WORD_RE.findall(x.lower()))
+        return pa.table(
+            {"w": pa.array(list(c.keys()), pa.string()),
+             "_n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("_n", alias_name="n"))
+    )
