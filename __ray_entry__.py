@@ -1259,6 +1259,18 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_doc_hash_vectors(sf_dir: str):
+    """Feature-hashing document vectors (stages/text.py
+    hashed_doc_vectors — the hashing-trick embedding for text-only
+    corpora): md5-derived buckets/signs, so the SQL twin recomputes
+    every sparse vector entry exactly."""
+    from obsidian_parser_ray.stages.text import hashed_doc_vectors
+
+    return hashed_doc_vectors(
+        _read(sf_dir, "documents", ["doc_id", "text"]), dim=64
+    )
+
+
 def _q_doc_collocations(sf_dir: str):
     """Collocation statistics: co-occurrence pairs joined to BOTH
     words' exact global frequencies — the integer sufficient
@@ -2026,6 +2038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cooccurrence": _q_doc_cooccurrence,
         "doc_mixture": _q_doc_mixture,
         "doc_collocations": _q_doc_collocations,
+        "doc_hash_vectors": _q_doc_hash_vectors,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
         "events_gap_median": _q_events_gap_median,
@@ -3023,6 +3036,26 @@ FROM x
             " + (SELECT count(DISTINCT l_orderkey) FROM lineitem)"
             " AS n_walks, TRUE AS valid_ok"
         ),
+        # signed feature hashing: bucket = md5[:8] % 64, sign = 9th
+        # hex digit parity, tf-weighted; fully-cancelled dims dropped
+        "doc_hash_vectors": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(ws) AS w FROM w),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS dim_idx,
+         CASE WHEN ('0x' || substr(md5(w), 9, 1))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+)
+SELECT doc_id, dim_idx, sum(sgn)::BIGINT AS value
+FROM b GROUP BY 1, 2 HAVING sum(sgn) <> 0
+""",
         # co-occurrence pairs + both marginals — the exact-integer
         # sufficient statistics of PMI
         "doc_collocations": r"""

@@ -726,3 +726,58 @@ def token_frequencies(ds, *, text_col: str = "text"):
         .groupby("w")
         .aggregate(Sum("_n", alias_name="n"))
     )
+
+
+def hashed_doc_vectors(ds, *, text_col: str = "text",
+                       id_col: str = "doc_id", dim: int = 256):
+    """Feature-hashing (hashing-trick, Weinberger et al. 2009) document
+    vectors: each token adds ±1 to bucket ``md5(w)[:8] % dim`` with the
+    sign from the 9th md5 hex digit — term-frequency-weighted signed
+    hashing, the classic model-free way to give a text-only corpus
+    embeddings the ANN/clustering operators can consume.
+
+    md5-derived buckets/signs make the op EXACTLY replayable in SQL
+    (like ``deterministic_sample_per_key``), so the driver
+    hash-compares real vector values, not just shapes.  Output is
+    long-form sparse: ``(id, dim_idx, value)`` int64 rows, zero
+    (fully-cancelled) dims dropped — assemble dense vectors downstream
+    with a fixed-size scatter when a dense column is needed.
+
+    Per block: one Counter sweep per doc, md5 once per DISTINCT token
+    per block (cached), accumulation in a dense int64 (docs × dim)
+    scratch — no shuffle at all; the output is already keyed by doc.
+    """
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.dedup import _ASCII_WORD_RE
+
+    def vectors(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        texts = t[text_col].to_pylist()
+        n = len(texts)
+        acc = np.zeros((n, dim), dtype=np.int64)
+        cache: dict = {}
+        for i, x in enumerate(texts):
+            for w, c in Counter(_ASCII_WORD_RE.findall(x.lower())).items():
+                bs = cache.get(w)
+                if bs is None:
+                    h = hashlib.md5(w.encode("utf-8")).hexdigest()
+                    bs = (int(h[:8], 16) % dim,
+                          1 if int(h[8], 16) % 2 == 0 else -1)
+                    cache[w] = bs
+                acc[i, bs[0]] += bs[1] * c
+        doc_idx, dim_idx = np.nonzero(acc)
+        return pa.table(
+            {
+                id_col: pc.take(ids, pa.array(doc_idx)),
+                "dim_idx": pa.array(dim_idx.astype(np.int64)),
+                "value": pa.array(acc[doc_idx, dim_idx]),
+            }
+        )
+
+    return ds.map_batches(vectors, batch_format="pyarrow")
