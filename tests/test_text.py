@@ -332,3 +332,34 @@ class TestCharLM:
                for r in char_lm_surprisal(ds, ref).take_all()}
         assert out["a"] > 0
         assert out["b"] == 0 and out["c"] == 0  # < 3 bytes → no trigram
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashedVectors:
+    def test_matches_manual_hashing(self):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import hashed_doc_vectors
+
+        docs = {"a": "x y x", "b": "y z", "c": ""}
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(list(docs)),
+                      "text": pa.array(list(docs.values()))})
+        )
+        out = {}
+        for r in hashed_doc_vectors(ds, dim=8).take_all():
+            out[(r["doc_id"], r["dim_idx"])] = r["value"]
+
+        want: dict = {}
+        for d, text in docs.items():
+            for w in text.split():
+                h = hashlib.md5(w.encode()).hexdigest()
+                k = (d, int(h[:8], 16) % 8)
+                want[k] = want.get(k, 0) + (1 if int(h[8], 16) % 2 == 0
+                                            else -1)
+        want = {k: v for k, v in want.items() if v != 0}
+        assert out == want
+        assert not any(d == "c" for d, _ in out)  # empty doc -> no rows
