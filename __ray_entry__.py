@@ -1259,6 +1259,22 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_doc_text_knn(sf_dir: str):
+    """Model-free text similarity search, hash-exact end to end:
+    hashed_doc_vectors → sparse_topk_inner_products (integer dots, id
+    tie-break) — top-3 most-similar docs for doc_id < 5, replayed
+    exactly in SQL over the same md5-derived vectors."""
+    from obsidian_parser_ray.stages.similarity import (
+        sparse_topk_inner_products,
+    )
+    from obsidian_parser_ray.stages.text import hashed_doc_vectors
+
+    vecs = hashed_doc_vectors(
+        _read(sf_dir, "documents", ["doc_id", "text"]), dim=64
+    )
+    return sparse_topk_inner_products(vecs, [0, 1, 2, 3, 4], k=3)
+
+
 def _q_doc_hash_vectors(sf_dir: str):
     """Feature-hashing document vectors (stages/text.py
     hashed_doc_vectors — the hashing-trick embedding for text-only
@@ -2039,6 +2055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture": _q_doc_mixture,
         "doc_collocations": _q_doc_collocations,
         "doc_hash_vectors": _q_doc_hash_vectors,
+        "doc_text_knn": _q_doc_text_knn,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
         "events_gap_median": _q_events_gap_median,
@@ -3036,6 +3053,43 @@ FROM x
             " + (SELECT count(DISTINCT l_orderkey) FROM lineitem)"
             " AS n_walks, TRUE AS valid_ok"
         ),
+        # top-3 by exact integer inner product over the md5-derived
+        # sparse vectors; ties by neighbor id; self excluded; only
+        # docs sharing >=1 nonzero dim appear (inner-join semantics)
+        "doc_text_knn": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(ws) AS w FROM w),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS dim_idx,
+         CASE WHEN ('0x' || substr(md5(w), 9, 1))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+),
+v AS (
+  SELECT doc_id, dim_idx, sum(sgn)::BIGINT AS value
+  FROM b GROUP BY 1, 2 HAVING sum(sgn) <> 0
+),
+q AS (SELECT * FROM v WHERE doc_id < 5),
+dots AS (
+  SELECT q.doc_id AS query_id, v.doc_id AS neighbor_id,
+         sum(q.value * v.value)::BIGINT AS dot
+  FROM q JOIN v ON q.dim_idx = v.dim_idx AND v.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, neighbor_id) AS rk
+  FROM dots
+)
+SELECT query_id, neighbor_id, dot, rk::BIGINT AS rank
+FROM r WHERE rk <= 3
+""",
         # signed feature hashing: bucket = md5[:8] % 64, sign = 9th
         # hex digit parity, tf-weighted; fully-cancelled dims dropped
         "doc_hash_vectors": r"""

@@ -589,3 +589,81 @@ def pq_knn(ds, query_ids_and_vecs, *, k: int = 5, m: int = 8,
         .groupby("query_id")
         .map_groups(_merge_topk(k), batch_format="pandas")
     )
+
+
+def sparse_topk_inner_products(vecs, query_ids, *, k: int = 3,
+                               id_col: str = "doc_id",
+                               dim_col: str = "dim_idx",
+                               val_col: str = "value",
+                               num_partitions: int = 64):
+    """Exact top-k INNER PRODUCTS of long-form sparse vectors against a
+    small query set — with :func:`..text.hashed_doc_vectors` this is
+    text-similarity search with NO model and NO floats (integer dots →
+    hash-exact oracles; ties broken by neighbor id).
+
+    Dataflow: the query entries broadcast once (tiny: |queries| × nnz);
+    each corpus block joins its rows against them on the dimension
+    (one vectorized pandas merge), pre-sums per (query, doc) inside
+    the block, then a bounded groupby-sum + the shared grouped-top-k
+    finalize.  Only docs sharing ≥1 nonzero dimension with a query
+    appear (inner-join semantics — a zero dot cannot enter a
+    positive-overlap top-k anyway).  Self-matches are excluded.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    from ..hashing import hash_bucket_array  # noqa: F401 (grouped_topk)
+    from .ranking import grouped_topk
+
+    qset = list(query_ids)
+    q_arr = pa.array(qset)
+
+    def only_queries(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=q_arr))
+
+    q_rows = vecs.map_batches(
+        only_queries, batch_format="pyarrow"
+    ).take_all()
+    qdf = pd.DataFrame(
+        {
+            "query_id": [r[id_col] for r in q_rows],
+            dim_col: [r[dim_col] for r in q_rows],
+            "_qv": [r[val_col] for r in q_rows],
+        }
+    )
+    q_ref = ray.put(qdf)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        df = pd.DataFrame(
+            {
+                "neighbor_id": t[id_col].to_pylist(),
+                dim_col: t[dim_col].to_pylist(),
+                "_v": t[val_col].to_pylist(),
+            }
+        )
+        m = df.merge(q, on=dim_col, how="inner")
+        m = m[m["neighbor_id"] != m["query_id"]]
+        if not len(m):
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "_d": pa.array([], pa.int64())}
+            )
+        m["_d"] = m["_v"] * m["_qv"]
+        g = m.groupby(["query_id", "neighbor_id"], as_index=False,
+                      sort=False)["_d"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dots = (
+        vecs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["query_id", "neighbor_id"])
+        .aggregate(Sum("_d", alias_name="dot"))
+    )
+    return grouped_topk(
+        dots, ["query_id"], "dot", k, descending=True,
+        tiebreak=["neighbor_id"], rank_col="rank",
+        num_partitions=num_partitions,
+    )
