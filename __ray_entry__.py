@@ -1127,6 +1127,24 @@ def _q_events_heavy_users(sf_dir: str):
     return top
 
 
+def _q_events_bursts(sf_dir: str):
+    """Burst detection: each user's MAX event count over any sliding
+    1-hour window (15-min hops) — hopping_counts composed with a
+    grouped max, exact integers end to end."""
+    from ray.data.aggregate import Max
+
+    from obsidian_parser_ray.stages.events import hopping_counts
+
+    return (
+        hopping_counts(
+            _read(sf_dir, "events", ["user_id", "ts"]),
+            window_seconds=3600, hop_seconds=900,
+        )
+        .groupby("user_id")
+        .aggregate(Max("n_events", alias_name="peak_events"))
+    )
+
+
 def _q_events_hopping(sf_dir: str):
     """Hopping (sliding) windows: 1 h window, 15 min hop — each event
     counted into 4 overlapping windows."""
@@ -2033,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchases_in_session": _q_events_purchases_in_session,
         "events_interval_overlap": _q_events_interval_overlap,
         "events_hopping": _q_events_hopping,
+        "events_bursts": _q_events_bursts,
         "doc_prep_pipeline": _q_doc_prep_pipeline,
         "doc_prep_boiler": _q_doc_prep_boiler,
         "emb_label_by_lang": _q_emb_label_by_lang,
@@ -2881,6 +2900,20 @@ w AS (
 )
 SELECT user_id, ws::BIGINT AS window_start_s, count(*)::BIGINT AS n_events
 FROM w WHERE ws <= s AND s < ws + 3600 GROUP BY 1, 2
+""",
+        # per-user peak over the same hopping windows
+        "events_bursts": """
+WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS s FROM events),
+w AS (
+  SELECT user_id, (s//900 - i.range) * 900 AS ws, s
+  FROM e CROSS JOIN range(4) i
+),
+h AS (
+  SELECT user_id, ws, count(*)::BIGINT AS n_events
+  FROM w WHERE ws <= s AND s < ws + 3600 GROUP BY 1, 2
+)
+SELECT user_id, max(n_events)::BIGINT AS peak_events
+FROM h GROUP BY 1
 """,
         # DuckDB's native ASOF JOIN is the oracle for the co-partitioned
         # merge_asof operator (stages/events.py asof_join)
