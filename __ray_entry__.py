@@ -1667,6 +1667,51 @@ def _q_events_gap_median(sf_dir: str):
     return out.map_batches(as_arrow, batch_format="pyarrow")
 
 
+def _q_customer_rfm(sf_dir: str):
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic behavioral rollup: per customer the last-order epoch
+    day, order count, and total spend in exact integer cents
+    (floor(price × 100) per order, summed associatively — same
+    money-integerization discipline as the sales pipelines)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        day = pc.divide(
+            pc.cast(t["o_orderdate"], pa.int64()), 86_400_000_000
+        )
+        price = t["o_totalprice"]
+        if isinstance(price, pa.ChunkedArray):
+            price = price.combine_chunks()
+        cents = np.floor(
+            price.to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "day": day,
+                "cents": pa.array(cents),
+            }
+        )
+
+    return (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("day", alias_name="last_order_day"),
+            Count(alias_name="n_orders"),
+            Sum("cents", alias_name="total_cents"),
+        )
+    )
+
+
 def _q_customer_full_join(sf_dir: str):
     """FULL OUTER equi-join (stages/joins.py hash_join_unique
     how='full', USING-style coalesced key): a filtered customer subset
@@ -2077,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_knn": _q_doc_text_knn,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
+        "customer_rfm": _q_customer_rfm,
         "events_gap_median": _q_events_gap_median,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_redact": _q_doc_redact,
@@ -3039,6 +3085,15 @@ SELECT user_id, count(gap)::BIGINT AS n_gaps,
        median(gap)::DOUBLE AS median_gap
 FROM d WHERE gap IS NOT NULL
 GROUP BY 1
+""",
+        # RFM rollup, exact integers (epoch days + floor-cents)
+        "customer_rfm": """
+SELECT o_custkey,
+       max(epoch_us(o_orderdate) // 86400000000)::BIGINT
+         AS last_order_day,
+       count(*)::BIGINT AS n_orders,
+       sum(floor(o_totalprice * 100))::BIGINT AS total_cents
+FROM orders GROUP BY 1
 """,
         # FULL OUTER JOIN USING semantics: coalesced key, right-only
         # rows kept (orders whose customer the %3 filter removed)
