@@ -2045,6 +2045,42 @@ def _q_supplier_topk(sf_dir: str):
     )
 
 
+def _q_part_supplier_cnt(sf_dir: str):
+    """Q16-shape: COUNT(DISTINCT supplier) per part attribute group
+    with brand/type/size filters and a bad-supplier exclusion."""
+    from obsidian_parser_ray.pipelines.analytics import part_supplier_counts
+
+    return part_supplier_counts(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]),
+    )
+
+
+def _q_orders_big(sf_dir: str):
+    """Q18-shape: HAVING sum(qty) > N on the big groupby, then
+    order/customer joins and top-k by price."""
+    from obsidian_parser_ray.pipelines.analytics import big_orders
+
+    return big_orders(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+    )
+
+
+def _q_customer_idle(sf_dir: str):
+    """Q22-shape: above-average balance AND no orders, per nation —
+    exact integer threshold, anti join."""
+    from obsidian_parser_ray.pipelines.analytics import idle_customers
+
+    return idle_customers(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2133,6 +2169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_region_revenue": _q_sales_region_revenue,
         "customer_order_dist": _q_customer_order_dist,
         "supplier_topk": _q_supplier_topk,
+        "part_supplier_cnt": _q_part_supplier_cnt,
+        "orders_big": _q_orders_big,
+        "customer_idle": _q_customer_idle,
     }
 
 
@@ -3489,5 +3528,47 @@ SELECT l_suppkey AS s_suppkey, s_name, revenue_micro
 FROM r JOIN supplier ON s_suppkey = l_suppkey
 ORDER BY revenue_micro DESC, s_suppkey
 LIMIT 10
+""",
+        "part_supplier_cnt": r"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+        "orders_big": r"""
+WITH q AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey,
+       epoch(o_orderdate)::BIGINT AS o_orderdate_s,
+       CAST(floor(o_totalprice * 1000000) AS BIGINT) AS totalprice_micro,
+       sum_qty
+FROM q
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice_micro DESC, o_orderkey
+LIMIT 100
+""",
+        "customer_idle": r"""
+WITH s AS (
+  SELECT CAST(sum(CAST(floor(c_acctbal * 1000000) AS BIGINT)) AS BIGINT)
+           AS total_micro,
+         count(*)::BIGINT AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+  CAST(sum(CAST(floor(c_acctbal * 1000000) AS BIGINT)) AS BIGINT)
+    AS totacctbal_micro
+FROM customer, s
+WHERE CAST(floor(c_acctbal * 1000000) AS BIGINT) * n_pos > total_micro
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+GROUP BY c_nationkey
 """,
     }

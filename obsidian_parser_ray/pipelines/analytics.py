@@ -515,3 +515,280 @@ def top_suppliers(lineitem, supplier, *,
         joined.map_batches(rename, batch_format="pyarrow"),
         "revenue_micro", k, tiebreak=["s_suppkey"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Q16-shape: distinct suppliers per part attribute group
+# ---------------------------------------------------------------------------
+
+
+def part_supplier_counts(lineitem, part, supplier, *,
+                         exclude_brand: str = "Brand#5",
+                         exclude_type_prefix: str = "ECONOMY",
+                         sizes: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)):
+    """Q16 shape (``reference has no relational layer; TPC-H Q16
+    semantics over the driver tables``): how many DISTINCT suppliers
+    ship each (brand, type, size) part group, excluding one brand, one
+    type prefix, and suppliers in bad standing (negative balance — the
+    stand-in for Q16's complaints subquery).
+
+    Scale shape: COUNT(DISTINCT) is a pre-dedup, not a fused
+    aggregate — lineitem is locally deduped to (partkey, suppkey)
+    pairs inside each block (a huge reducer: ~60 rows/pair in TPC-H),
+    then one multi-key hash groupby makes the pairs globally unique,
+    an anti join drops bad suppliers (bounded negative-balance dim),
+    a partkey hash join attaches part attributes, and the final
+    (brand, type, size) count is a per-block partial merged with one
+    tiny task (25×6×50 bounded groups).  No all-to-all beyond the two
+    key shuffles; nothing driver-side.
+
+    Output: (p_brand, p_type, p_size, supplier_cnt).
+    """
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import hash_join_unique
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"]}
+        ).group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return g
+
+    pairs = (
+        lineitem.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def bad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s_suppkey": t.filter(pc.less(t["s_acctbal"], 0.0))["s_suppkey"]}
+        )
+
+    bad_suppliers = supplier.map_batches(bad, batch_format="pyarrow")
+    pairs = hash_join_unique(
+        pairs, bad_suppliers, left_key="l_suppkey", right_key="s_suppkey",
+        how="anti",
+    )
+
+    def part_attrs(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.not_equal(t["p_brand"], exclude_brand),
+                pc.invert(pc.starts_with(t["p_type"], exclude_type_prefix)),
+            ),
+            pc.is_in(t["p_size"], pa.array(sizes, t["p_size"].type)),
+        )
+        return t.filter(keep).select(["p_partkey", "p_brand", "p_type", "p_size"])
+
+    attrs = part.map_batches(part_attrs, batch_format="pyarrow")
+    joined = hash_join_unique(
+        pairs, attrs, left_key="l_partkey", right_key="p_partkey", how="inner",
+    )
+
+    # DISTINCT is per (brand, type, size) GROUP, not per part: a
+    # supplier shipping two parts that share the attribute triple
+    # counts once — dedupe locally (reducer), then one hash groupby
+    # over the 4-tuple makes it global (cardinality ≤ groups ×
+    # suppliers, far below the pair table).
+    def local_groups(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        ).group_by(["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate([])
+
+    group_suppliers = (
+        joined.map_batches(local_groups, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            "p_brand": t["p_brand"], "p_type": t["p_type"],
+            "p_size": t["p_size"],
+            "supplier_cnt": pa.array([1] * t.num_rows, pa.int64()),
+        })
+        g = flat.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [("supplier_cnt", "sum")]
+        )
+        return _rename_sums(g, {"supplier_cnt_sum": "supplier_cnt"})
+
+    return _merge_bounded(
+        group_suppliers.map_batches(partial, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size"], ["supplier_cnt"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-shape: large-volume orders (HAVING on a big groupby, then joins)
+# ---------------------------------------------------------------------------
+
+
+def big_orders(lineitem, orders, customer, *,
+               min_qty: float = 300.0, k: int = 100):
+    """Q18 shape: orders whose total lineitem quantity exceeds
+    ``min_qty``, with customer names, top-``k`` by total price.
+
+    Scale shape: the HAVING filter runs on the big side FIRST —
+    per-block partial sums of quantity per orderkey, one hash groupby,
+    then the > min_qty filter collapses the set to a tiny survivor
+    table (TPC-H: ~1 row per 15k orders).  Joins against orders and
+    customer are keyed hash joins driven by that tiny left side; the
+    final ranking is a partial top-k.  Quantities are integer-valued
+    doubles (TPC-H qty ∈ [1, 50]) so the distributed sum is
+    order-independent and exact.
+
+    Output: (c_name, c_custkey, o_orderkey, o_orderdate_s,
+    totalprice_micro, sum_qty).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join_unique
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table(
+            {"o_orderkey": t["l_orderkey"], "sum_qty": t["l_quantity"]}
+        )
+        g = flat.group_by("o_orderkey").aggregate([("sum_qty", "sum")])
+        return _rename_sums(g, {"sum_qty_sum": "sum_qty"})
+
+    qty = lineitem.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderkey"
+    ).aggregate(Sum("sum_qty", alias_name="sum_qty"))
+
+    def having(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["sum_qty"], min_qty))
+        return t.set_column(
+            t.schema.get_field_index("sum_qty"), "sum_qty",
+            pc.cast(t["sum_qty"], pa.int64()),
+        )
+
+    survivors = qty.map_batches(having, batch_format="pyarrow")
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+            "o_orderdate_s": _epoch_s(t["o_orderdate"]),
+            "totalprice_micro": _micro(t["o_totalprice"]),
+        })
+
+    joined = hash_join_unique(
+        survivors, orders.map_batches(order_cols, batch_format="pyarrow"),
+        left_key="o_orderkey", how="inner",
+    )
+    joined = hash_join_unique(
+        joined, customer.select_columns(["c_custkey", "c_name"]),
+        left_key="o_custkey", right_key="c_custkey", how="inner",
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["c_custkey" if c == "o_custkey" else c for c in t.column_names]
+        )
+
+    return global_topk(
+        joined.map_batches(rename, batch_format="pyarrow"),
+        "totalprice_micro", k, tiebreak=["o_orderkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-shape: idle high-balance customers (global scalar + anti join)
+# ---------------------------------------------------------------------------
+
+
+def idle_customers(customer, orders, *,
+                   since: _dt.datetime = _dt.datetime(1997, 6, 1)):
+    """Q22 shape: customers whose balance exceeds the positive-balance
+    average and who placed no order on/after ``since``, counted per
+    nation (the driver corpus has no order-less customers, so the
+    anti join runs against the recent-order subset — same shape,
+    non-vacuous result).
+
+    The global average is never computed as a double (a distributed
+    double sum is order-dependent): the threshold test
+    ``c_acctbal > avg`` is evaluated as the exact integer cross
+    multiplication ``bal_micro * n_pos > total_micro`` over
+    ``floor(c_acctbal·1e6)`` partial sums — both sides replicate it
+    bit-for-bit.  (Overflow bound: |bal_micro| ≤ 1e10 and n_pos ≤ 9e8
+    before i64 overflow — fine past 100 TB of customers.)
+
+    Scale shape: one tiny 2-number aggregate broadcast into the
+    filter, one anti join against the orders custkey projection
+    (presence check — right side needs no dedup), bounded per-nation
+    partials merged in a single task.
+
+    Output: (c_nationkey, numcust, totacctbal_micro).
+    """
+    from ..stages.joins import hash_join_unique
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        micro = _micro(pos["c_acctbal"])
+        return pa.table({
+            "total_micro": pa.array(
+                [pc.sum(micro).as_py() or 0], pa.int64()),
+            "n_pos": pa.array([len(pos)], pa.int64()),
+        })
+
+    stats = (
+        customer.map_batches(bal_partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(
+            lambda t: pa.table({
+                "total_micro": pa.array(
+                    [pc.sum(t["total_micro"]).as_py() or 0], pa.int64()),
+                "n_pos": pa.array(
+                    [pc.sum(t["n_pos"]).as_py() or 0], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .take(1)[0]
+    )
+    total_micro, n_pos = stats["total_micro"], stats["n_pos"]
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal_micro = _micro(t["c_acctbal"])
+        keep = pc.greater(
+            pc.multiply(bal_micro, pa.scalar(n_pos, pa.int64())),
+            pa.scalar(total_micro, pa.int64()),
+        )
+        t = t.filter(keep)
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": t["c_nationkey"],
+            "bal_micro": _micro(t["c_acctbal"]),
+        })
+
+    rich_customers = customer.map_batches(rich, batch_format="pyarrow")
+    lo = _ts(since)
+
+    def recent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], lo))
+        return t.select(["o_custkey"])
+
+    idle = hash_join_unique(
+        rich_customers, orders.map_batches(recent, batch_format="pyarrow"),
+        left_key="c_custkey", right_key="o_custkey", how="anti",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "numcust": pa.array([1] * t.num_rows, pa.int64()),
+            "totacctbal_micro": t["bal_micro"],
+        })
+        g = flat.group_by("c_nationkey").aggregate(
+            [("numcust", "sum"), ("totacctbal_micro", "sum")]
+        )
+        return _rename_sums(g, {
+            "numcust_sum": "numcust",
+            "totacctbal_micro_sum": "totacctbal_micro",
+        })
+
+    return _merge_bounded(
+        idle.map_batches(partial, batch_format="pyarrow"),
+        ["c_nationkey"], ["numcust", "totacctbal_micro"],
+    )

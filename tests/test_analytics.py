@@ -257,3 +257,135 @@ def test_global_topk_ties(ray_session):
     ).to_pandas()
     assert got["id"].tolist() == [1, 2, 3]
     assert got["score"].tolist() == [9, 9, 9]
+
+
+# ---------------------------------------------------------------------------
+# Q16 / Q18 / Q22 shapes
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tables2():
+    """Extension tables for the Q16/Q18/Q22 shapes: parts with
+    colliding attribute triples, supplier balances straddling zero,
+    customers with only-old / recent / no orders."""
+    rng = np.random.RandomState(11)
+    n_li, n_part, n_supp, n_ord, n_cust = 800, 60, 10, 120, 30
+    li = pa.table({
+        "l_orderkey": pa.array(rng.randint(0, n_ord, n_li), pa.int64()),
+        "l_partkey": pa.array(rng.randint(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.randint(0, n_supp, n_li), pa.int64()),
+        "l_quantity": pa.array(rng.randint(1, 50, n_li).astype(float)),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        # few distinct triples → many parts share one (the Q16 trap)
+        "p_brand": pa.array(rng.choice(["Brand#1", "Brand#2", "Brand#5"], n_part)),
+        "p_type": pa.array(rng.choice(["ECONOMY X", "PROMO Y"], n_part)),
+        "p_size": pa.array(rng.randint(1, 13, n_part).astype(np.int32)),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_acctbal": pa.array(
+            np.where(np.arange(n_supp) % 4 == 0, -10.5, 100.25)),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.randint(0, n_cust - 5, n_ord), pa.int64()),
+        "o_orderdate": _ts_array(list(rng.randint(0, 700, n_ord))),
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 300_000, n_ord), 2)),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": pa.array([f"cust_{i}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.randint(0, 4, n_cust).astype(np.int32)),
+        # mix of negative / low / high balances around the average
+        "c_acctbal": pa.array(np.round(rng.uniform(-500, 9000, n_cust), 2)),
+    })
+    return {"lineitem": li, "part": part, "supplier": supplier,
+            "orders": orders, "customer": customer}
+
+
+@pytest.fixture(scope="module")
+def con2(tables2):
+    c = duckdb.connect()
+    for name, t in tables2.items():
+        c.register(name, t)
+    return c
+
+
+def test_part_supplier_counts(ray_session, tables2, con2):
+    from obsidian_parser_ray.pipelines.analytics import part_supplier_counts
+
+    ds = part_supplier_counts(
+        rd.from_arrow(tables2["lineitem"]).repartition(5),
+        rd.from_arrow(tables2["part"]),
+        rd.from_arrow(tables2["supplier"]),
+        sizes=tuple(range(1, 11)),
+    )
+    _cmp(ds, con2, """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size BETWEEN 1 AND 10
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""")
+
+
+def test_big_orders_threshold_boundary(ray_session, tables2, con2):
+    from obsidian_parser_ray.pipelines.analytics import big_orders
+
+    # pick a threshold that lands ON an achieved sum → boundary must
+    # be strictly-greater on both sides
+    import duckdb as _d
+    edge = con2.execute(
+        "SELECT sum(l_quantity) FROM lineitem GROUP BY l_orderkey "
+        "ORDER BY 1 DESC LIMIT 1 OFFSET 5").fetchone()[0]
+    ds = big_orders(
+        rd.from_arrow(tables2["lineitem"]).repartition(4),
+        rd.from_arrow(tables2["orders"]),
+        rd.from_arrow(tables2["customer"]),
+        min_qty=float(edge), k=50,
+    )
+    _cmp(ds, con2, f"""
+WITH q AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {edge}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       epoch(o_orderdate)::BIGINT AS o_orderdate_s,
+       CAST(floor(o_totalprice * 1000000) AS BIGINT) AS totalprice_micro,
+       sum_qty
+FROM q JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice_micro DESC, o_orderkey LIMIT 50
+""")
+
+
+def test_idle_customers(ray_session, tables2, con2):
+    from obsidian_parser_ray.pipelines.analytics import idle_customers
+
+    since = dt.datetime(1997, 1, 1)
+    ds = idle_customers(
+        rd.from_arrow(tables2["customer"]).repartition(3),
+        rd.from_arrow(tables2["orders"]),
+        since=since,
+    )
+    _cmp(ds, con2, """
+WITH s AS (
+  SELECT CAST(sum(CAST(floor(c_acctbal * 1000000) AS BIGINT)) AS BIGINT)
+           AS total_micro,
+         count(*)::BIGINT AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+  CAST(sum(CAST(floor(c_acctbal * 1000000) AS BIGINT)) AS BIGINT)
+    AS totacctbal_micro
+FROM customer, s
+WHERE CAST(floor(c_acctbal * 1000000) AS BIGINT) * n_pos > total_micro
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+GROUP BY c_nationkey
+""")
