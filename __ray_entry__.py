@@ -2081,6 +2081,186 @@ def _q_customer_idle(sf_dir: str):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(sf_dir: str):
+    """Wide per-user behavioral features: one count column per event
+    type (vectorized block-local pivot, single key groupby)."""
+    from obsidian_parser_ray.stages.events import pivot_counts
+
+    return pivot_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        types=_EVENT_TYPES,
+    )
+
+
+def _q_events_transitions(sf_dir: str):
+    """Markov transition matrix of per-user event sequences
+    (lead() twin; one key shuffle + vectorized shift sweep)."""
+    from obsidian_parser_ray.stages.events import transition_counts
+
+    return transition_counts(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"]),
+    )
+
+
+def _q_sales_rollup(sf_dir: str):
+    """ROLLUP (region, nation) supplier-side revenue with derived
+    super-aggregates — no second pass, 'ALL' level markers."""
+    from obsidian_parser_ray.pipelines.analytics import revenue_rollup
+
+    return revenue_rollup(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region"),
+    )
+
+
+def _q_doc_bm25(sf_dir: str):
+    """BM25 top-k retrieval with a rational idf (exactly reproducible
+    doubles — no transcendental functions anywhere in the score)."""
+    from obsidian_parser_ray.stages.text import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ["hash", "join", "vector"], k=25,
+    )
+
+
+def _q_doc_winsorize(sf_dir: str):
+    """Exact discrete-quantile winsorization of doc lengths (value-
+    histogram reduction — O(distinct) exchange, no sort)."""
+    from obsidian_parser_ray.stages.sketch import winsorize
+
+    return winsorize(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        column="n_chars",
+    )
+
+
+def _q_customer_fuzzy(sf_dir: str):
+    """Edit-distance-1 name pairs via deletion-neighborhood blocking
+    (exact recall, no all-pairs comparison)."""
+    from obsidian_parser_ray.stages.dedup import edit1_pairs
+
+    return edit1_pairs(_read(sf_dir, "customer", ["c_name"]),
+                       column="c_name")
+
+
+def _q_events_json_stats(sf_dir: str):
+    """Semi-structured extraction: integer field from the JSON props
+    column, per-type stats via RE2 kernel + bounded partials."""
+    from obsidian_parser_ray.stages.events import json_int_field_stats
+
+    return json_int_field_stats(
+        _read(sf_dir, "events", ["event_type", "props"]))
+
+
+def _q_doc_zscore(sf_dir: str):
+    """Per-language z-scores of doc length: exact int64 moments →
+    deterministic doubles (sqrt is IEEE correctly-rounded)."""
+    from obsidian_parser_ray.stages.diagnostics import group_zscores
+
+    return group_zscores(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        value_col="n_chars", group_col="lang",
+    )
+
+
+def _q_customer_diff(sf_dir: str):
+    """Keyed snapshot diff (added/removed/changed) over two
+    deterministically derived customer snapshots."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from obsidian_parser_ray.stages.diagnostics import table_diff
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def _mod(col, m: int):
+        # non-negative int64 modulo (pyarrow has no mod kernel):
+        # k - (k // m) * m
+        return _pc.subtract(
+            col, _pc.multiply(_pc.divide(col, m), pa.scalar(m, pa.int64())))
+
+    def old_snap(t):
+        return t.filter(
+            _pc.not_equal(_mod(t["c_custkey"], 7), pa.scalar(0, pa.int64())))
+
+    def new_snap(t):
+        t = t.filter(
+            _pc.not_equal(_mod(t["c_custkey"], 11),
+                          pa.scalar(0, pa.int64())))
+        bump = _pc.equal(_mod(t["c_custkey"], 5), pa.scalar(0, pa.int64()))
+        bal = _pc.if_else(bump, _pc.add(t["c_acctbal"], 1.0),
+                          t["c_acctbal"])
+        return t.set_column(
+            t.schema.get_field_index("c_acctbal"), "c_acctbal", bal)
+
+    old = cust.map_batches(old_snap, batch_format="pyarrow")
+    new = cust.map_batches(new_snap, batch_format="pyarrow")
+    return table_diff(old, new, key_col="c_custkey",
+                      compare_cols=["c_acctbal", "c_mktsegment"])
+
+
+def _q_nations_volume(sf_dir: str):
+    """Q7 shape: fact with BOTH a supplier-side and a customer-side dim
+    chain; two-nation filter applied as early as the chain allows."""
+    from obsidian_parser_ray.pipelines.analytics import nations_volume
+
+    return nations_volume(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate",
+               "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"),
+    )
+
+
+def _q_customer_returns(sf_dir: str):
+    """Q10 shape: returned-item revenue per customer, global top-20,
+    attribute backfill on the winner set only."""
+    from obsidian_parser_ray.pipelines.analytics import returned_revenue_topk
+
+    return returned_revenue_topk(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice",
+               "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]),
+    )
+
+
+def _q_sales_promo(sf_dir: str):
+    """Q14 shape: per-month promo vs total revenue; the fact is reduced
+    to (partkey, month) partials before it meets part."""
+    from obsidian_parser_ray.pipelines.analytics import promo_share
+
+    return promo_share(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
+    )
+
+
+def _q_part_small_qty(sf_dir: str):
+    """Q17 shape: correlated per-part average-quantity threshold
+    resolved with exact integer cross-multiplication."""
+    from obsidian_parser_ray.pipelines.analytics import small_qty_revenue
+
+    return small_qty_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]),
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2172,6 +2352,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_cnt": _q_part_supplier_cnt,
         "orders_big": _q_orders_big,
         "customer_idle": _q_customer_idle,
+        "events_pivot": _q_events_pivot,
+        "events_transitions": _q_events_transitions,
+        "sales_rollup": _q_sales_rollup,
+        "doc_bm25": _q_doc_bm25,
+        "doc_winsorize": _q_doc_winsorize,
+        "customer_fuzzy": _q_customer_fuzzy,
+        "events_json_stats": _q_events_json_stats,
+        "doc_zscore": _q_doc_zscore,
+        "customer_diff": _q_customer_diff,
+        "nations_volume": _q_nations_volume,
+        "customer_returns": _q_customer_returns,
+        "sales_promo": _q_sales_promo,
+        "part_small_qty": _q_part_small_qty,
     }
 
 
@@ -3570,5 +3763,232 @@ WHERE CAST(floor(c_acctbal * 1000000) AS BIGINT) * n_pos > total_micro
   AND c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderdate >= TIMESTAMP '1997-06-01')
 GROUP BY c_nationkey
+""",
+        "events_pivot": r"""
+SELECT user_id,
+  count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+  count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+  count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+  count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+  count(*) FILTER (event_type = 'view')::BIGINT     AS n_view,
+  count(*)::BIGINT AS n_total
+FROM events GROUP BY user_id
+""",
+        "events_transitions": r"""
+WITH w AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, count(*)::BIGINT AS n
+FROM w WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+        "sales_rollup": r"""
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       CAST(sum(rev_micro) AS BIGINT) AS revenue_micro
+FROM (
+  SELECT s_nationkey,
+    CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+      AS rev_micro
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+) li
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+        # BM25 with rational idf: every arithmetic step below is
+        # spelled with the SAME operand order and associativity as the
+        # engine (IEEE doubles are deterministic under fixed
+        # expression shape; only ln/exp would be libm-dependent).
+        "doc_bm25": r"""
+WITH toks AS (
+  SELECT doc_id, lower(t.term) AS term FROM documents,
+    unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t(term)
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS dl,
+    count(*) FILTER (term = 'hash')::BIGINT   AS tf_hash,
+    count(*) FILTER (term = 'join')::BIGINT   AS tf_join,
+    count(*) FILTER (term = 'vector')::BIGINT AS tf_vector
+  FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS total_dl,
+    count(*) FILTER (tf_hash > 0)::BIGINT   AS df_hash,
+    count(*) FILTER (tf_join > 0)::BIGINT   AS df_join,
+    count(*) FILTER (tf_vector > 0)::BIGINT AS df_vector
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id, dl, tf_hash, tf_join, tf_vector,
+    (((n::DOUBLE - df_hash::DOUBLE) + 0.5) / (df_hash::DOUBLE + 0.5))
+      * ((tf_hash::DOUBLE * (1.2 + 1))
+         / (tf_hash::DOUBLE
+            + (1.2 * ((1 - 0.75)
+                      + (0.75 * (dl::DOUBLE
+                                 / (total_dl::DOUBLE / n::DOUBLE)))))))
+    + (((n::DOUBLE - df_join::DOUBLE) + 0.5) / (df_join::DOUBLE + 0.5))
+      * ((tf_join::DOUBLE * (1.2 + 1))
+         / (tf_join::DOUBLE
+            + (1.2 * ((1 - 0.75)
+                      + (0.75 * (dl::DOUBLE
+                                 / (total_dl::DOUBLE / n::DOUBLE)))))))
+    + (((n::DOUBLE - df_vector::DOUBLE) + 0.5) / (df_vector::DOUBLE + 0.5))
+      * ((tf_vector::DOUBLE * (1.2 + 1))
+         / (tf_vector::DOUBLE
+            + (1.2 * ((1 - 0.75)
+                      + (0.75 * (dl::DOUBLE
+                                 / (total_dl::DOUBLE / n::DOUBLE)))))))
+      AS score
+  FROM per_doc, stats
+  WHERE tf_hash > 0 OR tf_join > 0 OR tf_vector > 0
+)
+SELECT doc_id, dl, tf_hash, tf_join, tf_vector, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 25
+""",
+        "doc_winsorize": r"""
+WITH q AS (
+  SELECT quantile_disc(n_chars, 0.05)::BIGINT AS lo,
+         quantile_disc(n_chars, 0.95)::BIGINT AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars,
+  CASE WHEN n_chars < lo THEN lo
+       WHEN n_chars > hi THEN hi
+       ELSE n_chars::BIGINT END AS n_chars_w
+FROM documents, q
+""",
+        "customer_fuzzy": r"""
+WITH names AS (SELECT DISTINCT c_name AS name FROM customer)
+SELECT a.name AS name_a, b.name AS name_b
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+""",
+        "events_json_stats": r"""
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type,
+  count(v)::BIGINT AS n,
+  CAST(sum(v) AS BIGINT) AS sum_v,
+  min(v)::BIGINT AS min_v,
+  max(v)::BIGINT AS max_v
+FROM x GROUP BY event_type
+""",
+        # exact-integer moments → the only doubles are the final
+        # divisions and ONE sqrt (IEEE correctly-rounded) — expression
+        # shape mirrors diagnostics.group_zscores exactly
+        "doc_zscore": r"""
+WITH m AS (
+  SELECT lang,
+         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+              AS BIGINT) AS s2,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, lang, n_chars,
+  ((n_chars::DOUBLE - (s1::DOUBLE / n::DOUBLE))
+   / sqrt((s2::DOUBLE / n::DOUBLE)
+          - ((s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)))) AS z
+FROM documents JOIN m USING (lang)
+""",
+        "customer_diff": r"""
+WITH old AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+  WHERE c_custkey % 7 <> 0
+),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 11 <> 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+  CASE WHEN o.c_custkey IS NULL THEN 'added'
+       WHEN n.c_custkey IS NULL THEN 'removed'
+       ELSE 'changed' END AS change
+FROM old o FULL JOIN new n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_acctbal <> n.c_acctbal OR o.c_mktsegment <> n.c_mktsegment
+""",
+        "nations_volume": r"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev) AS BIGINT) AS revenue_micro
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+           AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+    AND n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+        "customer_returns": r"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS revenue_micro
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-07-01'
+  GROUP BY o_custkey
+),
+top AS (
+  SELECT * FROM per_cust ORDER BY revenue_micro DESC, o_custkey LIMIT 20
+)
+SELECT c_custkey, c_name,
+       CAST(floor(c_acctbal * 1000000) AS BIGINT) AS c_acctbal_micro,
+       revenue_micro
+FROM top JOIN customer ON c_custkey = o_custkey
+""",
+        "sales_promo": r"""
+WITH li AS (
+  SELECT (EXTRACT(year FROM l_shipdate) * 100
+          + EXTRACT(month FROM l_shipdate))::BIGINT AS month,
+         l_partkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+           AS rev
+  FROM lineitem
+)
+SELECT month,
+  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+    AS promo_micro,
+  CAST(sum(rev) AS BIGINT) AS total_micro
+FROM li JOIN part ON p_partkey = l_partkey
+GROUP BY month
+""",
+        "part_small_qty": r"""
+WITH stats AS (
+  SELECT l_partkey AS pk, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         count(*)::BIGINT AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+  CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT)
+    AS revenue_micro,
+  count(*)::BIGINT AS n_small
+FROM lineitem
+JOIN stats ON pk = l_partkey
+JOIN part  ON p_partkey = l_partkey
+WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < 1 * sum_qty
+GROUP BY p_brand
 """,
     }

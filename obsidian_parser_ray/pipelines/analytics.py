@@ -792,3 +792,488 @@ def idle_customers(customer, orders, *,
         idle.map_batches(partial, batch_format="pyarrow"),
         ["c_nationkey"], ["numcust", "totacctbal_micro"],
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: hierarchical revenue totals (region → nation → grand total)
+# ---------------------------------------------------------------------------
+
+
+def revenue_rollup(lineitem, supplier, nation, region):
+    """``GROUP BY ROLLUP (r_name, n_name)`` over supplier-side revenue:
+    leaf (region, nation) totals plus per-region subtotals plus the
+    grand total, with rolled-up levels labelled ``'ALL'``.
+
+    Scale shape: revenue is reduced to per-suppkey integer-micro
+    partials inside each lineitem block, attached to nations via ONE
+    size-adaptive join against supplier (broadcast under the guard,
+    hash shuffle past it), folded to bounded (r_name, n_name) partials
+    map-side, and merged in a single tiny task.  The rollup levels are
+    DERIVED from the leaf aggregate in that same final task — super-
+    aggregates are exact integer sums of the leaves, so no second pass
+    over the data and no extra shuffle.
+
+    Output: (r_name, n_name, revenue_micro) with 'ALL' markers.
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        flat = pa.table({"l_suppkey": t["l_suppkey"], "revenue_micro": rev})
+        g = flat.group_by("l_suppkey").aggregate([("revenue_micro", "sum")])
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    partials = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    joined = broadcast_join_unique(
+        partials, supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        left_key="l_suppkey", right_key="s_suppkey", how="inner",
+    )
+
+    # nation → (n_name, r_name) is a bounded dim (25 × 5): fetch once,
+    # probe map-side
+    n_tab = pa.concat_tables(
+        [b for b in nation.iter_batches(batch_format="pyarrow")],
+        promote_options="default",
+    ) if hasattr(nation, "iter_batches") else nation
+    r_tab = pa.concat_tables(
+        [b for b in region.iter_batches(batch_format="pyarrow")],
+        promote_options="default",
+    ) if hasattr(region, "iter_batches") else region
+    r_names = dict(zip(
+        r_tab["r_regionkey"].to_pylist(), r_tab["r_name"].to_pylist()
+    ))
+    nk = n_tab["n_nationkey"].to_pylist()
+    n_map = {
+        k: (r_names[rk], nm)
+        for k, nm, rk in zip(
+            nk, n_tab["n_name"].to_pylist(), n_tab["n_regionkey"].to_pylist()
+        )
+    }
+
+    def to_names(t: pa.Table) -> pa.Table:
+        nk_keys = pa.array(nk, pa.int64())
+        r_arr = pa.array([n_map[u][0] for u in nk])
+        n_arr = pa.array([n_map[u][1] for u in nk])
+        idx = pc.index_in(
+            pc.cast(t["s_nationkey"], pa.int64()), value_set=nk_keys
+        )
+        flat = pa.table({
+            "r_name": pc.take(r_arr, idx),
+            "n_name": pc.take(n_arr, idx),
+            "revenue_micro": t["revenue_micro"],
+        })
+        g = flat.group_by(["r_name", "n_name"]).aggregate(
+            [("revenue_micro", "sum")]
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    def rollup(t: pa.Table) -> pa.Table:
+        leaf = t.group_by(["r_name", "n_name"]).aggregate(
+            [("revenue_micro", "sum")]
+        )
+        leaf = _rename_sums(leaf, {"revenue_micro_sum": "revenue_micro"})
+        per_region = leaf.group_by("r_name").aggregate(
+            [("revenue_micro", "sum")]
+        )
+        per_region = _rename_sums(
+            per_region, {"revenue_micro_sum": "revenue_micro"}
+        ).append_column(
+            "n_name", pa.array(["ALL"] * per_region.num_rows)
+        ).select(["r_name", "n_name", "revenue_micro"])
+        total = pa.table({
+            "r_name": pa.array(["ALL"]),
+            "n_name": pa.array(["ALL"]),
+            "revenue_micro": pa.array(
+                [pc.sum(leaf["revenue_micro"]).as_py() or 0], pa.int64()),
+        })
+        return pa.concat_tables(
+            [leaf.select(["r_name", "n_name", "revenue_micro"]),
+             per_region, total],
+            promote_options="default",
+        )
+
+    return (
+        joined.map_batches(to_names, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(rollup, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7-shape: shipping volume between nation pairs, per year
+# ---------------------------------------------------------------------------
+
+
+def nations_volume(lineitem, orders, customer, supplier, nation, *,
+                   nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+                   date_from: _dt.datetime = _dt.datetime(1995, 1, 1),
+                   date_to: _dt.datetime = _dt.datetime(1997, 1, 1),
+                   num_partitions: int = 64):
+    """Revenue shipped between two nations (either direction), broken
+    down by (supplier nation, customer nation, ship year) — the Q7
+    shape: a fact table that needs BOTH a supplier-side and a
+    customer-side dim chain before the aggregate.
+
+    Scale shape: the shipdate filter prunes at the first map; the
+    supplier chain resolves FIRST (supplier is the smallest scaling
+    dim) so the two-nation filter can drop ~23/25ths of the fact rows
+    BEFORE the expensive order/customer joins; orders and customer go
+    through the size-adaptive join.  The final key space is bounded
+    (2 directions × years), so partials merge in one tiny task.
+
+    Output: (supp_nation, cust_nation, l_year, revenue_micro).
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    nat = pa.concat_tables(
+        [b for b in nation.iter_batches(batch_format="pyarrow")]
+    )
+    keep = pc.is_in(
+        nat["n_name"], value_set=pa.array([nation_a, nation_b])
+    )
+    nat = nat.filter(keep)
+    nation_keys = pc.cast(nat["n_nationkey"], pa.int64()).combine_chunks()
+    nation_names = nat["n_name"].combine_chunks()
+
+    lo, hi = _ts(date_from), _ts(date_to)
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], lo),
+            pc.less(t["l_shipdate"], hi),
+        )
+        t = t.filter(m)
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "revenue_micro": rev,
+        })
+
+    li = lineitem.map_batches(li_rows, batch_format="pyarrow")
+    li = broadcast_join_unique(
+        li, supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        left_key="l_suppkey", right_key="s_suppkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def supp_filter(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            pc.cast(t["s_nationkey"], pa.int64()), value_set=nation_keys
+        )
+        t = t.append_column("supp_nation", pc.take(nation_names, idx))
+        t = t.filter(pc.is_valid(t["supp_nation"]))
+        return t.select(
+            ["l_orderkey", "l_year", "revenue_micro", "supp_nation"]
+        )
+
+    li = li.map_batches(supp_filter, batch_format="pyarrow")
+    li = broadcast_join_unique(
+        li, orders.select_columns(["o_orderkey", "o_custkey"]),
+        left_key="l_orderkey", right_key="o_orderkey", how="inner",
+        num_partitions=num_partitions,
+    )
+    li = broadcast_join_unique(
+        li, customer.select_columns(["c_custkey", "c_nationkey"]),
+        left_key="o_custkey", right_key="c_custkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            pc.cast(t["c_nationkey"], pa.int64()), value_set=nation_keys
+        )
+        t = t.append_column("cust_nation", pc.take(nation_names, idx))
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t["cust_nation"]),
+                # either direction, but not within one nation
+                pc.not_equal(t["supp_nation"], t["cust_nation"]),
+            )
+        )
+        g = (
+            t.select(["supp_nation", "cust_nation", "l_year",
+                      "revenue_micro"])
+            .group_by(["supp_nation", "cust_nation", "l_year"])
+            .aggregate([("revenue_micro", "sum")])
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    return _merge_bounded(
+        li.map_batches(finish, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"], ["revenue_micro"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10-shape: top customers by returned-item revenue
+# ---------------------------------------------------------------------------
+
+
+def returned_revenue_topk(lineitem, orders, customer, *, k: int = 20,
+                          date_from: _dt.datetime = _dt.datetime(1996, 1, 1),
+                          date_to: _dt.datetime = _dt.datetime(1996, 7, 1),
+                          num_partitions: int = 64):
+    """Top-k customers by revenue of RETURNED items on orders placed in
+    a window (the Q10 shape: filtered fact → order window join →
+    per-customer aggregate → global top-k → attribute backfill).
+
+    Scale shape: the returnflag filter + per-orderkey block partials
+    shrink the fact before it meets orders; the per-customer aggregate
+    rides one bounded shuffle; top-k is per-block partial top-k; the
+    customer attribute backfill joins the ≤k-row winner set against
+    customer via the size-adaptive join (broadcast of the TINY left
+    side is not assumed — the join is keyed on the scaling side's
+    unique key, correct at any scale).
+
+    Output: (c_custkey, c_name, c_acctbal_micro, revenue_micro).
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    lo, hi = _ts(date_from), _ts(date_to)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        flat = pa.table(
+            {"l_orderkey": t["l_orderkey"], "revenue_micro": rev}
+        )
+        g = flat.group_by("l_orderkey").aggregate([("revenue_micro", "sum")])
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
+        )
+
+    per_order = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    joined = broadcast_join_unique(
+        per_order, orders.map_batches(ord_rows, batch_format="pyarrow"),
+        left_key="l_orderkey", right_key="o_orderkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["o_custkey", "revenue_micro"])
+            .group_by("o_custkey")
+            .aggregate([("revenue_micro", "sum")])
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    from ray.data.aggregate import Sum
+
+    per_cust = (
+        joined.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_micro", alias_name="revenue_micro"))
+    )
+    top = global_topk(per_cust, "revenue_micro", k, tiebreak=["o_custkey"])
+    out = broadcast_join_unique(
+        top, customer.select_columns(["c_custkey", "c_name", "c_acctbal"]),
+        left_key="o_custkey", right_key="c_custkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "c_acctbal_micro": _micro(t["c_acctbal"]),
+            "revenue_micro": t["revenue_micro"],
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q14-shape: promo revenue share per month
+# ---------------------------------------------------------------------------
+
+
+def promo_share(lineitem, part, *, promo_type: str = "PROMO",
+                num_partitions: int = 64):
+    """Per ship-month: revenue from promo-type parts vs total revenue
+    (the Q14 shape: fact ⋈ part attribute → conditional aggregate).
+
+    Scale shape: the fact is pre-aggregated per (l_partkey, month)
+    inside each block BEFORE the part join — the join input is one row
+    per (part, month), not raw lineitems; part rides the size-adaptive
+    join; the month key space is bounded, so the final merge is one
+    tiny task.  Both sums stay exact int64 micros; the share is left
+    to the consumer (exactness over convenience).
+
+    Output: (month, promo_micro, total_micro) with month = yyyymm.
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        month = pc.add(
+            pc.multiply(pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                        pa.scalar(100, pa.int64())),
+            pc.cast(pc.month(t["l_shipdate"]), pa.int64()),
+        )
+        flat = pa.table({
+            "l_partkey": t["l_partkey"],
+            "month": month,
+            "revenue_micro": rev,
+        })
+        g = flat.group_by(["l_partkey", "month"]).aggregate(
+            [("revenue_micro", "sum")]
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    partials = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    joined = broadcast_join_unique(
+        partials, part.select_columns(["p_partkey", "p_type"]),
+        left_key="l_partkey", right_key="p_partkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        is_promo = pc.equal(t["p_type"], pa.scalar(promo_type))
+        promo = pc.if_else(
+            is_promo, t["revenue_micro"], pa.scalar(0, pa.int64())
+        )
+        flat = pa.table({
+            "month": t["month"],
+            "promo_micro": promo,
+            "total_micro": t["revenue_micro"],
+        })
+        g = flat.group_by("month").aggregate(
+            [("promo_micro", "sum"), ("total_micro", "sum")]
+        )
+        return _rename_sums(
+            g, {"promo_micro_sum": "promo_micro",
+                "total_micro_sum": "total_micro"}
+        )
+
+    return _merge_bounded(
+        joined.map_batches(month_partial, batch_format="pyarrow"),
+        ["month"], ["promo_micro", "total_micro"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17-shape: small-quantity revenue vs per-part average (correlated agg)
+# ---------------------------------------------------------------------------
+
+
+def small_qty_revenue(lineitem, part, *, frac_num: int = 1,
+                      frac_den: int = 5, num_partitions: int = 64):
+    """Per brand: revenue of lineitems whose quantity is below
+    ``frac_num/frac_den`` of the PART's average quantity (the Q17
+    shape — a correlated per-part aggregate feeding a row filter).
+
+    The threshold compare is EXACT integer cross-multiplication:
+    ``qty < (num/den)·(sum_qty/n)  ⇔  den·qty·n < num·sum_qty``
+    (quantities are integral), so no engine-dependent double division
+    appears anywhere.
+
+    Scale shape: pass 1 computes per-partkey (n, sum_qty) as block
+    partials + one shuffle groupby (output is |part|-sized, NOT
+    fact-sized); pass 2 re-reads the fact and resolves the filter via
+    the size-adaptive join against those stats, then the brand
+    aggregate is bounded.  The fact table is never materialized.
+
+    Output: (p_brand, revenue_micro, n_small).
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            "l_partkey": t["l_partkey"],
+            "sum_qty": pc.cast(t["l_quantity"], pa.int64()),
+            "n_li": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = flat.group_by("l_partkey").aggregate(
+            [("sum_qty", "sum"), ("n_li", "sum")]
+        )
+        return _rename_sums(g, {"sum_qty_sum": "sum_qty",
+                                "n_li_sum": "n_li"})
+
+    stats = (
+        lineitem.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("n_li", alias_name="n_li"))
+    )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        rev = _micro(t["l_extendedprice"])
+        return pa.table({
+            "partkey": t["l_partkey"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "price_micro": rev,
+        })
+
+    li = lineitem.map_batches(li_rows, batch_format="pyarrow")
+    li = broadcast_join_unique(
+        li, stats, left_key="partkey", right_key="l_partkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    fn = pa.scalar(frac_num, pa.int64())
+    fd = pa.scalar(frac_den, pa.int64())
+
+    def small_filter(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(pc.multiply(t["qty"], fd), t["n_li"])
+        rhs = pc.multiply(fn, t["sum_qty"])
+        return t.filter(pc.less(lhs, rhs)).select(
+            ["partkey", "price_micro"]
+        )
+
+    small = li.map_batches(small_filter, batch_format="pyarrow")
+    small = broadcast_join_unique(
+        small, part.select_columns(["p_partkey", "p_brand"]),
+        left_key="partkey", right_key="p_partkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            "p_brand": t["p_brand"],
+            "revenue_micro": t["price_micro"],
+            "n_small": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = flat.group_by("p_brand").aggregate(
+            [("revenue_micro", "sum"), ("n_small", "sum")]
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro",
+                                "n_small_sum": "n_small"})
+
+    return _merge_bounded(
+        small.map_batches(brand_partial, batch_format="pyarrow"),
+        ["p_brand"], ["revenue_micro", "n_small"],
+    )

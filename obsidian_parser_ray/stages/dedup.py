@@ -1614,3 +1614,131 @@ def drop_embedding_duplicates(ds, *, vec_col: str = "embedding",
         num_partitions=num_partitions,
     )
     return kept.drop_columns(["_k"])
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-1 pairs (deletion-neighborhood blocking — SymSpell-style)
+# ---------------------------------------------------------------------------
+
+
+def edit1_pairs(ds, *, column: str, num_partitions: int = 64):
+    """EXACT Levenshtein-distance-1 pairs among the DISTINCT values of
+    ``column`` — fuzzy key matching (typo'd titles, near-identical
+    entity names) without an all-pairs comparison.
+
+    Blocking is the deletion neighborhood (SymSpell): two strings are
+    within edit distance 1 **iff** they share an entry in
+    {self} ∪ {every single-character deletion} — substitution pairs
+    share the variant deleted at the differing position, and
+    insertion/deletion pairs share the shorter string itself.  The
+    neighborhood is a complete cover, so recall is exactly 1; false
+    candidates (e.g. transpositions sharing two variants) are pruned
+    by an exact verify.
+
+    Plan: distinct values (one hash groupby) → flat-map each value to
+    its ≤ len+1 variant rows → groupby variant (the blocking shuffle)
+    → per-bucket ordered pair emission → global pair dedup (a pair
+    can share several variants) fused with the vectorized verify
+    (equal length → one numpy mismatch count over a byte matrix;
+    length ±1 → single aligned-deletion scan).  Every stage is
+    bounded by neighborhood size O(len) per value; a pathological
+    shared-variant hub (sequential serial numbers) costs C(bucket,2)
+    candidate rows in that one bucket — the skew shows up in
+    `diagnostics.partition_skew` before it hurts.
+
+    Output: (name_a, name_b) with name_a < name_b, each pair once.
+    """
+    from ray.data.aggregate import Count
+
+    distinct = (
+        ds.select_columns([column])
+        .map_batches(
+            lambda t: t.group_by(column).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(column)
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def variants(t: pa.Table) -> pa.Table:
+        names = t[column].to_pylist()
+        out_v: list = []
+        out_n: list = []
+        for name in names:
+            if name is None:
+                continue
+            out_v.append(name)
+            out_n.append(name)
+            for i in range(len(name)):
+                out_v.append(name[:i] + name[i + 1:])
+                out_n.append(name)
+        return pa.table({
+            "variant": pa.array(out_v, pa.string()),
+            "name": pa.array(out_n, pa.string()),
+        })
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        names = sorted(set(g["name"].to_pylist()))
+        if len(names) < 2:
+            return pa.table({
+                "name_a": pa.array([], pa.string()),
+                "name_b": pa.array([], pa.string()),
+            })
+        a_out: list = []
+        b_out: list = []
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                a_out.append(a)
+                b_out.append(b)
+        return pa.table({
+            "name_a": pa.array(a_out, pa.string()),
+            "name_b": pa.array(b_out, pa.string()),
+        })
+
+    candidates = (
+        distinct.map_batches(variants, batch_format="pyarrow")
+        .groupby("variant")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["name_a", "name_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["name_a"].to_pylist()
+        b = t["name_b"].to_pylist()
+        keep = np.zeros(len(a), dtype=bool)
+        # group equal-length pairs by length → one byte-matrix
+        # mismatch count per length class (vectorized)
+        from collections import defaultdict
+
+        eq_idx = defaultdict(list)
+        for i, (x, y) in enumerate(zip(a, b)):
+            la, lb = len(x), len(y)
+            if la == lb:
+                eq_idx[la].append(i)
+            elif abs(la - lb) == 1:
+                lo, hi = (x, y) if la < lb else (y, x)
+                # dist 1 iff deleting ONE char of hi yields lo:
+                # scan to first mismatch, compare remainders
+                j = 0
+                while j < len(lo) and lo[j] == hi[j]:
+                    j += 1
+                keep[i] = lo[j:] == hi[j + 1:]
+        for length, idxs in eq_idx.items():
+            if length == 0:
+                continue
+            am = np.frombuffer(
+                "".join(a[i] for i in idxs).encode("utf-32-le"),
+                dtype=np.uint32,
+            ).reshape(len(idxs), length)
+            bm = np.frombuffer(
+                "".join(b[i] for i in idxs).encode("utf-32-le"),
+                dtype=np.uint32,
+            ).reshape(len(idxs), length)
+            mism = (am != bm).sum(axis=1)
+            keep[np.asarray(idxs)] = mism == 1
+        return t.filter(pa.array(keep))
+
+    return candidates.map_batches(verify, batch_format="pyarrow")

@@ -226,3 +226,179 @@ def profile_table(ds, *, hll_p: int = 12):
         }
         for name, st in acc.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Per-group standardization (exact integer moments → deterministic z)
+# ---------------------------------------------------------------------------
+
+
+def group_zscores(ds, *, value_col: str, group_col: str,
+                  out_col: str = "z"):
+    """Per-group z-score standardization of an INTEGER column —
+    feature normalization with bit-reproducible doubles.
+
+    A distributed double mean/std is order-dependent; instead the
+    per-group moments are exact int64 sums (Σx, Σx², n — associative
+    under any block order), merged in one bounded task, and the only
+    floating-point steps are the final per-group divisions and ONE
+    ``sqrt`` (IEEE-754 requires sqrt correctly rounded, so it is as
+    deterministic as + and ×).  The per-row map then computes
+    ``(x - mean) / std`` with a fixed expression shape — a SQL twin
+    spelled identically hashes identically.  Population std; groups
+    with zero variance emit null.
+
+    Output: input columns + ``out_col`` (float64).
+    (Σx² of int64 values: safe while n·max(x)² < 2⁶³ — doc lengths,
+    token counts; at larger magnitudes move the moments to
+    decimal128.)
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.int64())
+        flat = pa.table({
+            group_col: t[group_col],
+            "s1": v,
+            "s2": pc.multiply(v, v),
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+        })
+        g = flat.group_by(group_col).aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_col).aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+
+    moments = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    # bounded group cardinality → broadcast the scalar pairs
+    stats = {}
+    for r in moments:
+        n = float(r["n"])
+        mean = float(r["s1"]) / n
+        var = (float(r["s2"]) / n) - (mean * mean)
+        stats[r[group_col]] = (mean, var ** 0.5 if var > 0 else None)
+
+    groups = list(stats)
+    mean_arr = pa.array([stats[g][0] for g in groups], pa.float64())
+    std_arr = pa.array([stats[g][1] for g in groups], pa.float64())
+    group_arr = pa.array(groups)
+
+    def z(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[group_col], value_set=group_arr)
+        mean = pc.take(mean_arr, idx)
+        std = pc.take(std_arr, idx)
+        zv = pc.divide(
+            pc.subtract(pc.cast(t[value_col], pa.float64()), mean), std
+        )
+        return t.append_column(out_col, zv)
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Keyed table diff (snapshot reconciliation)
+# ---------------------------------------------------------------------------
+
+
+def table_diff(old, new, *, key_col: str, compare_cols: list[str],
+               num_partitions: int = 64):
+    """Row-level diff of two snapshots of the same keyed table:
+    which keys were ``added``, ``removed``, or ``changed`` (any
+    compared column differs).  The reconciliation primitive for
+    incremental pipelines — audit a delta before applying it.
+
+    Both sides are hash co-partitioned on the key (one exchange
+    each, the same union-tag shuffle the joins use); each partition
+    resolves its keys independently with vectorized Arrow kernels.
+    Unchanged rows are dropped partition-side, so the output is
+    O(delta), not O(table).
+
+    Output: (key_col, change) with change ∈ {'added','removed',
+    'changed'}.
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash_bucket_array
+
+    cols = [key_col] + list(compare_cols)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            return t.append_column(
+                "_side", pa.array([side] * t.num_rows, pa.int8())
+            ).append_column(
+                "part", hash_bucket_array(t[key_col], num_partitions)
+            )
+        return fn
+
+    tagged = old.map_batches(tag(0), batch_format="pyarrow").union(
+        new.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_old = pc.equal(t["_side"], 0)
+        o = t.filter(is_old)
+        n = t.filter(pc.invert(is_old))
+        o_keys, n_keys = o[key_col], n[key_col]
+        in_old = pc.is_in(n_keys, value_set=pc.unique(
+            o_keys.combine_chunks() if isinstance(o_keys, pa.ChunkedArray)
+            else o_keys))
+        in_new = pc.is_in(o_keys, value_set=pc.unique(
+            n_keys.combine_chunks() if isinstance(n_keys, pa.ChunkedArray)
+            else n_keys))
+        added = n_keys.filter(pc.invert(in_old))
+        removed = o_keys.filter(pc.invert(in_new))
+        # changed: keys in both with any differing compare column —
+        # vectorized via a probe of old rows by new keys
+        o_pos = pc.index_in(n_keys, value_set=(
+            o_keys.combine_chunks() if isinstance(o_keys, pa.ChunkedArray)
+            else o_keys))
+        both_mask = pc.is_valid(o_pos)
+        n_both = n.filter(both_mask)
+        o_aligned = o.take(o_pos.filter(both_mask))
+        diff = None
+        for c in compare_cols:
+            d = pc.invert(pc.equal(n_both[c], o_aligned[c]))
+            # treat null-vs-null as equal, null-vs-value as changed
+            d = pc.fill_null(d, True)
+            nn = pc.and_(pc.is_null(n_both[c]), pc.is_null(o_aligned[c]))
+            d = pc.and_(d, pc.invert(nn))
+            diff = d if diff is None else pc.or_(diff, d)
+        changed = n_both[key_col].filter(diff) if diff is not None else \
+            pa.array([], n_both[key_col].type)
+        key_type = t.schema.field(key_col).type
+
+        def block(keys, label):
+            arr = keys.combine_chunks() if isinstance(
+                keys, pa.ChunkedArray) else keys
+            return pa.table({
+                key_col: pc.cast(arr, key_type),
+                "change": pa.array([label] * len(arr), pa.string()),
+            })
+
+        return pa.concat_tables([
+            block(added, "added"),
+            block(removed, "removed"),
+            block(changed, "changed"),
+        ])
+
+    return tagged.groupby("part").map_groups(
+        resolve, batch_format="pyarrow"
+    )

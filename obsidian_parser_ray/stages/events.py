@@ -852,3 +852,165 @@ def inter_event_gaps(events, *, key_col: str = "user_id", ts_col: str = "s",
         .groupby("part")
         .map_groups(sweep, batch_format="pandas")
     )
+
+
+def pivot_counts(events, *, key_col: str = "user_id",
+                 type_col: str = "event_type", types: list[str]):
+    """Per-key event counts PIVOTED into one column per type
+    (``n_<type>``) plus ``n_total`` — the wide-format behavioral
+    feature table.
+
+    Scale shape: the pivot happens inside each block (one boolean
+    compare per type — vectorized, no row loop, no per-type pass over
+    the data), the block is pre-aggregated to per-key partials, and
+    the only shuffle is ONE hash groupby over the key with integer
+    Sum merges.  Types must be a bounded, known list (the oracle needs
+    fixed columns); events of unlisted types still count in n_total.
+
+    Output: (key_col, n_<type>..., n_total).
+    """
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{t}" for t in types]
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = {key_col: t[key_col]}
+        for ty, c in zip(types, cols):
+            flat[c] = pc.cast(pc.equal(t[type_col], ty), pa.int64())
+        flat["n_total"] = pa.array([1] * t.num_rows, pa.int64())
+        ft = pa.table(flat)
+        g = ft.group_by(key_col).aggregate(
+            [(c, "sum") for c in cols + ["n_total"]]
+        )
+        return g.rename_columns(
+            [c[:-4] if c.endswith("_sum") else c for c in g.column_names]
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols + ["n_total"]])
+    )
+
+
+def transition_counts(events, *, key_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      order_col: str = "event_id",
+                      num_partitions: int = 64):
+    """Markov transition matrix of per-key event sequences: how often
+    does type A immediately precede type B for the same key, in
+    (ts, order_col) order.
+
+    Scale shape: one bounded hash shuffle on the key (each partition
+    holds ALL events of its keys), then a single vectorized sweep per
+    partition — sort, shift-compare against the previous row, mask
+    cross-key boundaries, C-speed pair groupby.  Per-partition output
+    is the bounded (|types|²) partial count table; the final merge is
+    one tiny task, not a second shuffle.
+
+    Output: (event_type, next_type, n) — SQL twin is
+    ``lead() OVER (PARTITION BY key ORDER BY ts, order)``.
+    """
+    from ..hashing import hash_bucket_array
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return t.select([key_col, ts_col, type_col, order_col]).append_column(
+            "part", hash_bucket_array(keys, num_partitions)
+        )
+
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "next_type": pd.Series([], dtype="object"),
+        "n": pd.Series([], dtype="int64"),
+    })
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty.copy()
+        g = g.sort_values([key_col, ts_col, order_col], kind="stable")
+        same_key = g[key_col].eq(g[key_col].shift(-1)).to_numpy()
+        cur = g[type_col].to_numpy()
+        nxt = np.roll(cur, -1)
+        d = pd.DataFrame({"event_type": cur[same_key],
+                          "next_type": nxt[same_key]})
+        if not len(d):
+            return empty.copy()
+        out = d.groupby(["event_type", "next_type"], sort=False).size()
+        out = out.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "next_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(
+            ["n" if c == "n_sum" else c for c in g.column_names]
+        )
+
+    return partials.repartition(1, shuffle=False).map_batches(
+        merge, batch_format="pyarrow"
+    )
+
+
+def json_int_field_stats(events, *, props_col: str = "props",
+                         field: str = "k",
+                         group_col: str = "event_type"):
+    """Per-group stats (n / sum / min / max) of an integer field
+    extracted from a flat-JSON string column — the semi-structured
+    log-processing shape.
+
+    Extraction is the Arrow RE2 kernel ``extract_regex`` (compiled
+    once per process, no Python row loop): for flat ``{"k": 123}``
+    payloads the regex equals a JSON parse; nested/escaped payloads
+    would need a real parser behind the same interface.  Rows without
+    the field keep a null and drop out of the stats, matching SQL
+    ``json_extract`` semantics.  Per-block bounded partials (groups ≤
+    event-type cardinality) merge in one tiny task — no shuffle of
+    the events themselves.
+
+    Output: (group_col, n, sum_v, min_v, max_v).
+    """
+    pattern = rf'"{field}":\s*(?P<v>-?\d+)'
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t[props_col], pattern)
+        v = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        flat = pa.table({
+            group_col: t[group_col],
+            "n": pc.cast(pc.is_valid(v), pa.int64()),
+            "sum_v": pc.if_else(pc.is_valid(v), v, pa.scalar(0, pa.int64())),
+            "min_v": v,
+            "max_v": v,
+        })
+        g = flat.group_by(group_col).aggregate(
+            [("n", "sum"), ("sum_v", "sum"), ("min_v", "min"),
+             ("max_v", "max")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith(("_sum", "_min", "_max")) else c
+            for c in g.column_names
+        ])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_col).aggregate(
+            [("n", "sum"), ("sum_v", "sum"), ("min_v", "min"),
+             ("max_v", "max")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith(("_sum", "_min", "_max")) else c
+            for c in g.column_names
+        ])
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+    )

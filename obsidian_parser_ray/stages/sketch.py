@@ -513,3 +513,133 @@ def bloom_semi_filter(ds, bloom: BloomFilter, column: str):
         return t.filter(pa.array(mask))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# EXACT quantiles for integer columns (value-histogram reduction)
+# ---------------------------------------------------------------------------
+
+
+def exact_int_quantiles(ds, column: str, qs: list[float]) -> list[int]:
+    """EXACT discrete quantiles of an integer column — the complement
+    to the mergeable approximate sketch above, affordable whenever the
+    column's DISTINCT-value cardinality is bounded (lengths, counts,
+    sizes, ports: thousands of values even at 10¹² rows).
+
+    Every block folds to a (value, count) histogram partial; one tiny
+    merge task sums them (the exchange is O(distinct values), never
+    O(rows)); the quantile is read off the cumulative counts on the
+    driver.  Semantics match DuckDB ``quantile_disc``: the smallest
+    value whose cumulative count reaches ``ceil(q * n)`` (same double
+    multiply before the ceil).  For unbounded/continuous columns use
+    the mergeable quantile sketch instead.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([column]).group_by(column).aggregate([([], "count_all")])
+        return g.rename_columns(
+            ["n" if c == "count_all" else c for c in g.column_names]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(column).aggregate([("n", "sum")])
+        return g.rename_columns(
+            ["n" if c == "n_sum" else c for c in g.column_names]
+        ).sort_by(column)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    values = [r[column] for r in hist]
+    counts = np.cumsum([r["n"] for r in hist])
+    n = int(counts[-1]) if len(counts) else 0
+    out = []
+    for q in qs:
+        rank = math.ceil(q * n)  # same double product as the SQL twin
+        idx = int(np.searchsorted(counts, max(rank, 1), side="left"))
+        out.append(int(values[idx]))
+    return out
+
+
+def winsorize(ds, *, column: str, lo_q: float = 0.05, hi_q: float = 0.95,
+              out_col: str | None = None):
+    """Clamp an integer column to its exact [lo_q, hi_q] discrete
+    quantiles (outlier capping before training-data statistics).
+
+    Two-phase: the histogram reduction above computes the two exact
+    cut points (O(distinct) exchange), then one vectorized map clamps
+    every row — no sort, no shuffle of the data itself.
+    Output: input columns + ``out_col`` (default ``<column>_w``).
+    """
+    import pyarrow.compute as pc
+
+    out_col = out_col or f"{column}_w"
+    lo, hi = exact_int_quantiles(ds, column, [lo_q, hi_q])
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t[column]
+        w = pc.if_else(
+            pc.less(v, lo), pa.scalar(lo, pa.int64()),
+            pc.if_else(pc.greater(v, hi), pa.scalar(hi, pa.int64()),
+                       pc.cast(v, pa.int64())),
+        )
+        return t.append_column(out_col, w)
+
+    return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def percent_ranks(ds, *, column: str, out_col: str = "pr"):
+    """Exact ``percent_rank()`` for every row of an integer column —
+    global rank features without a global sort.
+
+    The same value-histogram reduction as
+    :func:`exact_int_quantiles` yields cumulative counts-below per
+    DISTINCT value (O(distinct) exchange); each row then maps to
+    ``count_lt / (n - 1)`` — rank semantics (ties share a rank), one
+    double division, bit-identical to the SQL
+    ``(rank() OVER (ORDER BY col) - 1) / (n - 1)``.
+    Output: input columns + ``out_col`` (float64; null when n ≤ 1).
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([column]).group_by(column).aggregate([([], "count_all")])
+        return g.rename_columns(
+            ["n" if c == "count_all" else c for c in g.column_names]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(column).aggregate([("n", "sum")])
+        return g.rename_columns(
+            ["n" if c == "n_sum" else c for c in g.column_names]
+        ).sort_by(column)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    values = pa.array([r[column] for r in hist], pa.int64())
+    counts = np.array([r["n"] for r in hist], dtype=np.int64)
+    below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n = int(counts.sum())
+    below_arr = pa.array(below, pa.int64())
+    denom = float(n - 1) if n > 1 else None
+
+    def rank(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(t[column], pa.int64()), value_set=values)
+        lt = pc.take(below_arr, idx)
+        if denom is None:
+            pr = pa.nulls(t.num_rows, pa.float64())
+        else:
+            pr = pc.divide(pc.cast(lt, pa.float64()), pa.scalar(denom))
+        return t.append_column(out_col, pr)
+
+    return ds.map_batches(rank, batch_format="pyarrow")

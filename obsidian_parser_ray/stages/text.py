@@ -781,3 +781,136 @@ def hashed_doc_vectors(ds, *, text_col: str = "text",
         )
 
     return ds.map_batches(vectors, batch_format="pyarrow")
+
+
+def bm25_topk(ds, query_terms: list[str], *, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              checkpoint_dir: str | None = None,
+              batch_size: int | None = 512):
+    """BM25 ranked retrieval: top-``k`` documents for a bag of query
+    terms, with a RATIONAL idf — ``(N - df + 0.5) / (df + 0.5)``
+    instead of the textbook log.  Rank-equivalent for df < N/2 (the
+    transform is monotone there), and — unlike ``ln`` — exactly
+    reproducible across engines: every operation in the score is an
+    IEEE-754 division/multiplication/addition with a fully specified
+    result, so a DuckDB twin spelled with the same associativity
+    hashes identically.
+
+    Plan (two streaming passes, zero corpus-sized pins):
+
+    1. ``explode`` — per block, one row per doc: total token count
+       ``dl`` plus one tf column per query term (the query is a
+       bounded list, so the pivot is map-side and the exploded table
+       is |docs| × (|q|+2) ints — orders of magnitude below the text).
+    2. stats pass — per-block partials of (n_docs, Σdl, df per term)
+       merged in one tiny task → scalar avgdl and idf per term.
+    3. score pass — re-runs the explode lineage (streaming; pass
+       ``checkpoint_dir`` to spool the exploded table to parquet once
+       instead — the 100 TB configuration), evaluates the shared
+       length norm ``k1·((1-b) + b·(dl/avgdl))`` and the per-term
+       contributions left-associatively, and feeds per-block partial
+       top-k into one tiny final sort.
+
+    Output: (id_col, score, dl, tf_<term>...) for the top-k docs,
+    score strictly > 0 (docs without any query term never rank).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..pipelines.analytics import global_topk
+
+    terms = [t.lower() for t in query_terms]
+    tf_cols = [f"tf_{t}" for t in terms]
+
+    def explode(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = t[text_col].to_pylist()
+        n = len(texts)
+        dl = np.zeros(n, dtype=np.int64)
+        tfs = {c: np.zeros(n, dtype=np.int64) for c in tf_cols}
+        for i, x in enumerate(texts):
+            toks = [tok.lower() for tok in _TERM_RE.findall(x)]
+            dl[i] = len(toks)
+            c = Counter(toks)
+            for term, col in zip(terms, tf_cols):
+                tfs[col][i] = c.get(term, 0)
+        out = {id_col: t[id_col], "dl": pa.array(dl)}
+        for col in tf_cols:
+            out[col] = pa.array(tfs[col])
+        return pa.table(out)
+
+    per_doc = ds.map_batches(explode, batch_format="pyarrow",
+                             batch_size=batch_size)
+    if checkpoint_dir is not None:
+        from ..state import checkpoint_dataset
+
+        per_doc = checkpoint_dataset(
+            per_doc, checkpoint_dir,
+            lineage=f"bm25:{','.join(terms)}:{id_col}",
+        )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        out = {
+            "n": pa.array([t.num_rows], pa.int64()),
+            "total_dl": pa.array(
+                [pc.sum(t["dl"]).as_py() or 0], pa.int64()),
+        }
+        for col in tf_cols:
+            out["df_" + col] = pa.array(
+                [pc.sum(
+                    pc.cast(pc.greater(t[col], 0), pa.int64())
+                ).as_py() or 0], pa.int64())
+        return pa.table(out)
+
+    def stats_merge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([pc.sum(t[c]).as_py() or 0], pa.int64())
+            for c in t.column_names
+        })
+
+    stats = (
+        per_doc.map_batches(stats_partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(stats_merge, batch_format="pyarrow")
+        .take(1)[0]
+    )
+    n_docs = stats["n"]
+    avgdl = float(stats["total_dl"]) / float(n_docs)  # one division
+    idf = {
+        col: ((float(n_docs) - float(stats["df_" + col])) + 0.5)
+        / (float(stats["df_" + col]) + 0.5)
+        for col in tf_cols
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = pc.cast(t["dl"], pa.float64())
+        # k1·((1-b) + b·(dl/avgdl)) — spelled once, reused per term
+        norm = pc.multiply(
+            pa.scalar(k1),
+            pc.add(pa.scalar(1.0 - b),
+                   pc.multiply(pa.scalar(b),
+                               pc.divide(dl, pa.scalar(avgdl)))),
+        )
+        total = None
+        any_hit = None
+        for col in tf_cols:
+            tf = pc.cast(t[col], pa.float64())
+            contrib = pc.multiply(
+                pa.scalar(idf[col]),
+                pc.divide(
+                    pc.multiply(tf, pa.scalar(k1 + 1.0)),
+                    pc.add(tf, norm),
+                ),
+            )
+            total = contrib if total is None else pc.add(total, contrib)
+            hit = pc.greater(t[col], 0)
+            any_hit = hit if any_hit is None else pc.or_(any_hit, hit)
+        t = t.append_column("score", total)
+        return t.filter(any_hit)
+
+    return global_topk(
+        per_doc.map_batches(score, batch_format="pyarrow"),
+        "score", k, tiebreak=[id_col],
+    )

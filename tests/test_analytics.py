@@ -389,3 +389,45 @@ WHERE CAST(floor(c_acctbal * 1000000) AS BIGINT) * n_pos > total_micro
                         WHERE o_orderdate >= TIMESTAMP '1997-01-01')
 GROUP BY c_nationkey
 """)
+
+
+def test_revenue_rollup(ray_session, tables, con):
+    from obsidian_parser_ray.pipelines.analytics import revenue_rollup
+
+    ds = revenue_rollup(
+        rd.from_arrow(tables["lineitem"]).repartition(6),
+        rd.from_arrow(tables["supplier"]),
+        rd.from_arrow(tables["nation"]),
+        rd.from_arrow(tables["region"]),
+    )
+    _cmp(ds, con, f"""
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       CAST(sum(rev_micro) AS BIGINT) AS revenue_micro
+FROM (SELECT s_nationkey, {_REV} AS rev_micro
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey) li
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+
+
+def test_revenue_rollup_levels_consistent(ray_session, tables):
+    """The derived super-aggregates must equal the sums of their
+    children (exact integers)."""
+    from obsidian_parser_ray.pipelines.analytics import revenue_rollup
+
+    df = revenue_rollup(
+        rd.from_arrow(tables["lineitem"]),
+        rd.from_arrow(tables["supplier"]),
+        rd.from_arrow(tables["nation"]),
+        rd.from_arrow(tables["region"]),
+    ).to_pandas()
+    leaves = df[(df.r_name != "ALL") & (df.n_name != "ALL")]
+    regions = df[(df.r_name != "ALL") & (df.n_name == "ALL")]
+    total = df[(df.r_name == "ALL") & (df.n_name == "ALL")]
+    per_region = leaves.groupby("r_name")["revenue_micro"].sum()
+    for r in regions.itertuples():
+        assert per_region[r.r_name] == r.revenue_micro
+    assert len(total) == 1
+    assert total.revenue_micro.iloc[0] == leaves.revenue_micro.sum()

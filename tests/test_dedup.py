@@ -651,3 +651,53 @@ class TestDropEmbeddingDuplicates:
             rd.from_pandas(df), threshold=0.99, num_partitions=4
         ).to_pandas()
         assert sorted(kept["vec_id"]) == list(range(12))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEdit1Pairs:
+    def _pairs(self, names):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.dedup import edit1_pairs
+
+        ds = rd.from_arrow(pa.table({"name": pa.array(names)})).repartition(3)
+        out = edit1_pairs(ds, column="name").to_pandas()
+        if not len(out):
+            return set()
+        return set(map(tuple, out[["name_a", "name_b"]].to_numpy()))
+
+    def test_substitution_insertion_deletion_found(self):
+        got = self._pairs(["cat", "cut", "cats", "at", "dog"])
+        # cat~cut (sub), cat~cats (ins), cat~at (del), cut~at? dist 2.
+        assert ("cat", "cut") in got
+        assert ("cat", "cats") in got
+        assert ("at", "cat") in got
+        assert not any("dog" in p for p in got)
+
+    def test_transposition_is_distance_two(self):
+        # ab / ba share both deletion variants but levenshtein = 2
+        assert self._pairs(["ab", "ba"]) == set()
+
+    def test_duplicates_collapse_and_empty_string(self):
+        got = self._pairs(["x", "x", "", "y"])
+        # ''~'x' and ''~'y' are insertions; 'x'~'y' substitution
+        assert got == {("", "x"), ("", "y"), ("x", "y")}
+
+    def test_matches_duckdb_levenshtein(self):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        # clustered serial-number-ish names → dense distance-1 graph
+        names = list({
+            f"item-{rng.randint(0, 40):03d}{rng.choice(list('abc'))}"
+            for _ in range(250)
+        })
+        got = self._pairs(names)
+        exp = duckdb.sql(
+            "SELECT a.n, b.n FROM (SELECT unnest(?) n) a, "
+            "(SELECT unnest(?) n) b "
+            "WHERE a.n < b.n AND levenshtein(a.n, b.n) <= 1",
+            params=[names, names],
+        ).fetchall()
+        assert got == set(map(tuple, exp))

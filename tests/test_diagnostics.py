@@ -103,3 +103,70 @@ class TestProfileTable:
         assert prof["x"]["n_rows"] == 0
         assert prof["x"]["approx_distinct"] == 0
         assert prof["x"]["min"] is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupZscores:
+    def test_matches_numpy_population_z(self):
+        from obsidian_parser_ray.stages.diagnostics import group_zscores
+
+        rng = np.random.RandomState(4)
+        g = rng.choice(["en", "de", "fr"], 300)
+        x = rng.randint(10, 500, 300).astype("int64")
+        ds = rd.from_arrow(pa.table({"grp": g, "x": x})).repartition(5)
+        out = group_zscores(ds, value_col="x", group_col="grp").to_pandas()
+        for grp in ["en", "de", "fr"]:
+            vals = x[g == grp].astype(float)
+            mean, std = vals.mean(), vals.std()  # population
+            sub = out[out.grp == grp].sort_index()
+            got = sub.z.to_numpy()
+            exp = (sub.x.to_numpy().astype(float) - mean) / std
+            assert np.allclose(got, exp, atol=1e-12)
+
+    def test_zero_variance_group_is_null(self):
+        from obsidian_parser_ray.stages.diagnostics import group_zscores
+
+        ds = rd.from_arrow(pa.table({
+            "grp": pa.array(["a", "a", "b", "b"]),
+            "x": pa.array([5, 5, 1, 3], pa.int64()),
+        }))
+        out = group_zscores(ds, value_col="x", group_col="grp").to_pandas()
+        assert out[out.grp == "a"].z.isna().all()
+        assert out[out.grp == "b"].z.notna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTableDiff:
+    def test_added_removed_changed(self):
+        from obsidian_parser_ray.stages.diagnostics import table_diff
+
+        old = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"]),
+            "w": pa.array([10, 20, 30, 40], pa.int64()),
+        })).repartition(2)
+        new = rd.from_arrow(pa.table({
+            "k": pa.array([2, 3, 4, 5], pa.int64()),
+            "v": pa.array(["b", "C", "d", "e"]),   # 3 changed
+            "w": pa.array([20, 30, 41, 50], pa.int64()),  # 4 changed
+        })).repartition(3)
+        out = table_diff(old, new, key_col="k",
+                         compare_cols=["v", "w"]).to_pandas()
+        got = dict(zip(out.k, out.change))
+        assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+    def test_null_vs_null_is_equal(self):
+        from obsidian_parser_ray.stages.diagnostics import table_diff
+
+        old = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array([None, "x"], pa.string()),
+        }))
+        new = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array([None, None], pa.string()),
+        }))
+        out = table_diff(old, new, key_col="k",
+                         compare_cols=["v"]).to_pandas()
+        got = dict(zip(out.k, out.change)) if len(out) else {}
+        assert got == {2: "changed"}

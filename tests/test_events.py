@@ -701,3 +701,116 @@ class TestIntervalOverlapProperty:
             if p_keys[i] == iv_keys[j] and iv_lo[j] <= p_ts[i] <= iv_hi[j]
         )
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPivotAndTransitions:
+    def test_pivot_counts_with_unlisted_type(self):
+        from obsidian_parser_ray.stages.events import pivot_counts
+
+        ds = _events_ds(
+            [
+                {"user_id": 1, "ts": "2024-01-01 10:00:00", "event_type": "click"},
+                {"user_id": 1, "ts": "2024-01-01 10:01:00", "event_type": "click"},
+                {"user_id": 1, "ts": "2024-01-01 10:02:00", "event_type": "view"},
+                # 'exotic' is not in the pivot list → only n_total
+                {"user_id": 2, "ts": "2024-01-01 10:03:00", "event_type": "exotic"},
+            ]
+        )
+        out = pivot_counts(ds, types=["click", "view"]).to_pandas()
+        out = out.set_index("user_id").sort_index()
+        assert out.loc[1].to_dict() == {"n_click": 2, "n_view": 1, "n_total": 3}
+        assert out.loc[2].to_dict() == {"n_click": 0, "n_view": 0, "n_total": 1}
+
+    def test_transition_counts_boundaries_and_ties(self):
+        from obsidian_parser_ray.stages.events import transition_counts
+
+        # user 1: a→b→b ; user 2: single event (no pairs);
+        # user 3: two events with IDENTICAL ts → event_id breaks the tie
+        ds = _events_ds(
+            [
+                {"user_id": 1, "ts": "2024-01-01 10:00:00",
+                 "event_type": "a", "event_id": 0},
+                {"user_id": 1, "ts": "2024-01-01 10:01:00",
+                 "event_type": "b", "event_id": 1},
+                {"user_id": 1, "ts": "2024-01-01 10:02:00",
+                 "event_type": "b", "event_id": 2},
+                {"user_id": 2, "ts": "2024-01-01 10:00:00",
+                 "event_type": "a", "event_id": 3},
+                {"user_id": 3, "ts": "2024-01-01 10:00:00",
+                 "event_type": "x", "event_id": 5},
+                {"user_id": 3, "ts": "2024-01-01 10:00:00",
+                 "event_type": "y", "event_id": 4},
+            ]
+        )
+        out = transition_counts(ds, num_partitions=4).to_pandas()
+        got = {
+            (r.event_type, r.next_type): int(r.n) for r in out.itertuples()
+        }
+        # user 3 sorted by (ts, event_id): y (id 4) precedes x (id 5)
+        assert got == {("a", "b"): 1, ("b", "b"): 1, ("y", "x"): 1}
+
+    def test_transition_counts_matches_duckdb(self):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 25, n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 86400, n), unit="s"),
+                "event_type": rng.choice(list("abcd"), n),
+                "event_id": np.arange(n),
+            }
+        )
+        from obsidian_parser_ray.stages.events import transition_counts
+        import ray.data as rd
+
+        out = (
+            transition_counts(rd.from_pandas(df).repartition(6))
+            .to_pandas()
+            .sort_values(["event_type", "next_type"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            """
+            WITH w AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS next_type
+              FROM events)
+            SELECT event_type, next_type, count(*)::BIGINT AS n
+            FROM w WHERE next_type IS NOT NULL GROUP BY 1, 2
+            ORDER BY 1, 2
+            """
+        ).fetchdf()
+        assert out.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonFieldStats:
+    def test_extraction_with_missing_and_negative(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import json_int_field_stats
+
+        t = pa.table({
+            "event_type": pa.array(["a", "a", "a", "b", "b"]),
+            "props": pa.array([
+                '{"k": 5}', '{"k": -3}', '{"other": 1}',
+                '{"k": 10}', '{"k": 0}',
+            ]),
+        })
+        out = (
+            json_int_field_stats(rd.from_arrow(t).repartition(2))
+            .to_pandas().set_index("event_type").sort_index()
+        )
+        assert out.loc["a"].to_dict() == {
+            "n": 2, "sum_v": 2, "min_v": -3, "max_v": 5}
+        assert out.loc["b"].to_dict() == {
+            "n": 2, "sum_v": 10, "min_v": 0, "max_v": 10}

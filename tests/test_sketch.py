@@ -282,3 +282,85 @@ class TestBloom:
         exact = {i for i in range(400) if (i % 50) % 2 == 0}
         assert exact <= got          # zero false negatives
         assert len(got) <= 400
+
+
+class TestExactIntQuantiles:
+    def test_matches_duckdb_quantile_disc(self, ray_session):
+        import duckdb
+        import numpy as np
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.sketch import exact_int_quantiles
+
+        rng = np.random.RandomState(5)
+        vals = rng.randint(0, 300, 5000).astype("int64")
+        ds = rd.from_arrow(pa.table({"x": vals})).repartition(9)
+        got = exact_int_quantiles(ds, "x", [0.05, 0.5, 0.95, 0.0, 1.0])
+        exp = duckdb.sql(
+            "SELECT quantile_disc(x, 0.05), quantile_disc(x, 0.5), "
+            "quantile_disc(x, 0.95), quantile_disc(x, 0.0), "
+            "quantile_disc(x, 1.0) FROM (SELECT unnest(?) x)",
+            params=[vals.tolist()],
+        ).fetchone()
+        assert got == list(exp)
+
+    def test_winsorize_clamps(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.sketch import winsorize
+
+        vals = np.concatenate([np.full(98, 50), [0, 1000]]).astype("int64")
+        ds = rd.from_arrow(pa.table({"doc": np.arange(100), "x": vals}))
+        out = winsorize(ds, column="x").to_pandas().sort_values("doc")
+        # p05 of 100 values = the 5th smallest = 50; p95 = 50
+        assert out.x_w.min() == 50 and out.x_w.max() == 50
+        assert (out.x == vals).all()  # original column untouched
+
+
+class TestBm25:
+    def test_bm25_ranks_rarer_term_higher(self, ray_session):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import bm25_topk
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "apple banana banana banana",
+                "apple apple cherry",
+                "banana cherry cherry",
+                "durian durian durian",
+            ]),
+        })
+        out = bm25_topk(
+            rd.from_arrow(docs).repartition(3), ["cherry"], k=4
+        ).to_pandas()
+        # only docs containing 'cherry' rank; doc 3 (tf=2, short) first
+        assert out.doc_id.tolist()[0] == 3
+        assert set(out.doc_id) == {2, 3}
+        assert (out.score > 0).all()
+
+    def test_bm25_checkpoint_equals_recompute(self, ray_session, tmp_path):
+        import numpy as np
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import bm25_topk
+
+        rng = np.random.RandomState(2)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+        texts = [
+            " ".join(rng.choice(words, rng.randint(3, 30)))
+            for _ in range(120)
+        ]
+        docs = pa.table({
+            "doc_id": pa.array(range(120), pa.int64()),
+            "text": pa.array(texts),
+        })
+        ds = rd.from_arrow(docs).repartition(5)
+        a = bm25_topk(ds, ["beta", "delta"], k=10).to_pandas()
+        b = bm25_topk(
+            ds, ["beta", "delta"], k=10,
+            checkpoint_dir=str(tmp_path / "bm25_ckpt"),
+        ).to_pandas()
+        assert a.equals(b)
