@@ -2261,6 +2261,74 @@ def _q_part_small_qty(sf_dir: str):
     )
 
 
+def _q_sales_market_share(sf_dir: str):
+    """Q8 shape: one nation's supplier share of a region's spend on one
+    part type, per order year (conditional numerator in one pass)."""
+    from obsidian_parser_ray.pipelines.analytics import market_share
+
+    return market_share(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region"),
+    )
+
+
+def _q_sales_disjunctive(sf_dir: str):
+    """Q19 shape: OR-of-ANDs predicate spanning both join sides; only
+    the union envelope is pushed below the join."""
+    from obsidian_parser_ray.pipelines.analytics import disjunctive_revenue
+
+    return disjunctive_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+    )
+
+
+def _q_events_attribution(sf_dir: str):
+    """Last-touch attribution: purchases credited to the most recent
+    preceding touch event per user (IGNORE NULLS window twin)."""
+    from obsidian_parser_ray.stages.events import last_touch_attribution
+
+    return last_touch_attribution(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]),
+    )
+
+
+def _q_events_new_users(sf_dir: str):
+    """Growth accounting: per-day new users + cumulative total via a
+    per-user first-seen reduction (no window shuffle)."""
+    from obsidian_parser_ray.stages.events import new_user_counts
+
+    return new_user_counts(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+def _q_doc_split(sf_dir: str):
+    """Deterministic md5-hash train/val/test split — assignment stable
+    under corpus growth and re-partitioning."""
+    from obsidian_parser_ray.stages.chunking import hash_split
+
+    return hash_split(_read(sf_dir, "documents", ["doc_id", "lang"]))
+
+
+def _q_doc_outliers_mad(sf_dir: str):
+    """Per-language MAD outlier flags over doc lengths — exact integer
+    arithmetic end-to-end (grouped histogram reductions)."""
+    from obsidian_parser_ray.stages.diagnostics import group_mad_outliers
+
+    return group_mad_outliers(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        value_col="n_chars", group_col="lang",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2365,6 +2433,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_returns": _q_customer_returns,
         "sales_promo": _q_sales_promo,
         "part_small_qty": _q_part_small_qty,
+        "sales_market_share": _q_sales_market_share,
+        "sales_disjunctive": _q_sales_disjunctive,
+        "events_attribution": _q_events_attribution,
+        "events_new_users": _q_events_new_users,
+        "doc_split": _q_doc_split,
+        "doc_outliers_mad": _q_doc_outliers_mad,
     }
 
 
@@ -3990,5 +4064,105 @@ JOIN stats ON pk = l_partkey
 JOIN part  ON p_partkey = l_partkey
 WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < 1 * sum_qty
 GROUP BY p_brand
+""",
+        "sales_market_share": r"""
+SELECT o_year,
+  CAST(sum(nat_rev) AS BIGINT) AS nation_micro,
+  CAST(sum(rev) AS BIGINT) AS total_micro,
+  (CAST(sum(nat_rev) AS BIGINT)::DOUBLE
+   / CAST(sum(rev) AS BIGINT)::DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+    CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+      AS rev,
+    CASE WHEN n1.n_name = 'NATION_2'
+      THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                AS BIGINT)
+      ELSE 0 END AS nat_rev
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n2.n_regionkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+)
+GROUP BY o_year
+""",
+        "sales_disjunctive": r"""
+SELECT
+  CAST(COALESCE(sum(
+    CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+  ), 0) AS BIGINT) AS revenue_micro,
+  count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+        "events_attribution": r"""
+WITH w AS (
+  SELECT event_type,
+    last_value(CASE WHEN event_type IN ('click', 'signup', 'view')
+                    THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'none') AS touch, count(*)::BIGINT AS n_purchases
+FROM w WHERE event_type = 'purchase'
+GROUP BY COALESCE(touch, 'none')
+""",
+        "events_new_users": r"""
+WITH f AS (
+  SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id
+),
+d AS (
+  SELECT (EXTRACT(year FROM fts) * 10000
+          + EXTRACT(month FROM fts) * 100
+          + EXTRACT(day FROM fts))::BIGINT AS day,
+         count(*)::BIGINT AS new_users
+  FROM f GROUP BY day
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+""",
+        "doc_split": r"""
+SELECT doc_id, lang,
+  CASE WHEN b < 80 THEN 'train'
+       WHEN b < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 AS b
+  FROM documents
+)
+""",
+        "doc_outliers_mad": r"""
+WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5)::BIGINT AS med
+  FROM documents GROUP BY lang
+),
+d AS (
+  SELECT doc_id, lang, n_chars,
+         abs(n_chars - med)::BIGINT AS dev
+  FROM documents JOIN m USING (lang)
+),
+s AS (
+  SELECT lang, quantile_disc(dev, 0.5)::BIGINT AS mad
+  FROM d GROUP BY lang
+)
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars, dev,
+       (dev > 3 * mad) AS is_outlier
+FROM d JOIN s USING (lang)
 """,
     }

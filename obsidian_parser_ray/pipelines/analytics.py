@@ -1277,3 +1277,253 @@ def small_qty_revenue(lineitem, part, *, frac_num: int = 1,
         small.map_batches(brand_partial, batch_format="pyarrow"),
         ["p_brand"], ["revenue_micro", "n_small"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8-shape: national market share inside one region's customer base
+# ---------------------------------------------------------------------------
+
+
+def market_share(lineitem, orders, customer, supplier, part, nation,
+                 region, *, target_nation: str = "NATION_2",
+                 region_name: str = "ASIA", part_type: str = "PROMO",
+                 date_from: _dt.datetime = _dt.datetime(1995, 1, 1),
+                 date_to: _dt.datetime = _dt.datetime(1997, 1, 1),
+                 num_partitions: int = 64):
+    """Share of one nation's suppliers in the revenue a region's
+    customers spend on one part type, per order year — the Q8 shape
+    (reference analyzer surface is single-table; this is the classic
+    conditional-share multi-chain join).
+
+    Scale shape: the part-type filter resolves FIRST (smallest
+    selective dim) so the fact shrinks before the supplier/orders/
+    customer chains; supplier resolves to a single int flag column
+    (target nation or not) so the numerator needs no second pass; the
+    region membership test on the customer side is a bounded
+    nation-key broadcast probed with ``pc.is_in``; the final key space
+    is years — merged in one tiny task.  The share division is the
+    ONE double op, performed once per output row with the exact shape
+    the SQL twin spells.
+
+    Output: (o_year, nation_micro, total_micro, mkt_share).
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    nat = pa.concat_tables(
+        [b for b in nation.iter_batches(batch_format="pyarrow")]
+    )
+    reg = pa.concat_tables(
+        [b for b in region.iter_batches(batch_format="pyarrow")]
+    )
+    reg_key = reg.filter(pc.equal(reg["r_name"], region_name))[
+        "r_regionkey"
+    ][0].as_py()
+    region_nation_keys = pc.cast(
+        nat.filter(pc.equal(nat["n_regionkey"], reg_key))["n_nationkey"],
+        pa.int64(),
+    ).combine_chunks()
+    target_key = pc.cast(
+        nat.filter(pc.equal(nat["n_name"], target_nation))["n_nationkey"],
+        pa.int64(),
+    )[0].as_py()
+
+    def part_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["p_type"], part_type)).select(
+            ["p_partkey"]
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "l_orderkey": t["l_orderkey"],
+            "rev": rev,
+        })
+
+    li = broadcast_join_unique(
+        lineitem.map_batches(li_rows, batch_format="pyarrow"),
+        part.map_batches(part_keys, batch_format="pyarrow"),
+        left_key="l_partkey", right_key="p_partkey", how="inner",
+        num_partitions=num_partitions,
+    )
+    li = broadcast_join_unique(
+        li, supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        left_key="l_suppkey", right_key="s_suppkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def flag_nation(t: pa.Table) -> pa.Table:
+        is_target = pc.equal(
+            pc.cast(t["s_nationkey"], pa.int64()),
+            pa.scalar(target_key, pa.int64()),
+        )
+        nat_rev = pc.if_else(
+            is_target, t["rev"], pa.scalar(0, pa.int64())
+        )
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev": t["rev"],
+            "nat_rev": nat_rev,
+        })
+
+    li = li.map_batches(flag_nation, batch_format="pyarrow")
+
+    lo, hi = _ts(date_from), _ts(date_to)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi),
+        )
+        t = t.filter(m)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        })
+
+    li = broadcast_join_unique(
+        li, orders.map_batches(ord_rows, batch_format="pyarrow"),
+        left_key="l_orderkey", right_key="o_orderkey", how="inner",
+        num_partitions=num_partitions,
+    )
+    li = broadcast_join_unique(
+        li, customer.select_columns(["c_custkey", "c_nationkey"]),
+        left_key="o_custkey", right_key="c_custkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(
+                pc.cast(t["c_nationkey"], pa.int64()),
+                value_set=region_nation_keys,
+            )
+        )
+        g = (
+            t.select(["o_year", "rev", "nat_rev"])
+            .group_by("o_year")
+            .aggregate([("rev", "sum"), ("nat_rev", "sum")])
+        )
+        return _rename_sums(
+            g, {"rev_sum": "total_micro", "nat_rev_sum": "nation_micro"}
+        )
+
+    merged = _merge_bounded(
+        li.map_batches(finish, batch_format="pyarrow"),
+        ["o_year"], ["total_micro", "nation_micro"],
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.cast(t["nation_micro"], pa.float64()),
+            pc.cast(t["total_micro"], pa.float64()),
+        )
+        return t.append_column("mkt_share", s)
+
+    return merged.map_batches(share, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q19-shape: OR-of-ANDs disjunctive predicate over a fact⋈dim join
+# ---------------------------------------------------------------------------
+
+
+def disjunctive_revenue(lineitem, part, *,
+                        cases: list | None = None,
+                        num_partitions: int = 64):
+    """Total revenue from line items matching ANY of several
+    (brand, max size, quantity range) baskets — the Q19 shape: a
+    disjunctive predicate spanning BOTH join sides, so no single
+    conjunct can be pushed below the join.
+
+    What CAN be pushed is the union envelope: the part side is
+    pre-filtered to ``brand ∈ {basket brands} AND size ≤ max(size)``
+    (the weakest predicate implied by the disjunction), shrinking the
+    build side by ~24/25ths before the join; the full OR-of-ANDs then
+    evaluates as ONE vectorized boolean expression over the joined
+    batch — no row loop, no per-case passes.
+
+    Output: a single row (revenue_micro, n_items).
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    if cases is None:
+        cases = [
+            ("Brand#1", 5, 1.0, 11.0),
+            ("Brand#2", 10, 10.0, 20.0),
+            ("Brand#3", 15, 20.0, 30.0),
+        ]
+    brands = pa.array(sorted({c[0] for c in cases}))
+    size_cap = max(c[1] for c in cases)
+
+    def part_side(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t["p_brand"], value_set=brands),
+            pc.less_equal(t["p_size"], size_cap),
+        )
+        return t.filter(m).select(["p_partkey", "p_brand", "p_size"])
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_quantity": t["l_quantity"],
+            "rev": rev,
+        })
+
+    joined = broadcast_join_unique(
+        lineitem.map_batches(li_rows, batch_format="pyarrow"),
+        part.map_batches(part_side, batch_format="pyarrow"),
+        left_key="l_partkey", right_key="p_partkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = None
+        for brand, smax, qlo, qhi in cases:
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(t["p_brand"], brand),
+                    pc.less_equal(t["p_size"], smax),
+                ),
+                pc.and_(
+                    pc.greater_equal(t["l_quantity"], qlo),
+                    pc.less_equal(t["l_quantity"], qhi),
+                ),
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        t = t.filter(mask)
+        return pa.table({
+            "revenue_micro": pa.array(
+                [pc.sum(t["rev"]).as_py() or 0], pa.int64()
+            ),
+            "n_items": pa.array([t.num_rows], pa.int64()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_micro": pa.array(
+                [pc.sum(t["revenue_micro"]).as_py() or 0], pa.int64()
+            ),
+            "n_items": pa.array(
+                [pc.sum(t["n_items"]).as_py() or 0], pa.int64()
+            ),
+        })
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+    )

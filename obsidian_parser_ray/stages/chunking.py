@@ -277,3 +277,42 @@ def sample_mixture(ds, *, key_col: str, fractions: dict, id_col: str,
     return partials.groupby(key_col).map_groups(
         merge, batch_format="pandas"
     )
+
+
+def hash_split(ds, *, id_col: str = "doc_id", pcts: tuple = (80, 90),
+               labels: tuple = ("train", "val", "test")):
+    """Deterministic train/val/test assignment by content-independent
+    key hash: ``md5(str(id))`` first 8 hex chars mod 100 → bucket,
+    bucket < pcts[0] → labels[0], < pcts[1] → labels[1], else
+    labels[2].
+
+    The md5 (rather than the repo's xxhash-style kernels) is
+    oracle-mandated: DuckDB's ``md5()`` is the only hash both engines
+    share bit-for-bit, so the SQL twin can reproduce every assignment.
+    Pure map — no shuffle, stable under any re-partitioning, and the
+    assignment of a document never changes as the corpus grows (the
+    property hash-splits exist for).
+
+    Output: input columns + ``split``.
+    """
+    import hashlib
+
+    if not (len(pcts) == 2 and len(labels) == 3 and pcts[0] < pcts[1]):
+        raise ValueError("need pcts=(lo, hi) with lo < hi and 3 labels")
+    lo, hi = pcts
+    lab = np.asarray(labels, dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        bucket = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        which = np.where(bucket < lo, 0, np.where(bucket < hi, 1, 2))
+        return t.append_column("split", pa.array(lab[which]))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

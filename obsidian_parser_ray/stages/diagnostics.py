@@ -402,3 +402,109 @@ def table_diff(old, new, *, key_col: str, compare_cols: list[str],
     return tagged.groupby("part").map_groups(
         resolve, batch_format="pyarrow"
     )
+
+
+def grouped_int_quantile(ds, *, value_col: str, group_col: str,
+                         q: float = 0.5) -> dict:
+    """EXACT per-group discrete quantile of an integer column —
+    grouped twin of ``sketch.exact_int_quantiles`` (same DuckDB
+    ``quantile_disc`` semantics: smallest value whose cumulative count
+    reaches ``ceil(q * n)``, same double multiply before the ceil).
+
+    Affordable whenever |groups| × |distinct values| is bounded
+    (lengths per language, sizes per source): every block folds to a
+    (group, value, count) histogram partial, one tiny task merges them
+    — the exchange is O(groups × distinct), never O(rows).
+
+    Returns ``{group: quantile}``.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            group_col: t[group_col],
+            value_col: pc.cast(t[value_col], pa.int64()),
+        })
+        g = flat.group_by([group_col, value_col]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([
+            "n" if c == "count_all" else c for c in g.column_names
+        ])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, value_col]).aggregate([("n", "sum")])
+        return g.rename_columns([
+            "n" if c == "n_sum" else c for c in g.column_names
+        ])
+
+    hist = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r[group_col], []).append(
+            (r[value_col], r["n"])
+        )
+    out = {}
+    for grp, pairs in by_group.items():
+        pairs.sort()
+        counts = np.cumsum([n for _, n in pairs])
+        rank = math.ceil(q * int(counts[-1]))
+        idx = int(np.searchsorted(counts, max(rank, 1), side="left"))
+        out[grp] = int(pairs[idx][0])
+    return out
+
+
+def group_mad_outliers(ds, *, value_col: str, group_col: str,
+                       z: int = 3):
+    """Robust per-group outlier flags via the median absolute
+    deviation: a row is an outlier when
+    ``|x - median(group)| > z * MAD(group)``.
+
+    Everything is exact integer arithmetic (discrete-quantile medians
+    via the grouped histogram reduction above, absolute deviations,
+    one integer multiply) — no doubles anywhere, so the flags are
+    bit-reproducible under any block order and match the SQL twin
+    row-for-row.  Three column-pruned passes over the input (median
+    histogram, deviation histogram, final flag map); each exchange is
+    O(groups × distinct values).
+
+    Output: input columns + ``dev`` (int64) + ``is_outlier`` (bool).
+    """
+    import pyarrow.compute as pc
+
+    med = grouped_int_quantile(
+        ds, value_col=value_col, group_col=group_col, q=0.5
+    )
+    med_keys = pa.array(list(med.keys()))
+    med_vals = pa.array([med[k] for k in med.keys()], pa.int64())
+
+    def add_dev(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[group_col], value_set=med_keys)
+        m = pc.take(med_vals, idx)
+        dev = pc.abs(pc.subtract(pc.cast(t[value_col], pa.int64()), m))
+        return t.append_column("dev", dev)
+
+    devs = ds.map_batches(add_dev, batch_format="pyarrow")
+    mad = grouped_int_quantile(
+        devs, value_col="dev", group_col=group_col, q=0.5
+    )
+    mad_vals = pa.array([mad[k] for k in med.keys()], pa.int64())
+
+    def flag(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[group_col], value_set=med_keys)
+        thresh = pc.multiply(
+            pc.take(mad_vals, idx), pa.scalar(z, pa.int64())
+        )
+        return t.append_column(
+            "is_outlier", pc.greater(t["dev"], thresh)
+        )
+
+    return devs.map_batches(flag, batch_format="pyarrow")

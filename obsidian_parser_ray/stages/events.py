@@ -1014,3 +1014,161 @@ def json_int_field_stats(events, *, props_col: str = "props",
         .repartition(1, shuffle=False)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+def last_touch_attribution(events, *, key_col: str = "user_id",
+                           ts_col: str = "ts", id_col: str = "event_id",
+                           type_col: str = "event_type",
+                           conversion: str = "purchase",
+                           touches: tuple = ("click", "signup", "view"),
+                           num_partitions: int = 64):
+    """Last-touch marketing attribution: every ``conversion`` event is
+    credited to the most recent PRECEDING touch event (any type in
+    ``touches``) of the same user; conversions with no prior touch are
+    credited to ``'none'``.
+
+    SQL twin: ``last_value(touch IGNORE NULLS) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)``.  One bounded hash shuffle by user, then ONE
+    vectorized numpy sweep per partition (segmented max-accumulate of
+    touch positions — no per-user Python loop), then bounded-key count
+    partials merged in a single tiny task (≤ len(touches)+1 groups).
+
+    Output: (touch, n_purchases), one row per credited touch type.
+    """
+    touch_list = list(touches)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from ..hashing import hash_bucket_array
+
+        return t.append_column(
+            "part", hash_bucket_array(t[key_col], num_partitions)
+        )
+
+    def attribute_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({
+                "touch": pd.Series([], dtype="object"),
+                "n_purchases": pd.Series([], dtype="int64"),
+            })
+        p = p.sort_values([key_col, ts_col, id_col], kind="stable")
+        keys = p[key_col].to_numpy()
+        vals = p[type_col].to_numpy()
+        n = len(p)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        # position of the last touch at-or-before each row WITHIN its
+        # key segment: running max of touch positions, gated by the
+        # segment start (both nondecreasing, so the compare is exact)
+        is_touch = np.isin(vals, touch_list)
+        pos = np.where(is_touch, np.arange(n), -1)
+        seg_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(n), 0)
+        )
+        run = np.maximum.accumulate(pos)
+        at_or_before = np.where(run >= seg_start, run, -1)
+        # strictly-before = the previous row's at-or-before (same
+        # segment), -1 at segment starts
+        prev = np.concatenate(([-1], at_or_before[:-1]))
+        prev = np.where(new_key, -1, prev)
+        conv = vals == conversion
+        credited = prev[conv]
+        labels = np.where(
+            credited >= 0,
+            vals[np.clip(credited, 0, None)],
+            "none",
+        )
+        out = (
+            pd.Series(labels)
+            .value_counts()
+            .rename_axis("touch")
+            .reset_index(name="n_purchases")
+        )
+        return out.astype({"touch": "object", "n_purchases": "int64"})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("touch").aggregate([("n_purchases", "sum")])
+        return g.rename_columns([
+            "n_purchases" if c == "n_purchases_sum" else c
+            for c in g.column_names
+        ])
+
+    return (
+        events.select_columns([key_col, ts_col, id_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attribute_partition, batch_format="pandas")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+
+
+def new_user_counts(events, *, key_col: str = "user_id",
+                    ts_col: str = "ts"):
+    """Per-day new-user counts + running cumulative total (growth
+    accounting over an append-only event log).
+
+    Scale shape: per-block (user → min epoch) partials first, so the
+    per-user shuffle moves ≤ one row per (block, user); the per-day
+    reduction is bounded (calendar days), merged + cumsum'd in one
+    tiny final task — the cumulative sum never touches a window shuffle.
+
+    Output: (day [yyyymmdd int], new_users, cum_users) in day order.
+    """
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        # normalize the unit first: pandas-sourced tables are ns,
+        # parquet testdata is us — the int64 epoch must be micros
+        flat = pa.table({
+            key_col: t[key_col],
+            "first_us": pc.cast(
+                pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()
+            ),
+        })
+        g = flat.group_by(key_col).aggregate([("first_us", "min")])
+        return g.rename_columns([
+            "first_us" if c == "first_us_min" else c
+            for c in g.column_names
+        ])
+
+    from ray.data.aggregate import Min
+
+    firsts = (
+        events.select_columns([key_col, ts_col])
+        .map_batches(first_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Min("first_us", alias_name="first_us"))
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["first_us"], pa.timestamp("us"))
+        day = pc.add(
+            pc.add(
+                pc.multiply(pc.cast(pc.year(ts), pa.int64()), 10000),
+                pc.multiply(pc.cast(pc.month(ts), pa.int64()), 100),
+            ),
+            pc.cast(pc.day(ts), pa.int64()),
+        )
+        g = (
+            pa.table({"day": day})
+            .group_by("day")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([
+            "new_users" if c == "count_all" else c for c in g.column_names
+        ])
+
+    def merge_cum(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("new_users", "sum")])
+        g = g.rename_columns([
+            "new_users" if c == "new_users_sum" else c
+            for c in g.column_names
+        ]).sort_by("day")
+        cum = np.cumsum(g["new_users"].to_numpy())
+        return g.append_column("cum_users", pa.array(cum, pa.int64()))
+
+    return (
+        firsts.map_batches(day_partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge_cum, batch_format="pyarrow")
+    )

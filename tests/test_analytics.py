@@ -431,3 +431,93 @@ def test_revenue_rollup_levels_consistent(ray_session, tables):
         assert per_region[r.r_name] == r.revenue_micro
     assert len(total) == 1
     assert total.revenue_micro.iloc[0] == leaves.revenue_micro.sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMarketShareAndDisjunctive:
+    """Q8 / Q19 shapes on a small synthetic star (oracle parity for the
+    real tables is covered by the driver twins)."""
+
+    def test_disjunctive_envelope_keeps_all_matches(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import (
+            disjunctive_revenue,
+        )
+
+        part = pa.table({
+            "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "p_brand": pa.array(
+                ["Brand#1", "Brand#2", "Brand#3", "Brand#9"]),
+            "p_size": pa.array([5, 10, 15, 1], pa.int64()),
+        })
+        li = pa.table({
+            "l_partkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+            "l_quantity": pa.array([5.0, 50.0, 15.0, 25.0, 5.0]),
+            "l_extendedprice": pa.array([10.0, 10.0, 20.0, 30.0, 40.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.5, 0.0, 0.0]),
+        })
+        out = disjunctive_revenue(
+            rd.from_arrow(li).repartition(2), rd.from_arrow(part),
+        ).to_pandas()
+        # matches: row0 (Brand#1 qty 5), row2 (Brand#2 qty 15, rev 10),
+        # row3 (Brand#3 qty 25); row1 fails qty, row4 wrong brand
+        assert out["n_items"].iloc[0] == 3
+        assert out["revenue_micro"].iloc[0] == (10 + 10 + 30) * 1_000_000
+
+    def test_market_share_flags_numerator_subset(self):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import market_share
+
+        nation = pa.table({
+            "n_nationkey": pa.array([0, 1], pa.int64()),
+            "n_name": pa.array(["N_A", "N_B"]),
+            "n_regionkey": pa.array([0, 0], pa.int64()),
+        })
+        region = pa.table({
+            "r_regionkey": pa.array([0], pa.int64()),
+            "r_name": pa.array(["R"]),
+        })
+        part = pa.table({
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_type": pa.array(["T", "OTHER"]),
+        })
+        supplier = pa.table({
+            "s_suppkey": pa.array([1, 2], pa.int64()),
+            "s_nationkey": pa.array([0, 1], pa.int64()),
+        })
+        customer = pa.table({
+            "c_custkey": pa.array([1], pa.int64()),
+            "c_nationkey": pa.array([0], pa.int64()),
+        })
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(1995, 6, 1), dt.datetime(1995, 7, 1)],
+                pa.timestamp("us")),
+        })
+        li = pa.table({
+            "l_orderkey": pa.array([1, 2, 2], pa.int64()),
+            "l_partkey": pa.array([1, 1, 2], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 1], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 300.0, 999.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0]),
+        })
+        out = market_share(
+            rd.from_arrow(li), rd.from_arrow(orders),
+            rd.from_arrow(customer), rd.from_arrow(supplier),
+            rd.from_arrow(part), rd.from_arrow(nation),
+            rd.from_arrow(region),
+            target_nation="N_A", region_name="R", part_type="T",
+            date_from=dt.datetime(1995, 1, 1),
+            date_to=dt.datetime(1996, 1, 1),
+        ).to_pandas()
+        # part 2 excluded by type; nation-A supplier sold 100 of 400
+        assert len(out) == 1
+        assert out["total_micro"].iloc[0] == 400 * 1_000_000
+        assert out["nation_micro"].iloc[0] == 100 * 1_000_000
+        assert out["mkt_share"].iloc[0] == 0.25

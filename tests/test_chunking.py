@@ -245,3 +245,43 @@ class TestSampleMixture:
             id_col="doc_id",
         ).to_pandas()
         assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashSplit:
+    def test_deterministic_and_stable_under_growth(self):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.chunking import hash_split
+
+        ids = list(range(200))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+        out = (
+            hash_split(rd.from_arrow(t).repartition(4))
+            .to_pandas().set_index("doc_id")["split"]
+        )
+        for i in ids:
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+            exp = "train" if b < 80 else ("val" if b < 90 else "test")
+            assert out.loc[i] == exp
+        # assignment of existing ids never changes when the corpus grows
+        t2 = pa.table({"doc_id": pa.array(ids + list(range(500, 700)),
+                                          pa.int64())})
+        out2 = (
+            hash_split(rd.from_arrow(t2).repartition(7))
+            .to_pandas().set_index("doc_id")["split"]
+        )
+        assert out2.loc[ids].equals(out)
+
+    def test_bad_params_raise(self):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from obsidian_parser_ray.stages.chunking import hash_split
+
+        ds = rd.from_arrow(pa.table({"doc_id": [1]}))
+        with pytest.raises(ValueError):
+            hash_split(ds, pcts=(90, 80))

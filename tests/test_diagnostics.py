@@ -170,3 +170,60 @@ class TestTableDiff:
                          compare_cols=["v"]).to_pandas()
         got = dict(zip(out.k, out.change)) if len(out) else {}
         assert got == {2: "changed"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedQuantileAndMad:
+    def test_grouped_quantile_matches_duckdb(self):
+        import duckdb
+        import pandas as pd
+
+        from obsidian_parser_ray.stages.diagnostics import (
+            grouped_int_quantile,
+        )
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(list("xyz"), 300),
+                "v": rng.randint(0, 40, 300),
+            }
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        for q in (0.05, 0.5, 0.95):
+            got = grouped_int_quantile(
+                rd.from_pandas(df).repartition(4),
+                value_col="v", group_col="g", q=q,
+            )
+            exp = dict(
+                con.execute(
+                    f"SELECT g, quantile_disc(v, {q})::BIGINT "
+                    "FROM t GROUP BY g"
+                ).fetchall()
+            )
+            assert got == exp
+
+    def test_mad_outliers_flags(self):
+        from obsidian_parser_ray.stages.diagnostics import (
+            group_mad_outliers,
+        )
+
+        # group 'a': tight cluster at 10 (MAD 1) + one far point
+        t = pa.table({
+            "id": pa.array(list(range(8)), pa.int64()),
+            "g": pa.array(["a"] * 7 + ["b"]),
+            "v": pa.array([9, 10, 10, 10, 11, 11, 99, 5], pa.int64()),
+        })
+        out = (
+            group_mad_outliers(
+                rd.from_arrow(t).repartition(3),
+                value_col="v", group_col="g",
+            )
+            .to_pandas().set_index("id").sort_index()
+        )
+        assert bool(out.loc[6, "is_outlier"])  # the 99
+        assert not out.loc[[0, 1, 2, 3, 4, 5], "is_outlier"].any()
+        # singleton group: dev 0, MAD 0 -> not an outlier
+        assert not bool(out.loc[7, "is_outlier"])
+        assert out.loc[6, "dev"] == 89

@@ -814,3 +814,116 @@ class TestJsonFieldStats:
             "n": 2, "sum_v": 2, "min_v": -3, "max_v": 5}
         assert out.loc["b"].to_dict() == {
             "n": 2, "sum_v": 10, "min_v": 0, "max_v": 10}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLastTouchAttribution:
+    def test_matches_window_oracle(self):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        n = 600
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 30, n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 86400, n), unit="s"),
+                "event_type": rng.choice(
+                    ["click", "view", "signup", "purchase", "error"], n
+                ),
+                "event_id": np.arange(n),
+            }
+        )
+        from obsidian_parser_ray.stages.events import last_touch_attribution
+        import ray.data as rd
+
+        out = (
+            last_touch_attribution(rd.from_pandas(df).repartition(5))
+            .to_pandas().sort_values("touch").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            """
+            WITH w AS (
+              SELECT event_type,
+                last_value(CASE WHEN event_type IN
+                                  ('click', 'signup', 'view')
+                                THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS touch
+              FROM events)
+            SELECT COALESCE(touch, 'none') AS touch,
+                   count(*)::BIGINT AS n_purchases
+            FROM w WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
+            """
+        ).fetchdf()
+        assert out.equals(exp)
+
+    def test_no_prior_touch_is_none(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import last_touch_attribution
+
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 2],
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-02", "2024-01-01"]
+                ),
+                "event_type": ["purchase", "click", "purchase"],
+                "event_id": [0, 1, 2],
+            }
+        )
+        out = (
+            last_touch_attribution(rd.from_pandas(df))
+            .to_pandas().set_index("touch")
+        )
+        assert out.loc["none", "n_purchases"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNewUserCounts:
+    def test_cumulative_matches_oracle(self):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 60, n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 86400 * 9, n), unit="s"),
+            }
+        )
+        from obsidian_parser_ray.stages.events import new_user_counts
+        import ray.data as rd
+
+        out = (
+            new_user_counts(rd.from_pandas(df).repartition(4))
+            .to_pandas().reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            """
+            WITH f AS (SELECT user_id, min(ts) AS fts
+                       FROM events GROUP BY user_id),
+            d AS (SELECT (EXTRACT(year FROM fts) * 10000
+                          + EXTRACT(month FROM fts) * 100
+                          + EXTRACT(day FROM fts))::BIGINT AS day,
+                         count(*)::BIGINT AS new_users
+                  FROM f GROUP BY day)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM d ORDER BY day
+            """
+        ).fetchdf()
+        assert out.equals(exp)
+        # cumulative total ends at the number of distinct users
+        assert out["cum_users"].iloc[-1] == df["user_id"].nunique()
