@@ -2329,6 +2329,71 @@ def _q_doc_outliers_mad(sf_dir: str):
     )
 
 
+def _q_doc_len_corr(sf_dir: str):
+    """Per-language Pearson correlation of char length vs token count
+    — exact int64 moments, doubles only in the final expression."""
+    import pyarrow.compute as _pc
+
+    from obsidian_parser_ray.stages.diagnostics import grouped_pearson
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars", "text"])
+
+    def add_tokens(t):
+        import pyarrow as pa
+
+        return t.append_column(
+            "n_tokens",
+            _pc.cast(
+                _pc.count_substring_regex(t["text"], "[A-Za-z0-9]+"),
+                pa.int64(),
+            ),
+        ).drop_columns(["text"])
+
+    return grouped_pearson(
+        docs.map_batches(add_tokens, batch_format="pyarrow"),
+        x_col="n_chars", y_col="n_tokens", group_col="lang",
+    )
+
+
+def _q_customer_mode_segment(sf_dir: str):
+    """Grouped mode: most common market segment per nation,
+    deterministic ties (row_number window twin)."""
+    from obsidian_parser_ray.stages.ranking import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"]),
+        ["c_nationkey"], "c_mktsegment",
+    )
+
+
+def _q_events_type_overlap(sf_dir: str):
+    """Audience Jaccard between event types: distinct-user set overlap
+    for every type pair (self-join twin)."""
+    from obsidian_parser_ray.stages.events import type_user_overlap
+
+    return type_user_overlap(
+        _read(sf_dir, "events", ["user_id", "event_type"]))
+
+
+def _q_events_contingency(sf_dir: str):
+    """Chi-square core: observed vs independence-expected counts for
+    the (type × hour) table — exact integer floor division."""
+    from obsidian_parser_ray.stages.events import contingency_expected
+
+    return contingency_expected(
+        _read(sf_dir, "events", ["event_type", "ts"]))
+
+
+def _q_sales_daily_ma(sf_dir: str):
+    """Time-series smoothing: per-day revenue + trailing 3-row moving
+    average over the bounded day table (no window shuffle)."""
+    from obsidian_parser_ray.pipelines.analytics import daily_moving_avg
+
+    return daily_moving_avg(
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_extendedprice", "l_discount"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2439,6 +2504,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_users": _q_events_new_users,
         "doc_split": _q_doc_split,
         "doc_outliers_mad": _q_doc_outliers_mad,
+        "doc_len_corr": _q_doc_len_corr,
+        "customer_mode_segment": _q_customer_mode_segment,
+        "events_type_overlap": _q_events_type_overlap,
+        "events_contingency": _q_events_contingency,
+        "sales_daily_ma": _q_sales_daily_ma,
     }
 
 
@@ -4164,5 +4234,90 @@ s AS (
 SELECT doc_id, lang, n_chars::BIGINT AS n_chars, dev,
        (dev > 3 * mad) AS is_outlier
 FROM d JOIN s USING (lang)
+""",
+        # exact int64 moments; corr doubles share the engine's exact
+        # expression shape (two sqrts, one division)
+        "doc_len_corr": r"""
+WITH x AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+           AS y
+  FROM documents
+),
+m AS (
+  SELECT lang, count(*)::BIGINT AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM x GROUP BY lang
+)
+SELECT lang, n,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    THEN ((n * sxy - sx * sy)::DOUBLE
+          / (sqrt((n * sxx - sx * sx)::DOUBLE)
+             * sqrt((n * syy - sy * sy)::DOUBLE)))
+    ELSE NULL END AS corr
+FROM m
+""",
+        "customer_mode_segment": r"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY n DESC, c_mktsegment) AS rk
+  FROM c
+)
+SELECT c_nationkey, c_mktsegment, n FROM r WHERE rk = 1
+""",
+        "events_type_overlap": r"""
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+c AS (SELECT event_type, count(*)::BIGINT AS n FROM d GROUP BY 1),
+b AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM d a JOIN d b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_both,
+       (n_both::DOUBLE / (ca.n + cb.n - n_both)::DOUBLE) AS jaccard
+FROM b
+JOIN c ca ON ca.event_type = type_a
+JOIN c cb ON cb.event_type = type_b
+""",
+        "events_contingency": r"""
+WITH o AS (
+  SELECT event_type, EXTRACT(hour FROM ts)::BIGINT AS hour,
+         count(*)::BIGINT AS observed
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS rn
+      FROM o GROUP BY 1),
+c AS (SELECT hour, CAST(sum(observed) AS BIGINT) AS cn
+      FROM o GROUP BY 1),
+t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM o)
+SELECT event_type, hour, observed,
+       CAST((rn * cn * 1000000) // n AS BIGINT) AS expected_micro
+FROM o JOIN r USING (event_type) JOIN c USING (hour), t
+""",
+        "sales_daily_ma": r"""
+WITH d AS (
+  SELECT (EXTRACT(year FROM l_shipdate) * 10000
+          + EXTRACT(month FROM l_shipdate) * 100
+          + EXTRACT(day FROM l_shipdate))::BIGINT AS day,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS rev_micro
+  FROM lineitem GROUP BY day
+)
+SELECT day, rev_micro,
+  CAST(sum(rev_micro) OVER w AS BIGINT) AS ma_sum_micro,
+  CAST(count(*) OVER w AS BIGINT) AS ma_n,
+  (CAST(sum(rev_micro) OVER w AS BIGINT)::DOUBLE
+   / CAST(count(*) OVER w AS BIGINT)::DOUBLE) AS ma
+FROM d
+WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
     }

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1526,4 +1527,69 @@ def disjunctive_revenue(lineitem, part, *,
         joined.map_batches(partial, batch_format="pyarrow")
         .repartition(1, shuffle=False)
         .map_batches(merge, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily revenue + row-window moving average
+# ---------------------------------------------------------------------------
+
+
+def daily_moving_avg(lineitem, *, window: int = 3):
+    """Per-ship-day revenue with a trailing ``window``-row moving
+    average — the time-series smoothing shape (SQL ``ROWS BETWEEN n-1
+    PRECEDING AND CURRENT ROW``).
+
+    Scale shape: the fact folds to bounded per-day integer partials
+    (calendar days — thousands of rows even at 10¹² line items);
+    merge, ordering and the rolling sum all happen in ONE tiny final
+    task over that bounded table — a window shuffle never touches the
+    fact.  The moving average is the single double division, same
+    expression shape as the twin.
+
+    Output: (day [yyyymmdd], rev_micro, ma_sum_micro, ma_n, ma).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        d = t["l_shipdate"]
+        day = pc.add(
+            pc.add(
+                pc.multiply(pc.cast(pc.year(d), pa.int64()), 10000),
+                pc.multiply(pc.cast(pc.month(d), pa.int64()), 100),
+            ),
+            pc.cast(pc.day(d), pa.int64()),
+        )
+        g = (
+            pa.table({"day": day, "rev_micro": rev})
+            .group_by("day")
+            .aggregate([("rev_micro", "sum")])
+        )
+        return _rename_sums(g, {"rev_micro_sum": "rev_micro"})
+
+    def merge_roll(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("rev_micro", "sum")])
+        g = _rename_sums(g, {"rev_micro_sum": "rev_micro"}).sort_by("day")
+        rev = g["rev_micro"].to_numpy()
+        csum = np.concatenate(([0], np.cumsum(rev)))
+        n = len(rev)
+        lo = np.maximum(np.arange(n) - (window - 1), 0)
+        ma_sum = csum[np.arange(n) + 1] - csum[lo]
+        ma_n = np.arange(n) + 1 - lo
+        ma = ma_sum.astype(np.float64) / ma_n.astype(np.float64)
+        return (
+            g.append_column("ma_sum_micro", pa.array(ma_sum, pa.int64()))
+            .append_column("ma_n", pa.array(ma_n, pa.int64()))
+            .append_column("ma", pa.array(ma, pa.float64()))
+        )
+
+    return (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge_roll, batch_format="pyarrow")
     )

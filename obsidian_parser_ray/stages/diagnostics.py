@@ -508,3 +508,73 @@ def group_mad_outliers(ds, *, value_col: str, group_col: str,
         )
 
     return devs.map_batches(flag, batch_format="pyarrow")
+
+
+def grouped_pearson(ds, *, x_col: str, y_col: str, group_col: str):
+    """Per-group Pearson correlation of two integer columns via EXACT
+    int64 moments (n, Σx, Σy, Σxy, Σx², Σy²) — associative under any
+    block order, so the distributed sums are bit-reproducible; the
+    only doubles are the final arithmetic, spelled with the same
+    expression shape as the SQL twin (two correctly-rounded sqrts).
+
+    int64 holds the moments to ~9.2e18: at Σx² ≈ n·x², that is
+    n ≈ 1e12 rows of 3-digit values — beyond that a deployment moves
+    the moments to decimal128; the pipeline shape is unchanged.
+
+    Output: (group_col, n, corr [float64; null when either variance
+    is zero]).
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col], pa.int64())
+        y = pc.cast(t[y_col], pa.int64())
+        flat = pa.table({
+            group_col: t[group_col],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "sx": x,
+            "sy": y,
+            "sxy": pc.multiply(x, y),
+            "sxx": pc.multiply(x, x),
+            "syy": pc.multiply(y, y),
+        })
+        g = flat.group_by(group_col).aggregate(
+            [(c, "sum") for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_col).aggregate(
+            [(c, "sum") for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]]
+        )
+        g = g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+        n = g["n"].to_numpy()
+        sx, sy = g["sx"].to_numpy(), g["sy"].to_numpy()
+        sxy = g["sxy"].to_numpy()
+        sxx, syy = g["sxx"].to_numpy(), g["syy"].to_numpy()
+        # exact int64 numerators, then ONE double division / two sqrts
+        cov_n = (n * sxy - sx * sy).astype(np.float64)
+        vx_n = (n * sxx - sx * sx).astype(np.float64)
+        vy_n = (n * syy - sy * sy).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = cov_n / (np.sqrt(vx_n) * np.sqrt(vy_n))
+        valid = (vx_n > 0) & (vy_n > 0)
+        return pa.table({
+            group_col: g[group_col],
+            "n": g["n"],
+            "corr": pa.array(
+                np.where(valid, corr, np.nan), pa.float64(),
+                mask=~valid,
+            ),
+        })
+
+    return (
+        ds.select_columns([group_col, x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+    )

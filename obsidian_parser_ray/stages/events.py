@@ -1172,3 +1172,143 @@ def new_user_counts(events, *, key_col: str = "user_id",
         .repartition(1, shuffle=False)
         .map_batches(merge_cum, batch_format="pyarrow")
     )
+
+
+def type_user_overlap(events, *, key_col: str = "user_id",
+                      type_col: str = "event_type",
+                      num_partitions: int = 64):
+    """Jaccard overlap between the DISTINCT-user sets of every pair of
+    event types — audience-similarity for bounded categorical columns.
+
+    One hash shuffle by user; each partition reduces its users to
+    distinct (user, type) pairs and emits BOTH pair-intersection
+    partials (self-merge per user — per-user fan-out is bounded by the
+    type cardinality, never by event count) and per-type distinct-user
+    partials, as one tagged table; the final task (bounded by |types|²
+    rows) resolves counts and the Jaccard double with the exact
+    expression shape of the SQL twin.  Pairs with an empty
+    intersection are not emitted (inner-join semantics).
+
+    Output: (type_a, type_b [a < b], n_a, n_b, n_both, jaccard).
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from ..hashing import hash_bucket_array
+
+        return t.append_column(
+            "part", hash_bucket_array(t[key_col], num_partitions)
+        )
+
+    def partition_partials(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({
+                "type_a": pd.Series([], dtype="object"),
+                "type_b": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        d = p[[key_col, type_col]].drop_duplicates()
+        # intersections: per-user self merge (bounded fan-out)
+        m = d.merge(d, on=key_col, suffixes=("_a", "_b"))
+        m = m[m[f"{type_col}_a"] < m[f"{type_col}_b"]]
+        pairs = (
+            m.groupby([f"{type_col}_a", f"{type_col}_b"])
+            .size().rename("n").reset_index()
+            .rename(columns={f"{type_col}_a": "type_a",
+                             f"{type_col}_b": "type_b"})
+        )
+        # per-type distinct users, tagged with an empty type_b
+        singles = (
+            d.groupby(type_col).size().rename("n").reset_index()
+            .rename(columns={type_col: "type_a"})
+        )
+        singles["type_b"] = ""
+        out = pd.concat(
+            [pairs, singles[["type_a", "type_b", "n"]]],
+            ignore_index=True,
+        )
+        return out.astype({"type_a": "object", "type_b": "object",
+                           "n": "int64"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["type_a", "type_b"]).aggregate([("n", "sum")])
+        df = g.to_pandas().rename(columns={"n_sum": "n"})
+        totals = (
+            df[df["type_b"] == ""].set_index("type_a")["n"].to_dict()
+        )
+        pairs = df[df["type_b"] != ""].copy()
+        pairs["n_a"] = pairs["type_a"].map(totals).astype("int64")
+        pairs["n_b"] = pairs["type_b"].map(totals).astype("int64")
+        pairs = pairs.rename(columns={"n": "n_both"})
+        union = pairs["n_a"] + pairs["n_b"] - pairs["n_both"]
+        pairs["jaccard"] = (
+            pairs["n_both"].astype("float64") / union.astype("float64")
+        )
+        return pa.Table.from_pandas(
+            pairs[["type_a", "type_b", "n_a", "n_b", "n_both",
+                   "jaccard"]],
+            preserve_index=False,
+        )
+
+    return (
+        events.select_columns([key_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_partials, batch_format="pandas")
+        .repartition(1, shuffle=False)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def contingency_expected(events, *, type_col: str = "event_type",
+                         ts_col: str = "ts"):
+    """Observed vs independence-expected counts for the
+    (event type × hour-of-day) contingency table — the exact-integer
+    core of a chi-square independence test.
+
+    ``expected_micro = row_total * col_total * 1e6 // n`` is an exact
+    int64 floor division (no doubles anywhere), so the table is
+    bit-reproducible and the SQL twin matches row-for-row; the caller
+    derives chi² from (observed, expected) as a final driver-side
+    fold.  Per-block partials are bounded (|types| × 24), merged in
+    one tiny task that also resolves the marginals.
+
+    Output: (event_type, hour, observed, expected_micro).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            type_col: t[type_col],
+            "hour": pc.cast(
+                pc.hour(pc.cast(t[ts_col], pa.timestamp("us"))),
+                pa.int64(),
+            ),
+        })
+        g = flat.group_by([type_col, "hour"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([
+            "observed" if c == "count_all" else c for c in g.column_names
+        ])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by([type_col, "hour"]).aggregate(
+            [("observed", "sum")]
+        )
+        df = g.to_pandas().rename(columns={"observed_sum": "observed"})
+        row_tot = df.groupby(type_col)["observed"].transform("sum")
+        col_tot = df.groupby("hour")["observed"].transform("sum")
+        n = int(df["observed"].sum())
+        df["expected_micro"] = (
+            row_tot.astype("int64") * col_tot.astype("int64") * 1_000_000
+        ) // n
+        return pa.Table.from_pandas(
+            df[[type_col, "hour", "observed", "expected_micro"]],
+            preserve_index=False,
+        )
+
+    return (
+        events.select_columns([type_col, ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(finish, batch_format="pyarrow")
+    )

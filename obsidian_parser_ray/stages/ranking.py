@@ -206,3 +206,56 @@ def cocitation(triples, *, pred: str = "links_to", min_shared: int = 1,
     if min_shared > 1:
         out = out.filter(expr=f"n_shared >= {int(min_shared)}")
     return out
+
+
+def grouped_mode(ds, keys: list[str], value_col: str, *,
+                 count_col: str = "n", num_partitions: int = 64):
+    """Most frequent value per key group, deterministic ties (smallest
+    value wins) — SQL ``row_number() OVER (PARTITION BY keys ORDER BY
+    count DESC, value)`` = 1 without a global sort.
+
+    Two-phase counts (per-block partials, hash-partitioned merge on
+    the composite key) feed the same partial-top-k machinery as
+    :func:`grouped_topk` with k=1; shuffle volume is one row per
+    (block, key, value), never raw rows.
+
+    Output: keys + value_col + ``count_col``.
+    """
+    from ..hashing import hash_bucket_array
+
+    gcols = list(keys) + [value_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(gcols).group_by(gcols).aggregate([([], "count_all")])
+        return g.rename_columns([
+            count_col if c == "count_all" else c for c in g.column_names
+        ])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kk = pc.binary_join_element_wise(
+            *[pc.cast(t[c], pa.string()) for c in gcols], "\x00"
+        )
+        return t.append_column(
+            "part", hash_bucket_array(kk, num_partitions)
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by(gcols).aggregate(
+            [(count_col, "sum")]
+        )
+        return g.rename_columns([
+            count_col if c == f"{count_col}_sum" else c
+            for c in g.column_names
+        ])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return grouped_topk(
+        counts, list(keys), count_col, 1,
+        descending=True, tiebreak=[value_col],
+        num_partitions=num_partitions,
+    )

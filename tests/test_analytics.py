@@ -521,3 +521,30 @@ class TestMarketShareAndDisjunctive:
         assert out["total_micro"].iloc[0] == 400 * 1_000_000
         assert out["nation_micro"].iloc[0] == 100 * 1_000_000
         assert out["mkt_share"].iloc[0] == 0.25
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDailyMovingAvg:
+    def test_rolling_window_exact(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import daily_moving_avg
+
+        li = pa.table({
+            "l_shipdate": pa.array(
+                [dt.datetime(2024, 1, d) for d in [1, 1, 2, 3, 4]],
+                pa.timestamp("us")),
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0, 50.0]),
+            "l_discount": pa.array([0.0] * 5),
+        })
+        out = daily_moving_avg(
+            rd.from_arrow(li).repartition(3), window=3
+        ).to_pandas()
+        m = 1_000_000
+        assert list(out["day"]) == [20240101, 20240102, 20240103,
+                                    20240104]
+        assert list(out["rev_micro"]) == [30 * m, 30 * m, 40 * m, 50 * m]
+        assert list(out["ma_sum_micro"]) == [30 * m, 60 * m, 100 * m,
+                                             120 * m]
+        assert list(out["ma_n"]) == [1, 2, 3, 3]
+        assert out["ma"].iloc[3] == 120 * m / 3

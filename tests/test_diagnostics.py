@@ -227,3 +227,44 @@ class TestGroupedQuantileAndMad:
         # singleton group: dev 0, MAD 0 -> not an outlier
         assert not bool(out.loc[7, "is_outlier"])
         assert out.loc[6, "dev"] == 89
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedPearson:
+    def test_matches_numpy(self):
+        import pandas as pd
+
+        from obsidian_parser_ray.stages.diagnostics import grouped_pearson
+
+        rng = np.random.RandomState(17)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["u", "v"], 400),
+                "x": rng.randint(0, 100, 400),
+            }
+        )
+        df["y"] = df["x"] * 2 + rng.randint(0, 50, 400)
+        out = (
+            grouped_pearson(
+                rd.from_pandas(df).repartition(5),
+                x_col="x", y_col="y", group_col="g",
+            )
+            .to_pandas().set_index("g").sort_index()
+        )
+        for g in ["u", "v"]:
+            sub = df[df["g"] == g]
+            exp = np.corrcoef(sub["x"], sub["y"])[0, 1]
+            assert abs(out.loc[g, "corr"] - exp) < 1e-12
+            assert out.loc[g, "n"] == len(sub)
+
+    def test_zero_variance_is_null(self):
+        import pandas as pd
+
+        from obsidian_parser_ray.stages.diagnostics import grouped_pearson
+
+        df = pd.DataFrame({"g": ["a"] * 5, "x": [7] * 5,
+                           "y": [1, 2, 3, 4, 5]})
+        out = grouped_pearson(
+            rd.from_pandas(df), x_col="x", y_col="y", group_col="g"
+        ).to_pandas()
+        assert out["corr"].isna().all()

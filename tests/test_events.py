@@ -927,3 +927,86 @@ class TestNewUserCounts:
         assert out.equals(exp)
         # cumulative total ends at the number of distinct users
         assert out["cum_users"].iloc[-1] == df["user_id"].nunique()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTypeUserOverlap:
+    def test_matches_self_join_oracle(self):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.RandomState(13)
+        n = 800
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 50, n),
+                "event_type": rng.choice(list("pqrs"), n),
+            }
+        )
+        from obsidian_parser_ray.stages.events import type_user_overlap
+        import ray.data as rd
+
+        out = (
+            type_user_overlap(rd.from_pandas(df).repartition(5))
+            .to_pandas().sort_values(["type_a", "type_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            c AS (SELECT event_type, count(*)::BIGINT AS n
+                  FROM d GROUP BY 1),
+            b AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         count(*)::BIGINT AS n_both
+                  FROM d a JOIN d b USING (user_id)
+                  WHERE a.event_type < b.event_type GROUP BY 1, 2)
+            SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_both,
+                   (n_both::DOUBLE
+                    / (ca.n + cb.n - n_both)::DOUBLE) AS jaccard
+            FROM b JOIN c ca ON ca.event_type = type_a
+                   JOIN c cb ON cb.event_type = type_b
+            ORDER BY 1, 2
+            """
+        ).fetchdf()
+        assert out.equals(exp)
+
+    def test_disjoint_types_emit_no_pair(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import type_user_overlap
+
+        df = pd.DataFrame(
+            {"user_id": [1, 2, 3, 4], "event_type": list("aabb")}
+        )
+        out = type_user_overlap(rd.from_pandas(df)).to_pandas()
+        assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContingencyExpected:
+    def test_marginal_product_floor_division(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import contingency_expected
+
+        df = pd.DataFrame(
+            {
+                "event_type": ["a", "a", "a", "b"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:10", "2024-01-01 00:20",
+                     "2024-01-01 01:10", "2024-01-01 00:30"]
+                ),
+            }
+        )
+        out = (
+            contingency_expected(rd.from_pandas(df).repartition(2))
+            .to_pandas()
+            .set_index(["event_type", "hour"]).sort_index()
+        )
+        # row a: 3, row b: 1; col 0: 3, col 1: 1; n = 4
+        assert out.loc[("a", 0), "observed"] == 2
+        assert out.loc[("a", 0), "expected_micro"] == 3 * 3 * 1_000_000 // 4
+        assert out.loc[("a", 1), "expected_micro"] == 3 * 1 * 1_000_000 // 4
+        assert out.loc[("b", 0), "expected_micro"] == 1 * 3 * 1_000_000 // 4

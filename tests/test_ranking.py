@@ -148,3 +148,58 @@ def test_cocitation_block_layout_invariant(ray_session):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedMode:
+    def test_mode_with_deterministic_ties(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.ranking import grouped_mode
+
+        df = pd.DataFrame(
+            {
+                # g1: b wins 3-2; g2: tie a/c 2-2 -> 'a' (smallest)
+                "g": ["g1"] * 5 + ["g2"] * 4,
+                "v": ["a", "b", "b", "b", "a", "c", "a", "c", "a"],
+            }
+        )
+        out = (
+            grouped_mode(rd.from_pandas(df).repartition(4), ["g"], "v")
+            .to_pandas().set_index("g").sort_index()
+        )
+        assert out.loc["g1", "v"] == "b" and out.loc["g1", "n"] == 3
+        assert out.loc["g2", "v"] == "a" and out.loc["g2", "n"] == 2
+
+    def test_matches_window_oracle_random(self):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.ranking import grouped_mode
+
+        rng = np.random.RandomState(23)
+        df = pd.DataFrame(
+            {
+                "g": rng.randint(0, 12, 600),
+                "v": rng.choice(list("abcdef"), 600),
+            }
+        )
+        out = (
+            grouped_mode(rd.from_pandas(df).repartition(6), ["g"], "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            """
+            WITH c AS (SELECT g, v, count(*)::BIGINT AS n
+                       FROM t GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY g
+                        ORDER BY n DESC, v) AS rk FROM c)
+            SELECT g, v, n FROM r WHERE rk = 1 ORDER BY g
+            """
+        ).fetchdf()
+        assert out.equals(exp)
