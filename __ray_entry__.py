@@ -2394,6 +2394,54 @@ def _q_sales_daily_ma(sf_dir: str):
               ["l_shipdate", "l_extendedprice", "l_discount"]))
 
 
+def _q_sales_nation_share(sf_dir: str):
+    """Ratio-to-report: each nation's share of its region's revenue —
+    window derived from bounded leaves, no second pass."""
+    from obsidian_parser_ray.pipelines.analytics import nation_share
+
+    return nation_share(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region"),
+    )
+
+
+def _q_supplier_pareto(sf_dir: str):
+    """Pareto 80/20 flagging over aggregated supplier revenue — exact
+    integer cross-multiplied membership test."""
+    from obsidian_parser_ray.pipelines.analytics import supplier_pareto
+
+    return supplier_pareto(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount"]))
+
+
+def _q_doc_char_bigrams(sf_dir: str):
+    """One BPE merge round: corpus-wide top-50 adjacent char pairs via
+    bounded 64Ki-bin bincount partials."""
+    from obsidian_parser_ray.stages.text import char_pair_counts
+
+    return char_pair_counts(_read(sf_dir, "documents", ["text"]), k=50)
+
+
+def _q_events_lifespan_quantiles(sf_dir: str):
+    """Engagement distribution: exact discrete deciles of per-user
+    lifespans (histogram reduction over the per-user aggregate)."""
+    import pandas as pd
+
+    from obsidian_parser_ray.stages.events import user_lifespans
+    from obsidian_parser_ray.stages.sketch import exact_int_quantiles
+
+    spans = user_lifespans(_read(sf_dir, "events", ["user_id", "ts"]))
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    vals = exact_int_quantiles(spans, "lifespan_s", qs)
+    return pd.DataFrame({"q": qs, "lifespan_q": vals}).astype(
+        {"q": "float64", "lifespan_q": "int64"}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2509,6 +2557,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_overlap": _q_events_type_overlap,
         "events_contingency": _q_events_contingency,
         "sales_daily_ma": _q_sales_daily_ma,
+        "sales_nation_share": _q_sales_nation_share,
+        "supplier_pareto": _q_supplier_pareto,
+        "doc_char_bigrams": _q_doc_char_bigrams,
+        "events_lifespan_quantiles": _q_events_lifespan_quantiles,
     }
 
 
@@ -4319,5 +4371,65 @@ SELECT day, rev_micro,
    / CAST(count(*) OVER w AS BIGINT)::DOUBLE) AS ma
 FROM d
 WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+        "sales_nation_share": r"""
+WITH leaf AS (
+  SELECT r_name, n_name,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS revenue_micro
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, revenue_micro,
+  CAST(sum(revenue_micro) OVER (PARTITION BY r_name) AS BIGINT)
+    AS region_micro,
+  (revenue_micro::DOUBLE
+   / CAST(sum(revenue_micro) OVER (PARTITION BY r_name)
+          AS BIGINT)::DOUBLE) AS share
+FROM leaf
+""",
+        "supplier_pareto": r"""
+WITH s AS (
+  SELECT l_suppkey AS s_suppkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS revenue_micro
+  FROM lineitem GROUP BY l_suppkey
+),
+w AS (
+  SELECT *,
+    CAST(sum(revenue_micro)
+         OVER (ORDER BY revenue_micro DESC, s_suppkey) AS BIGINT)
+      AS cum_micro,
+    CAST(sum(revenue_micro) OVER () AS BIGINT) AS total
+  FROM s
+)
+SELECT s_suppkey, revenue_micro, cum_micro,
+       ((cum_micro - revenue_micro) * 100 < total * 80) AS in_pareto
+FROM w
+""",
+        "doc_char_bigrams": r"""
+WITH pos AS (
+  SELECT text, unnest(range(1, length(text))) AS i FROM documents
+),
+c AS (
+  SELECT substr(text, i, 2) AS pair, count(*)::BIGINT AS n
+  FROM pos GROUP BY pair
+)
+SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 50
+""",
+        "events_lifespan_quantiles": r"""
+WITH l AS (
+  SELECT (epoch_us(max(ts)) // 1000000)
+         - (epoch_us(min(ts)) // 1000000) AS lifespan_s
+  FROM events GROUP BY user_id
+)
+SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9])::DOUBLE AS q,
+       unnest(quantile_disc(lifespan_s,
+                            [0.1, 0.25, 0.5, 0.75, 0.9]))::BIGINT
+         AS lifespan_q
+FROM l
 """,
     }

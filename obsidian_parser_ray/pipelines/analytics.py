@@ -1593,3 +1593,164 @@ def daily_moving_avg(lineitem, *, window: int = 3):
         .repartition(1, shuffle=False)
         .map_batches(merge_roll, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: nation revenue share within its region
+# ---------------------------------------------------------------------------
+
+
+def nation_share(lineitem, supplier, nation, region, *,
+                 num_partitions: int = 64):
+    """Each nation's share of its region's supplier-side revenue — the
+    ``ratio_to_report`` / percent-of-total window shape.
+
+    Scale shape: identical reduction pipeline to
+    :func:`revenue_rollup` (per-suppkey integer partials → one
+    size-adaptive join → bounded (region, nation) partials); region
+    totals are derived FROM the bounded nation leaves in the final
+    task, so the "window" costs nothing.  The share is the one double
+    division, same expression shape as the twin.
+
+    Output: (r_name, n_name, revenue_micro, region_micro, share).
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    nat = pa.concat_tables(
+        [b for b in nation.iter_batches(batch_format="pyarrow")]
+    )
+    reg = pa.concat_tables(
+        [b for b in region.iter_batches(batch_format="pyarrow")]
+    )
+    nat_keys = pc.cast(nat["n_nationkey"], pa.int64()).combine_chunks()
+    nat_names = nat["n_name"].combine_chunks()
+    reg_keys = pc.cast(reg["r_regionkey"], pa.int64()).combine_chunks()
+    reg_names = reg["r_name"].combine_chunks()
+    nat_region = pc.take(
+        reg_names,
+        pc.index_in(
+            pc.cast(nat["n_regionkey"], pa.int64()).combine_chunks(),
+            value_set=reg_keys,
+        ),
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        flat = pa.table({"l_suppkey": t["l_suppkey"],
+                         "revenue_micro": rev})
+        g = flat.group_by("l_suppkey").aggregate(
+            [("revenue_micro", "sum")]
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    joined = broadcast_join_unique(
+        lineitem.map_batches(li_partial, batch_format="pyarrow"),
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        left_key="l_suppkey", right_key="s_suppkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def leaf_partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            pc.cast(t["s_nationkey"], pa.int64()), value_set=nat_keys
+        )
+        flat = pa.table({
+            "r_name": pc.take(nat_region, idx),
+            "n_name": pc.take(nat_names, idx),
+            "revenue_micro": t["revenue_micro"],
+        })
+        g = flat.group_by(["r_name", "n_name"]).aggregate(
+            [("revenue_micro", "sum")]
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["r_name", "n_name"]).aggregate(
+            [("revenue_micro", "sum")]
+        )
+        df = _rename_sums(
+            g, {"revenue_micro_sum": "revenue_micro"}
+        ).to_pandas()
+        df["region_micro"] = (
+            df.groupby("r_name")["revenue_micro"].transform("sum")
+            .astype("int64")
+        )
+        df["share"] = (
+            df["revenue_micro"].astype("float64")
+            / df["region_micro"].astype("float64")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        joined.map_batches(leaf_partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / cumulative-share flagging over aggregated supplier revenue
+# ---------------------------------------------------------------------------
+
+
+def supplier_pareto(lineitem, *, threshold_pct: int = 80):
+    """Pareto (80/20) flagging: which suppliers make up the first
+    ``threshold_pct``% of total revenue, walking suppliers in
+    revenue-desc order (deterministic ties by suppkey).
+
+    Scale shape: the fact folds to per-suppkey integer partials per
+    block, then ONE hash groupby at supplier cardinality; the sort +
+    running share happen on that aggregated table only (|suppliers| ≪
+    |fact|).  The membership test is exact integer cross-multiplication
+    — ``cum * 100 <= total * pct`` — no double thresholds; a supplier
+    is in the Pareto set while the cumulative revenue BEFORE it is
+    under the threshold (so the set always covers ≥ pct%).
+
+    Output: (s_suppkey, revenue_micro, cum_micro, in_pareto).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        flat = pa.table({"l_suppkey": t["l_suppkey"], "_rev": rev})
+        g = flat.group_by("l_suppkey").aggregate([("_rev", "sum")])
+        return g.rename_columns([
+            "_rev" if c == "_rev_sum" else c for c in g.column_names
+        ])
+
+    totals = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("_rev", alias_name="revenue_micro"))
+    )
+
+    def rank_flag(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([
+            "s_suppkey" if c == "l_suppkey" else c
+            for c in t.column_names
+        ]).sort_by([("revenue_micro", "descending"),
+                    ("s_suppkey", "ascending")])
+        rev = t["revenue_micro"].to_numpy()
+        cum = np.cumsum(rev)
+        total = int(cum[-1]) if len(cum) else 0
+        before = cum - rev  # cumulative revenue of strictly-better rows
+        flag = before * 100 < total * threshold_pct
+        return (
+            t.append_column("cum_micro", pa.array(cum, pa.int64()))
+            .append_column("in_pareto", pa.array(flag, pa.bool_()))
+        )
+
+    return (
+        totals.repartition(1, shuffle=False)
+        .map_batches(rank_flag, batch_format="pyarrow", batch_size=None)
+    )

@@ -1312,3 +1312,45 @@ def contingency_expected(events, *, type_col: str = "event_type",
         .repartition(1, shuffle=False)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def user_lifespans(events, *, key_col: str = "user_id",
+                   ts_col: str = "ts"):
+    """Per-user lifespan in whole seconds (last event − first event,
+    integer epoch floor) — the input to retention/engagement
+    distribution statistics.
+
+    Per-block (user → min/max epoch) partials, one per-user groupby;
+    shuffle volume ≤ one row per (block, user).
+    Output: (key_col, lifespan_s).
+    """
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            1_000_000,
+        )
+        flat = pa.table({key_col: t[key_col], "lo": s, "hi": s})
+        g = flat.group_by(key_col).aggregate(
+            [("lo", "min"), ("hi", "max")]
+        )
+        return g.rename_columns([
+            {"lo_min": "lo", "hi_max": "hi"}.get(c, c)
+            for c in g.column_names
+        ])
+
+    spans = (
+        events.select_columns([key_col, ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            "lifespan_s": pc.subtract(t["hi"], t["lo"]),
+        })
+
+    return spans.map_batches(finish, batch_format="pyarrow")

@@ -914,3 +914,68 @@ def bm25_topk(ds, query_terms: list[str], *, k: int = 10,
         per_doc.map_batches(score, batch_format="pyarrow"),
         "score", k, tiebreak=[id_col],
     )
+
+
+def char_pair_counts(ds, *, text_col: str = "text", k: int = 50):
+    """Corpus-wide top-k adjacent character-pair counts — the counting
+    core of ONE byte-pair-encoding merge round.
+
+    Fully vectorized: each block concatenates its docs' bytes with a
+    NUL separator, forms all adjacent byte pairs with one uint16
+    multiply-add, and folds them into a 65,536-bin ``np.bincount`` —
+    the per-block partial the shuffle carries is bounded by the pair
+    alphabet (≤ 64Ki rows), never by corpus size, so the exchange is
+    O(1) in the data; one tiny task merges and takes the top-k
+    (deterministic ties: lexicographically smaller pair wins).
+
+    Byte pairs equal character pairs for ASCII corpora (the testdata
+    oracle's regime); multibyte UTF-8 text is counted at byte level —
+    the standard BPE convention.
+
+    Output: (pair [2-char string], n), top-k by count desc.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        blob = b"\x00".join(
+            (s or "").encode("utf-8", "surrogatepass") for s in texts
+        )
+        if len(blob) < 2:
+            return pa.table({
+                "code": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int64()),
+            })
+        a = np.frombuffer(blob, dtype=np.uint8)
+        hi, lo = a[:-1], a[1:]
+        valid = (hi != 0) & (lo != 0)
+        codes = hi[valid].astype(np.int32) * 256 + lo[valid]
+        counts = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "code": pa.array(nz.astype(np.int32), pa.int32()),
+            "n": pa.array(counts[nz], pa.int64()),
+        })
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by("code").aggregate([("n", "sum")])
+        codes = g["code"].to_numpy()
+        n = g["n_sum"].to_numpy()
+        # sort: count desc, then pair bytes asc (code asc == lexical
+        # asc for single-byte chars)
+        order = np.lexsort((codes, -n))[:k]
+        pairs = [
+            bytes([c >> 8, c & 0xFF]).decode("latin-1")
+            for c in codes[order]
+        ]
+        return pa.table({
+            "pair": pa.array(pairs, pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+        })
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge_topk, batch_format="pyarrow",
+                     batch_size=None)
+    )

@@ -548,3 +548,61 @@ class TestDailyMovingAvg:
                                              120 * m]
         assert list(out["ma_n"]) == [1, 2, 3, 3]
         assert out["ma"].iloc[3] == 120 * m / 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNationShareAndPareto:
+    def test_nation_share_sums_to_one_per_region(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import nation_share
+
+        nation = pa.table({
+            "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+            "n_name": pa.array(["N0", "N1", "N2"]),
+            "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+        })
+        region = pa.table({
+            "r_regionkey": pa.array([0, 1], pa.int64()),
+            "r_name": pa.array(["R0", "R1"]),
+        })
+        supplier = pa.table({
+            "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "s_nationkey": pa.array([0, 1, 2], pa.int64()),
+        })
+        li = pa.table({
+            "l_suppkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+            "l_discount": pa.array([0.0] * 4),
+        })
+        out = nation_share(
+            rd.from_arrow(li).repartition(2), rd.from_arrow(supplier),
+            rd.from_arrow(nation), rd.from_arrow(region),
+        ).to_pandas().set_index("n_name")
+        m = 1_000_000
+        assert out.loc["N0", "revenue_micro"] == 30 * m
+        assert out.loc["N0", "region_micro"] == 60 * m
+        assert out.loc["N0", "share"] == 0.5
+        assert out.loc["N2", "share"] == 1.0
+        g = out.groupby("r_name")["share"].sum()
+        assert (abs(g - 1.0) < 1e-12).all()
+
+    def test_pareto_covers_threshold(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import supplier_pareto
+
+        # revenues 50, 30, 15, 5 -> 80% reached after the first two
+        li = pa.table({
+            "l_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_extendedprice": pa.array([50.0, 30.0, 15.0, 5.0]),
+            "l_discount": pa.array([0.0] * 4),
+        })
+        out = supplier_pareto(
+            rd.from_arrow(li).repartition(2)
+        ).to_pandas().set_index("s_suppkey")
+        assert out.loc[1, "in_pareto"] and out.loc[2, "in_pareto"]
+        # supplier 3 starts at cum-before 80 == exactly 80% -> excluded
+        assert not out.loc[3, "in_pareto"]
+        assert not out.loc[4, "in_pareto"]
+        assert out.loc[2, "cum_micro"] == 80 * 1_000_000

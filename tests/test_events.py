@@ -1010,3 +1010,30 @@ class TestContingencyExpected:
         assert out.loc[("a", 0), "expected_micro"] == 3 * 3 * 1_000_000 // 4
         assert out.loc[("a", 1), "expected_micro"] == 3 * 1 * 1_000_000 // 4
         assert out.loc[("b", 0), "expected_micro"] == 1 * 3 * 1_000_000 // 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserLifespans:
+    def test_lifespan_floor_seconds(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import user_lifespans
+
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00.900",
+                     "2024-01-01 00:00:05.100",
+                     "2024-01-01 00:00:03.000",
+                     "2024-01-02 00:00:00.000"]
+                ),
+            }
+        )
+        out = (
+            user_lifespans(rd.from_pandas(df).repartition(3))
+            .to_pandas().set_index("user_id").sort_index()
+        )
+        # floor(5.1) - floor(0.9) = 5 - 0 = 5
+        assert out.loc[1, "lifespan_s"] == 5
+        assert out.loc[2, "lifespan_s"] == 0

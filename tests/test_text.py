@@ -363,3 +363,61 @@ class TestHashedVectors:
         want = {k: v for k, v in want.items() if v != 0}
         assert out == want
         assert not any(d == "c" for d, _ in out)  # empty doc -> no rows
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCharPairCounts:
+    def test_counts_and_separator(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import char_pair_counts
+
+        # "abab" -> ab:2, ba:1 ; "ba" -> ba:1 ; no cross-doc "b"+"b"
+        ds = rd.from_arrow(
+            pa.table({"text": pa.array(["abab", "ba", ""])})
+        ).repartition(2)
+        out = char_pair_counts(ds, k=10).to_pandas()
+        got = dict(zip(out["pair"], out["n"]))
+        assert got == {"ab": 2, "ba": 2}
+        # deterministic tie-break: equal counts -> lexical order
+        assert list(out["pair"]) == ["ab", "ba"]
+
+    def test_matches_substr_oracle(self):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import char_pair_counts
+
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        texts = [
+            "".join(rng.choice(list("abcde "), rng.randint(0, 40)))
+            for _ in range(120)
+        ]
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+        out = char_pair_counts(ds.repartition(5), k=15).to_pandas()
+        con = duckdb.connect()
+        exp = con.execute(
+            """
+            WITH pos AS (SELECT text,
+                         unnest(range(1, length(text))) AS i
+                         FROM documents),
+            c AS (SELECT substr(text, i, 2) AS pair,
+                         count(*)::BIGINT AS n FROM pos GROUP BY pair)
+            SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 15
+            """,
+        ).fetchdf() if False else con.execute(
+            """
+            WITH docs AS (SELECT unnest($1::VARCHAR[]) AS text),
+            pos AS (SELECT text, unnest(range(1, length(text))) AS i
+                    FROM docs),
+            c AS (SELECT substr(text, i, 2) AS pair,
+                         count(*)::BIGINT AS n FROM pos GROUP BY pair)
+            SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 15
+            """,
+            [texts],
+        ).fetchdf()
+        assert out.reset_index(drop=True).equals(exp)
