@@ -2442,6 +2442,94 @@ def _q_events_lifespan_quantiles(sf_dir: str):
     )
 
 
+def _q_orders_brand_pairs(sf_dir: str):
+    """Market basket: top-20 brand pairs co-occurring in one order
+    (distinct-pair reduction per basket partition)."""
+    from obsidian_parser_ray.stages.joins import broadcast_join_unique
+    from obsidian_parser_ray.stages.ranking import basket_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    joined = broadcast_join_unique(
+        li, _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+        left_key="l_partkey", right_key="p_partkey", how="inner",
+    )
+    out = basket_pairs(
+        joined, basket_col="l_orderkey", item_col="p_brand", k=20,
+    )
+
+    def rename(t):
+        return t.rename_columns([
+            {"item_a": "brand_a", "item_b": "brand_b"}.get(c, c)
+            for c in t.column_names
+        ])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_doc_bool_search(sf_dir: str):
+    """Boolean retrieval: (hash AND join) docs, excluding 'vector' —
+    token-boundary RE2 presence tests, no shuffle."""
+    from obsidian_parser_ray.stages.text import token_search
+
+    return token_search(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+        all_of=("hash", "join"), none_of=("vector",),
+    )
+
+
+def _q_sales_qty_percentile(sf_dir: str):
+    """Grouped percent_rank of quantity within return flag — grouped
+    value-histogram reduction, one double division per row."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from obsidian_parser_ray.stages.sketch import grouped_percent_ranks
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_quantity"])
+
+    def add_qty(t):
+        return t.append_column(
+            "qty", _pc.cast(t["l_quantity"], pa.int64())
+        ).drop_columns(["l_quantity"])
+
+    return grouped_percent_ranks(
+        li.map_batches(add_qty, batch_format="pyarrow"),
+        column="qty", group_col="l_returnflag",
+    )
+
+
+def _q_orders_seek_page(sf_dir: str):
+    """Keyset pagination: next 20 orders after cursor
+    (totalprice 150000.0, orderkey 1000) in (price desc, key asc)
+    order — filter + partial top-k, no OFFSET scan."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from obsidian_parser_ray.pipelines.analytics import global_topk
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    price, key = 150000.0, 1000
+
+    def after_cursor(t):
+        m = _pc.or_(
+            _pc.less(t["o_totalprice"], price),
+            _pc.and_(
+                _pc.equal(t["o_totalprice"], price),
+                _pc.greater(t["o_orderkey"],
+                            pa.scalar(key, pa.int64())),
+            ),
+        )
+        return t.filter(m)
+
+    return global_topk(
+        orders.map_batches(after_cursor, batch_format="pyarrow"),
+        "o_totalprice", 20, tiebreak=["o_orderkey"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2561,6 +2649,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pareto": _q_supplier_pareto,
         "doc_char_bigrams": _q_doc_char_bigrams,
         "events_lifespan_quantiles": _q_events_lifespan_quantiles,
+        "orders_brand_pairs": _q_orders_brand_pairs,
+        "doc_bool_search": _q_doc_bool_search,
+        "sales_qty_percentile": _q_sales_qty_percentile,
+        "orders_seek_page": _q_orders_seek_page,
     }
 
 
@@ -4431,5 +4523,44 @@ SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9])::DOUBLE AS q,
                             [0.1, 0.25, 0.5, 0.75, 0.9]))::BIGINT
          AS lifespan_q
 FROM l
+""",
+        "orders_brand_pairs": r"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       count(*)::BIGINT AS n
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+ORDER BY n DESC, brand_a, brand_b
+LIMIT 20
+""",
+        "doc_bool_search": r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+)
+SELECT doc_id, lang FROM toks
+WHERE list_contains(ts, 'hash') AND list_contains(ts, 'join')
+  AND NOT list_contains(ts, 'vector')
+""",
+        "sales_qty_percentile": r"""
+SELECT l_orderkey, l_linenumber, l_returnflag,
+  CAST(l_quantity AS BIGINT) AS qty,
+  ((rank() OVER (PARTITION BY l_returnflag
+                 ORDER BY CAST(l_quantity AS BIGINT)) - 1)::DOUBLE
+   / (count(*) OVER (PARTITION BY l_returnflag) - 1)::DOUBLE) AS pr
+FROM lineitem
+""",
+        "orders_seek_page": r"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice < 150000.0
+   OR (o_totalprice = 150000.0 AND o_orderkey > 1000)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
 """,
     }

@@ -259,3 +259,65 @@ def grouped_mode(ds, keys: list[str], value_col: str, *,
         descending=True, tiebreak=[value_col],
         num_partitions=num_partitions,
     )
+
+
+def basket_pairs(ds, *, basket_col: str, item_col: str, k: int = 20,
+                 num_partitions: int = 64):
+    """Market-basket co-occurrence: top-k item pairs appearing in the
+    same basket (order, session, cart).
+
+    One hash shuffle on the basket key; each partition reduces to
+    distinct (basket, item) rows and self-merges per basket — fan-out
+    is bounded by items-per-basket, never by basket count; pair-count
+    partials (≤ |items|² rows) merge in one tiny task that takes the
+    top-k (deterministic ties: lexicographically smaller pair).
+
+    Output: (item_a, item_b [a < b], n).
+    """
+    import pandas as pd
+
+    from ..hashing import hash_bucket_array
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", hash_bucket_array(t[basket_col], num_partitions)
+        )
+
+    def pair_partial(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({
+                "item_a": pd.Series([], dtype="object"),
+                "item_b": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        d = p[[basket_col, item_col]].drop_duplicates()
+        m = d.merge(d, on=basket_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        out = (
+            m.groupby([f"{item_col}_a", f"{item_col}_b"])
+            .size().rename("n").reset_index()
+            .rename(columns={f"{item_col}_a": "item_a",
+                             f"{item_col}_b": "item_b"})
+        )
+        return out.astype({"item_a": "object", "item_b": "object",
+                           "n": "int64"})
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by(["item_a", "item_b"]).aggregate([("n", "sum")])
+        g = g.rename_columns([
+            "n" if c == "n_sum" else c for c in g.column_names
+        ])
+        return g.sort_by([
+            ("n", "descending"), ("item_a", "ascending"),
+            ("item_b", "ascending"),
+        ]).slice(0, k)
+
+    return (
+        ds.select_columns([basket_col, item_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_partial, batch_format="pandas")
+        .repartition(1, shuffle=False)
+        .map_batches(merge_topk, batch_format="pyarrow",
+                     batch_size=None)
+    )

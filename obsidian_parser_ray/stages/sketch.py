@@ -643,3 +643,81 @@ def percent_ranks(ds, *, column: str, out_col: str = "pr"):
         return t.append_column(out_col, pr)
 
     return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def grouped_percent_ranks(ds, *, column: str, group_col: str,
+                          out_col: str = "pr"):
+    """Exact per-group ``percent_rank()`` for an integer column —
+    grouped twin of :func:`percent_ranks`, affordable whenever
+    |groups| × |distinct values| is bounded (quantities, sizes,
+    counts per category).
+
+    Per-block (group, value, count) histogram partials merge in one
+    tiny task; per-group cumulative counts-below broadcast back as
+    bounded arrays; each row maps to ``count_lt / (n_group - 1)``
+    (ties share a rank) — one double division, bit-identical to the
+    SQL ``(rank() OVER (PARTITION BY g ORDER BY v) - 1)
+    / (count(*) OVER (PARTITION BY g) - 1)``.
+    Output: input columns + ``out_col`` (null when the group has ≤ 1
+    row).
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            group_col: t[group_col],
+            column: pc.cast(t[column], pa.int64()),
+        })
+        g = flat.group_by([group_col, column]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([
+            "n" if c == "count_all" else c for c in g.column_names
+        ])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, column]).aggregate([("n", "sum")])
+        return g.rename_columns([
+            "n" if c == "n_sum" else c for c in g.column_names
+        ]).sort_by([(group_col, "ascending"), (column, "ascending")])
+
+    hist = (
+        ds.select_columns([group_col, column])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    # composite lookup key "group\x00value" -> counts-below / denom
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r[group_col], []).append(
+            (r[column], r["n"])
+        )
+    keys, below, denom = [], [], []
+    for grp, pairs in by_group.items():
+        cum = 0
+        tot = sum(n for _, n in pairs)
+        for v, n in pairs:  # already value-sorted within group
+            keys.append(f"{grp}\x00{v}")
+            below.append(cum)
+            denom.append(float(tot - 1) if tot > 1 else None)
+            cum += n
+    key_arr = pa.array(keys, pa.string())
+    below_arr = pa.array(below, pa.int64())
+    denom_arr = pa.array(denom, pa.float64())
+
+    def rank(t: pa.Table) -> pa.Table:
+        kk = pc.binary_join_element_wise(
+            pc.cast(t[group_col], pa.string()),
+            pc.cast(pc.cast(t[column], pa.int64()), pa.string()),
+            "\x00",
+        )
+        idx = pc.index_in(kk, value_set=key_arr)
+        pr = pc.divide(
+            pc.cast(pc.take(below_arr, idx), pa.float64()),
+            pc.take(denom_arr, idx),
+        )
+        return t.append_column(out_col, pr)
+
+    return ds.map_batches(rank, batch_format="pyarrow")

@@ -979,3 +979,45 @@ def char_pair_counts(ds, *, text_col: str = "text", k: int = 50):
         .map_batches(merge_topk, batch_format="pyarrow",
                      batch_size=None)
     )
+
+
+def token_search(ds, *, all_of=(), any_of=(), none_of=(),
+                 text_col: str = "text", keep_cols=("doc_id", "lang")):
+    """Boolean token retrieval: documents whose lowercased
+    ``[A-Za-z0-9]+`` token set contains ALL of ``all_of``, at least one
+    of ``any_of`` (if given), and NONE of ``none_of``.
+
+    Pure vectorized map — one RE2 presence test per query term per
+    batch (the term wrapped in non-alphanumeric boundaries, exactly
+    the tokenizer's complement class, so presence ≡ token-list
+    containment), combined with Arrow boolean kernels.  No shuffle,
+    no index; for repeated interactive queries build the inverted
+    index via :func:`term_frequencies` instead.
+
+    Output: ``keep_cols`` of matching documents.
+    """
+    import re
+
+    import pyarrow.compute as pc
+
+    def present(low, term):
+        pat = rf"(^|[^a-z0-9]){re.escape(term.lower())}([^a-z0-9]|$)"
+        return pc.greater(
+            pc.count_substring_regex(low, pat), pa.scalar(0, pa.int32())
+        )
+
+    def match(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t[text_col])
+        mask = pa.array(np.ones(t.num_rows, dtype=bool))
+        for term in all_of:
+            mask = pc.and_(mask, present(low, term))
+        if any_of:
+            any_m = present(low, any_of[0])
+            for term in any_of[1:]:
+                any_m = pc.or_(any_m, present(low, term))
+            mask = pc.and_(mask, any_m)
+        for term in none_of:
+            mask = pc.and_(mask, pc.invert(present(low, term)))
+        return t.filter(mask).select(list(keep_cols))
+
+    return ds.map_batches(match, batch_format="pyarrow")

@@ -203,3 +203,34 @@ class TestGroupedMode:
             """
         ).fetchdf()
         assert out.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBasketPairs:
+    def test_distinct_within_basket_and_topk(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.ranking import basket_pairs
+
+        df = pd.DataFrame(
+            {
+                # basket 1: a,b,b,c -> pairs ab, ac, bc (duplicates of
+                # an item inside one basket count once)
+                # basket 2: a,b -> ab
+                "o": [1, 1, 1, 1, 2, 2],
+                "i": ["a", "b", "b", "c", "a", "b"],
+            }
+        )
+        out = (
+            basket_pairs(rd.from_pandas(df).repartition(3),
+                         basket_col="o", item_col="i", k=10)
+            .to_pandas()
+        )
+        got = {(r.item_a, r.item_b): r.n for r in out.itertuples()}
+        assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+        # top-1 cut keeps the highest count
+        top = basket_pairs(rd.from_pandas(df), basket_col="o",
+                           item_col="i", k=1).to_pandas()
+        assert list(top["item_a"]) == ["a"]
+        assert list(top["n"]) == [2]

@@ -364,3 +364,54 @@ class TestBm25:
             checkpoint_dir=str(tmp_path / "bm25_ckpt"),
         ).to_pandas()
         assert a.equals(b)
+
+
+class TestGroupedPercentRanks:
+    def test_matches_window_oracle(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        rng = np.random.RandomState(29)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(500),
+                "g": rng.choice(["p", "q", "r"], 500),
+                "v": rng.randint(0, 30, 500),
+            }
+        )
+        from obsidian_parser_ray.stages.sketch import grouped_percent_ranks
+
+        out = (
+            grouped_percent_ranks(
+                rd.from_pandas(df).repartition(5),
+                column="v", group_col="g",
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            """
+            SELECT id, g, v,
+              ((rank() OVER (PARTITION BY g ORDER BY v) - 1)::DOUBLE
+               / (count(*) OVER (PARTITION BY g) - 1)::DOUBLE) AS pr
+            FROM t ORDER BY id
+            """
+        ).fetchdf()
+        assert out.equals(exp)
+
+    def test_singleton_group_is_null(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.sketch import grouped_percent_ranks
+
+        df = pd.DataFrame({"g": ["a", "b", "b"], "v": [1, 2, 3]})
+        out = (
+            grouped_percent_ranks(rd.from_pandas(df), column="v",
+                                  group_col="g")
+            .to_pandas()
+        )
+        assert out[out["g"] == "a"]["pr"].isna().all()
+        assert sorted(out[out["g"] == "b"]["pr"]) == [0.0, 1.0]

@@ -421,3 +421,45 @@ class TestCharPairCounts:
             [texts],
         ).fetchdf()
         assert out.reset_index(drop=True).equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenSearch:
+    def test_boolean_semantics_and_boundaries(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import token_search
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "lang": pa.array(["en"] * 5),
+            "text": pa.array([
+                "hash join wins",          # match
+                "Hash and JOIN, upper",    # match (case folded)
+                "hash join vector",        # excluded by none_of
+                "hashing joins",           # no: substrings, not tokens
+                "hash only",               # no: missing 'join'
+            ]),
+        })
+        out = token_search(
+            rd.from_arrow(t).repartition(2),
+            all_of=("hash", "join"), none_of=("vector",),
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]
+
+    def test_any_of(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import token_search
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "lang": pa.array(["en"] * 3),
+            "text": pa.array(["alpha beta", "gamma delta", "epsilon"]),
+        })
+        out = token_search(
+            rd.from_arrow(t), any_of=("beta", "gamma"),
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]
