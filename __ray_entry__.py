@@ -2530,6 +2530,64 @@ def _q_orders_seek_page(sf_dir: str):
     )
 
 
+def _q_doc_ngram_novelty(sf_dir: str):
+    """First-seen 3-gram novelty per doc — order-aware curation
+    measure via a commutative min(doc_id) reduction."""
+    from obsidian_parser_ray.stages.text import ngram_novelty
+
+    return ngram_novelty(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_customer_record_linkage(sf_dir: str):
+    """Entity resolution: edit-distance-1 name pairs constrained to
+    the same nation (blocking + attribute agreement)."""
+    from obsidian_parser_ray.stages.dedup import edit1_pairs
+    from obsidian_parser_ray.stages.joins import broadcast_join_unique
+
+    cust = _read(sf_dir, "customer", ["c_name", "c_nationkey"])
+    pairs = edit1_pairs(cust, column="c_name")
+    dim = cust  # c_name is unique per customer (generator invariant)
+    a = broadcast_join_unique(
+        pairs, dim, left_key="name_a", right_key="c_name", how="inner",
+    )
+
+    def rn(t):
+        return t.rename_columns([
+            "nat_a" if c == "c_nationkey" else c for c in t.column_names
+        ])
+
+    a = a.map_batches(rn, batch_format="pyarrow")
+    b = broadcast_join_unique(
+        a, dim, left_key="name_b", right_key="c_name", how="inner",
+    )
+
+    def same_nation(t):
+        import pyarrow.compute as _pc
+
+        t = t.filter(_pc.equal(t["nat_a"], t["c_nationkey"]))
+        t = t.rename_columns([
+            "c_nationkey" if c == "c_nationkey" else c
+            for c in t.column_names
+        ])
+        return t.select(["name_a", "name_b", "c_nationkey"])
+
+    return b.map_batches(same_nation, batch_format="pyarrow")
+
+
+def _q_sales_yoy(sf_dir: str):
+    """LAG shape: year-over-year revenue growth per supplier nation,
+    lag resolved on bounded leaves."""
+    from obsidian_parser_ray.pipelines.analytics import yoy_growth
+
+    return yoy_growth(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_shipdate", "l_extendedprice",
+               "l_discount"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2653,6 +2711,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bool_search": _q_doc_bool_search,
         "sales_qty_percentile": _q_sales_qty_percentile,
         "orders_seek_page": _q_orders_seek_page,
+        "doc_ngram_novelty": _q_doc_ngram_novelty,
+        "customer_record_linkage": _q_customer_record_linkage,
+        "sales_yoy": _q_sales_yoy,
     }
 
 
@@ -4562,5 +4623,49 @@ WHERE o_totalprice < 150000.0
    OR (o_totalprice = 150000.0 AND o_orderkey > 1000)
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20
+""",
+        "doc_ngram_novelty": r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS gram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        FROM toks)
+),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT doc_id,
+  count(*)::BIGINT AS n_grams,
+  count(*) FILTER (first_doc = doc_id)::BIGINT AS n_novel,
+  (count(*) FILTER (first_doc = doc_id)::DOUBLE
+   / count(*)::DOUBLE) AS novelty
+FROM grams JOIN f USING (gram)
+GROUP BY doc_id
+""",
+        "customer_record_linkage": r"""
+WITH names AS (
+  SELECT DISTINCT c_name AS name, c_nationkey FROM customer
+)
+SELECT a.name AS name_a, b.name AS name_b, a.c_nationkey
+FROM names a
+JOIN names b ON a.name < b.name AND a.c_nationkey = b.c_nationkey
+WHERE levenshtein(a.name, b.name) <= 1
+""",
+        "sales_yoy": r"""
+WITH leaf AS (
+  SELECT n_name, EXTRACT(year FROM l_shipdate)::BIGINT AS yr,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  GROUP BY n_name, yr
+)
+SELECT a.n_name, a.yr, a.rev AS revenue_micro, b.rev AS prev_micro,
+       ((a.rev - b.rev)::DOUBLE / b.rev::DOUBLE) AS yoy
+FROM leaf a JOIN leaf b ON a.n_name = b.n_name AND a.yr = b.yr + 1
 """,
     }

@@ -1754,3 +1754,89 @@ def supplier_pareto(lineitem, *, threshold_pct: int = 80):
         totals.repartition(1, shuffle=False)
         .map_batches(rank_flag, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth (LAG shape over bounded leaves)
+# ---------------------------------------------------------------------------
+
+
+def yoy_growth(lineitem, supplier, nation, *, num_partitions: int = 64):
+    """Year-over-year supplier-side revenue growth per nation — the
+    ``LAG(rev) OVER (PARTITION BY nation ORDER BY year)`` shape.
+
+    Scale shape: per-suppkey integer partials → one size-adaptive join
+    → bounded (nation, year) leaves; the lag resolves as a pandas
+    self-merge on (nation, year−1) inside the single final task —
+    the window never sees the fact.  Growth is the one double
+    division.  Years without a predecessor emit no row (inner-lag
+    semantics, matching the twin's self join).
+
+    Output: (n_name, yr, revenue_micro, prev_micro, yoy).
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    nat = pa.concat_tables(
+        [b for b in nation.iter_batches(batch_format="pyarrow")]
+    )
+    nat_keys = pc.cast(nat["n_nationkey"], pa.int64()).combine_chunks()
+    nat_names = nat["n_name"].combine_chunks()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        flat = pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "yr": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "rev": rev,
+        })
+        g = flat.group_by(["l_suppkey", "yr"]).aggregate(
+            [("rev", "sum")]
+        )
+        return _rename_sums(g, {"rev_sum": "rev"})
+
+    joined = broadcast_join_unique(
+        lineitem.map_batches(li_partial, batch_format="pyarrow"),
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        left_key="l_suppkey", right_key="s_suppkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def leaf_partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            pc.cast(t["s_nationkey"], pa.int64()), value_set=nat_keys
+        )
+        flat = pa.table({
+            "n_name": pc.take(nat_names, idx),
+            "yr": t["yr"],
+            "rev": t["rev"],
+        })
+        g = flat.group_by(["n_name", "yr"]).aggregate([("rev", "sum")])
+        return _rename_sums(g, {"rev_sum": "rev"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["n_name", "yr"]).aggregate([("rev", "sum")])
+        df = _rename_sums(g, {"rev_sum": "rev"}).to_pandas()
+        prev = df.rename(
+            columns={"rev": "prev_micro"}
+        ).assign(yr=df["yr"] + 1)
+        out = df.merge(prev, on=["n_name", "yr"], how="inner")
+        out = out.rename(columns={"rev": "revenue_micro"})
+        out["yoy"] = (
+            (out["revenue_micro"] - out["prev_micro"]).astype("float64")
+            / out["prev_micro"].astype("float64")
+        )
+        return pa.Table.from_pandas(
+            out[["n_name", "yr", "revenue_micro", "prev_micro", "yoy"]],
+            preserve_index=False,
+        )
+
+    return (
+        joined.map_batches(leaf_partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(finish, batch_format="pyarrow")
+    )

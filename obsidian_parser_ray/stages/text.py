@@ -1021,3 +1021,92 @@ def token_search(ds, *, all_of=(), any_of=(), none_of=(),
         return t.filter(mask).select(list(keep_cols))
 
     return ds.map_batches(match, batch_format="pyarrow")
+
+
+def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams whose FIRST appearance (by ascending doc id) is this
+    document — the order-aware "how much is new?" measure behind
+    incremental corpus curation, computed WITHOUT a sequential scan:
+    first-seen is a commutative ``min(doc_id)`` reduction per gram.
+
+    Plan: per-doc distinct grams (block explode, same tokenizer as
+    :func:`term_frequencies`) → one groupby-min at gram cardinality
+    (the only shuffle — O(distinct doc-grams), the same exchange the
+    decontamination op pays) → map-side join back → bounded per-doc
+    counts.  Docs with < n tokens emit no grams and no output row.
+
+    Output: (id_col, n_grams, n_novel, novelty).
+    """
+    from ray.data.aggregate import Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_id: list = []
+        out_gram: list = []
+        for i, x in zip(ids, texts):
+            toks = [tok.lower() for tok in _TERM_RE.findall(x or "")]
+            grams = {
+                " ".join(toks[j:j + n])
+                for j in range(len(toks) - n + 1)
+            }
+            out_id.extend([i] * len(grams))
+            out_gram.extend(grams)
+        return pa.table({
+            id_col: pa.array(out_id, t.schema.field(id_col).type),
+            "gram": pa.array(out_gram, pa.string()),
+        })
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    first = grams.groupby("gram").aggregate(
+        Min(id_col, alias_name="first_doc")
+    )
+    from .joins import hash_join_unique
+
+    joined = hash_join_unique(
+        grams, first, left_key="gram", right_key="gram", how="inner",
+    )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        novel = pc.cast(
+            pc.equal(t[id_col], t["first_doc"]), pa.int64()
+        )
+        flat = pa.table({
+            id_col: t[id_col],
+            "n_grams": pa.array(
+                np.ones(t.num_rows, dtype=np.int64)
+            ),
+            "n_novel": novel,
+        })
+        g = flat.group_by(id_col).aggregate(
+            [("n_grams", "sum"), ("n_novel", "sum")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        joined.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("n_grams", alias_name="n_grams"),
+                   Sum("n_novel", alias_name="n_novel"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nov = pc.divide(
+            pc.cast(t["n_novel"], pa.float64()),
+            pc.cast(t["n_grams"], pa.float64()),
+        )
+        return t.append_column("novelty", nov)
+
+    return counts.map_batches(finish, batch_format="pyarrow")

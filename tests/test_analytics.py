@@ -606,3 +606,37 @@ class TestNationShareAndPareto:
         assert not out.loc[3, "in_pareto"]
         assert not out.loc[4, "in_pareto"]
         assert out.loc[2, "cum_micro"] == 80 * 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestYoyGrowth:
+    def test_lag_semantics(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import yoy_growth
+
+        nation = pa.table({
+            "n_nationkey": pa.array([0], pa.int64()),
+            "n_name": pa.array(["N0"]),
+            "n_regionkey": pa.array([0], pa.int64()),
+        })
+        supplier = pa.table({
+            "s_suppkey": pa.array([1], pa.int64()),
+            "s_nationkey": pa.array([0], pa.int64()),
+        })
+        li = pa.table({
+            "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+            "l_shipdate": pa.array(
+                [dt.datetime(1995, 6, 1), dt.datetime(1996, 6, 1),
+                 dt.datetime(1998, 6, 1)],
+                pa.timestamp("us")),
+            "l_extendedprice": pa.array([100.0, 150.0, 80.0]),
+            "l_discount": pa.array([0.0] * 3),
+        })
+        out = yoy_growth(
+            rd.from_arrow(li).repartition(2), rd.from_arrow(supplier),
+            rd.from_arrow(nation),
+        ).to_pandas().set_index("yr")
+        # only 1996 has a predecessor (1998's 1997 is missing)
+        assert list(out.index) == [1996]
+        assert out.loc[1996, "yoy"] == 0.5

@@ -463,3 +463,45 @@ class TestTokenSearch:
             rd.from_arrow(t), any_of=("beta", "gamma"),
         ).to_pandas()
         assert sorted(out["doc_id"]) == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramNovelty:
+    def test_first_seen_attribution(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import ngram_novelty
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "a b c d",        # grams: abc, bcd (both novel)
+                "a b c e",        # abc (seen), bce (novel)
+                "x",              # < 3 tokens -> no row
+            ]),
+        })
+        out = (
+            ngram_novelty(rd.from_arrow(t).repartition(2))
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert list(out.index) == [1, 2]
+        assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_novel"] == 2
+        assert out.loc[1, "novelty"] == 1.0
+        assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_novel"] == 1
+        assert out.loc[2, "novelty"] == 0.5
+
+    def test_duplicate_grams_within_doc_count_once(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import ngram_novelty
+
+        t = pa.table({
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array(["a b c a b c a b c"]),
+        })
+        out = ngram_novelty(rd.from_arrow(t)).to_pandas()
+        # distinct grams: abc, bca, cab
+        assert out["n_grams"].iloc[0] == 3
+        assert out["n_novel"].iloc[0] == 3
