@@ -1087,6 +1087,13 @@ def last_touch_attribution(events, *, key_col: str = "user_id",
         return out.astype({"touch": "object", "n_purchases": "int64"})
 
     def merge(t: pa.Table) -> pa.Table:
+        if "touch" not in t.column_names:
+            # all partitions were purchase-free: Ray drops the schema
+            # of an all-empty lineage — restore the contract type
+            return pa.table({
+                "touch": pa.array([], pa.string()),
+                "n_purchases": pa.array([], pa.int64()),
+            })
         g = t.group_by("touch").aggregate([("n_purchases", "sum")])
         return g.rename_columns([
             "n_purchases" if c == "n_purchases_sum" else c
@@ -1230,6 +1237,16 @@ def type_user_overlap(events, *, key_col: str = "user_id",
                            "n": "int64"})
 
     def finish(t: pa.Table) -> pa.Table:
+        if "type_a" not in t.column_names:
+            # schema restore for an all-empty lineage (see merge above)
+            return pa.table({
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "n_both": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            })
         g = t.group_by(["type_a", "type_b"]).aggregate([("n", "sum")])
         df = g.to_pandas().rename(columns={"n_sum": "n"})
         totals = (

@@ -303,6 +303,13 @@ def basket_pairs(ds, *, basket_col: str, item_col: str, k: int = 20,
                            "n": "int64"})
 
     def merge_topk(t: pa.Table) -> pa.Table:
+        if "item_a" not in t.column_names:
+            # schema restore for an all-empty lineage
+            return pa.table({
+                "item_a": pa.array([], pa.string()),
+                "item_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
         g = t.group_by(["item_a", "item_b"]).aggregate([("n", "sum")])
         g = g.rename_columns([
             "n" if c == "n_sum" else c for c in g.column_names

@@ -1100,9 +1100,21 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
                    Sum("n_novel", alias_name="n_novel"))
     )
 
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if id_col not in t.column_names:
+            # schema restore for an all-empty lineage (no doc produced
+            # a single n-gram)
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "n_grams": pa.array([], pa.int64()),
+                "n_novel": pa.array([], pa.int64()),
+                "novelty": pa.array([], pa.float64()),
+            })
         nov = pc.divide(
             pc.cast(t["n_novel"], pa.float64()),
             pc.cast(t["n_grams"], pa.float64()),

@@ -505,3 +505,57 @@ class TestNgramNovelty:
         # distinct grams: abc, bca, cab
         assert out["n_grams"].iloc[0] == 3
         assert out["n_novel"].iloc[0] == 3
+
+
+class TestNoveltyProperty:
+    """Invariant sweep: per-doc novel counts must total the corpus's
+    distinct-gram count (every gram is novel in exactly one doc), and
+    novelty is 1.0 for the smallest doc_id owning each of its grams."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(seed=st.integers(0, 2**16), n_docs=st.integers(1, 12))
+    @settings(max_examples=10, deadline=None)
+    def test_novel_counts_partition_distinct_grams(
+        self, ray_session, seed, n_docs
+    ):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import ngram_novelty
+
+        rng = np.random.default_rng(seed)
+        vocab = list("abcdef")
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(0, 15)))
+            for _ in range(n_docs)
+        ]
+        t = pa.table({
+            "doc_id": pa.array(list(range(n_docs)), pa.int64()),
+            "text": pa.array(texts),
+        })
+        out = ngram_novelty(
+            rd.from_arrow(t).repartition(3)
+        ).to_pandas()
+        if out.empty:
+            # all docs < n tokens: schema-less empty (Ray prunes
+            # empty blocks) — assert the reference agrees it's empty
+            out = out.reindex(columns=["doc_id", "n_grams", "n_novel",
+                                       "novelty"])
+        all_grams = set()
+        per_doc = {}
+        for i, txt in enumerate(texts):
+            toks = txt.split()
+            grams = {
+                " ".join(toks[j:j + 3])
+                for j in range(len(toks) - 2)
+            }
+            if grams:
+                per_doc[i] = grams
+                all_grams |= grams
+        assert sorted(out["doc_id"]) == sorted(per_doc)
+        assert int(out["n_novel"].sum()) == len(all_grams)
+        for r in out.itertuples():
+            assert r.n_grams == len(per_doc[r.doc_id])
