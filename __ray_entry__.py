@@ -2588,6 +2588,43 @@ def _q_sales_yoy(sf_dir: str):
     )
 
 
+def _q_sales_daily_ma_range(sf_dir: str):
+    """RANGE-frame (calendar) trailing moving average — gaps shrink
+    the window; resolved with one searchsorted over bounded days."""
+    from obsidian_parser_ray.pipelines.analytics import (
+        daily_moving_avg_range,
+    )
+
+    return daily_moving_avg_range(
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_extendedprice", "l_discount"]))
+
+
+def _q_doc_index_search(sf_dir: str):
+    """Boolean retrieval through the PERSISTED inverted term index
+    (build → bucket-pruned search); same semantics and twin as
+    doc_bool_search, doc_id-only."""
+    import shutil
+    import tempfile
+
+    from obsidian_parser_ray.stages.text import (
+        build_term_index,
+        search_term_index,
+    )
+
+    idx = tempfile.mkdtemp(prefix="term_idx_")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_term_index(
+            _read(sf_dir, "documents", ["doc_id", "text"]), idx,
+        )
+        return search_term_index(
+            idx, all_of=("hash", "join"), none_of=("vector",),
+        ).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2714,6 +2751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_novelty": _q_doc_ngram_novelty,
         "customer_record_linkage": _q_customer_record_linkage,
         "sales_yoy": _q_sales_yoy,
+        "sales_daily_ma_range": _q_sales_daily_ma_range,
+        "doc_index_search": _q_doc_index_search,
     }
 
 
@@ -4667,5 +4706,31 @@ WITH leaf AS (
 SELECT a.n_name, a.yr, a.rev AS revenue_micro, b.rev AS prev_micro,
        ((a.rev - b.rev)::DOUBLE / b.rev::DOUBLE) AS yoy
 FROM leaf a JOIN leaf b ON a.n_name = b.n_name AND a.yr = b.yr + 1
+""",
+        "sales_daily_ma_range": r"""
+WITH d AS (
+  SELECT (epoch_us(l_shipdate) // 86400000000) AS epoch_day,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS rev_micro
+  FROM lineitem GROUP BY epoch_day
+)
+SELECT epoch_day, rev_micro,
+  CAST(sum(rev_micro) OVER w AS BIGINT) AS ma_sum_micro,
+  CAST(count(*) OVER w AS BIGINT) AS ma_n,
+  (CAST(sum(rev_micro) OVER w AS BIGINT)::DOUBLE
+   / CAST(count(*) OVER w AS BIGINT)::DOUBLE) AS ma
+FROM d
+WINDOW w AS (ORDER BY epoch_day
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+        "doc_index_search": r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+)
+SELECT doc_id FROM toks
+WHERE list_contains(ts, 'hash') AND list_contains(ts, 'join')
+  AND NOT list_contains(ts, 'vector')
 """,
     }

@@ -1840,3 +1840,65 @@ def yoy_growth(lineitem, supplier, nation, *, num_partitions: int = 64):
         .repartition(1, shuffle=False)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def daily_moving_avg_range(lineitem, *, window_days: int = 3):
+    """Calendar (RANGE-frame) trailing moving average of daily
+    revenue: each day averages over days in ``[day - window_days + 1,
+    day]`` that EXIST — gaps in the calendar shrink the window, the
+    semantics ``ROWS`` frames get wrong (SQL ``RANGE BETWEEN n-1
+    PRECEDING AND CURRENT ROW`` over an epoch-day key).
+
+    Same scale shape as :func:`daily_moving_avg` (bounded per-day
+    integer partials; one tiny final task) — the RANGE frame resolves
+    with a single ``np.searchsorted`` over the sorted epoch days.
+
+    Output: (epoch_day, rev_micro, ma_sum_micro, ma_n, ma).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        # midnight-aligned dates: epoch_us // 86_400_000_000 is exact
+        day = pc.divide(
+            pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                    pa.int64()),
+            86_400_000_000,
+        )
+        g = (
+            pa.table({"epoch_day": day, "rev_micro": rev})
+            .group_by("epoch_day")
+            .aggregate([("rev_micro", "sum")])
+        )
+        return _rename_sums(g, {"rev_micro_sum": "rev_micro"})
+
+    def merge_range(t: pa.Table) -> pa.Table:
+        g = t.group_by("epoch_day").aggregate([("rev_micro", "sum")])
+        g = _rename_sums(g, {"rev_micro_sum": "rev_micro"}).sort_by(
+            "epoch_day"
+        )
+        days = g["epoch_day"].to_numpy()
+        rev = g["rev_micro"].to_numpy()
+        csum = np.concatenate(([0], np.cumsum(rev)))
+        n = len(rev)
+        # first index whose day >= day - (window_days - 1)
+        lo = np.searchsorted(days, days - (window_days - 1), side="left")
+        ma_sum = csum[np.arange(n) + 1] - csum[lo]
+        ma_n = np.arange(n) + 1 - lo
+        ma = ma_sum.astype(np.float64) / ma_n.astype(np.float64)
+        return (
+            g.append_column("ma_sum_micro", pa.array(ma_sum, pa.int64()))
+            .append_column("ma_n", pa.array(ma_n, pa.int64()))
+            .append_column("ma", pa.array(ma, pa.float64()))
+        )
+
+    return (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge_range, batch_format="pyarrow",
+                     batch_size=None)
+    )

@@ -1122,3 +1122,182 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
         return t.append_column("novelty", nov)
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted text index (the text counterpart of the IVF
+# vector index in stages/similarity.py — build once, prune reads at
+# query time)
+# ---------------------------------------------------------------------------
+
+
+def build_term_index(ds, index_dir: str, *, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     num_buckets: int = 64) -> dict:
+    """Materialize the corpus's postings ``(doc_id, term, tf)`` as a
+    term-hash-bucketed parquet index on shared storage.
+
+    Layout: ``{index_dir}/data/bucket=<n>/*.parquet`` (hive
+    partitioning) + ``_TERM_INDEX_MANIFEST.json`` (bucket count,
+    column names).  A query for terms T then reads ONLY the buckets
+    ``hash(t) % num_buckets`` — at 10^12 postings that is the
+    difference between scanning the corpus per query and reading a
+    few hundred files.  Build is one streaming explode pass; the
+    hive write is the only shuffle-like step.  Atomic + idempotent:
+    built under a tmp dir and renamed into place (same contract as
+    ``similarity.build_ivf_index``).
+    """
+    import json
+    import os
+    import shutil
+
+    from ..hashing import hash_bucket_array
+
+    def explode(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_id: list = []
+        out_term: list = []
+        out_tf: list = []
+        for i, x in zip(ids, texts):
+            c = Counter(tok.lower() for tok in _TERM_RE.findall(x or ""))
+            out_id.extend([i] * len(c))
+            out_term.extend(c.keys())
+            out_tf.extend(c.values())
+        terms = pa.array(out_term, pa.string())
+        return pa.table({
+            id_col: pa.array(out_id, t.schema.field(id_col).type),
+            "term": terms,
+            "tf": pa.array(out_tf, pa.int64()),
+            "bucket": hash_bucket_array(terms, num_buckets),
+        })
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
+    postings = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    postings.write_parquet(
+        os.path.join(tmp, "data"), partition_cols=["bucket"]
+    )
+    manifest = {
+        "num_buckets": num_buckets,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    with open(os.path.join(tmp, "_TERM_INDEX_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return manifest
+
+
+def search_term_index(index_dir: str, *, all_of=(), any_of=(),
+                      none_of=()):
+    """Boolean retrieval against a persisted term index — same
+    semantics as :func:`token_search`, but reading ONLY the hash
+    buckets of the query terms instead of the corpus.
+
+    Per-doc resolution is one bounded aggregate over the pruned
+    postings: count of matched ``all_of`` terms (must equal
+    |all_of|), any/none flags as max-reduced ints — a single
+    doc-cardinality groupby over postings that mention a query term,
+    which for selective terms is orders of magnitude below corpus
+    size.
+
+    Output: (id_col,) of matching documents.
+    """
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..hashing import hash_bucket_scalar
+
+    with open(os.path.join(index_dir,
+                           "_TERM_INDEX_MANIFEST.json")) as f:
+        man = json.load(f)
+    id_col = man["id_col"]
+    nb = man["num_buckets"]
+
+    all_of = tuple(t.lower() for t in all_of)
+    any_of = tuple(t.lower() for t in any_of)
+    none_of = tuple(t.lower() for t in none_of)
+    terms = set(all_of) | set(any_of) | set(none_of)
+    if not terms:
+        raise ValueError("need at least one query term")
+    wanted = sorted({hash_bucket_scalar(t, nb) for t in terms})
+    paths = [
+        p for p in (
+            os.path.join(index_dir, "data", f"bucket={b}")
+            for b in wanted
+        ) if os.path.isdir(p)
+    ]
+    term_arr = pa.array(sorted(terms), pa.string())
+    all_arr = pa.array(sorted(set(all_of)), pa.string())
+    any_arr = pa.array(sorted(set(any_of)), pa.string())
+    none_arr = pa.array(sorted(set(none_of)), pa.string())
+    n_all = len(set(all_of))
+
+    if not paths:
+        hits = None
+    else:
+        postings = rd.read_parquet(paths, file_extensions=["parquet"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["term"], value_set=term_arr))
+            flat = pa.table({
+                id_col: t[id_col],
+                "n_all": pc.cast(
+                    pc.is_in(t["term"], value_set=all_arr), pa.int64()
+                ),
+                "has_any": pc.cast(
+                    pc.is_in(t["term"], value_set=any_arr), pa.int64()
+                ),
+                "has_none": pc.cast(
+                    pc.is_in(t["term"], value_set=none_arr), pa.int64()
+                ),
+            })
+            g = flat.group_by(id_col).aggregate(
+                [("n_all", "sum"), ("has_any", "max"),
+                 ("has_none", "max")]
+            )
+            return g.rename_columns([
+                {"n_all_sum": "n_all", "has_any_max": "has_any",
+                 "has_none_max": "has_none"}.get(c, c)
+                for c in g.column_names
+            ])
+
+        from ray.data.aggregate import Max, Sum
+
+        hits = (
+            postings.map_batches(partial, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("n_all", alias_name="n_all"),
+                       Max("has_any", alias_name="has_any"),
+                       Max("has_none", alias_name="has_none"))
+        )
+
+    if hits is None:
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64())})
+        )
+
+    need_any = 1 if any_of else 0
+
+    def resolve(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.equal(t["n_all"], pa.scalar(n_all, pa.int64())),
+                pc.greater_equal(t["has_any"],
+                                 pa.scalar(need_any, pa.int64())),
+            ),
+            pc.equal(t["has_none"], pa.scalar(0, pa.int64())),
+        )
+        return t.filter(m).select([id_col])
+
+    return hits.map_batches(resolve, batch_format="pyarrow")

@@ -640,3 +640,28 @@ class TestYoyGrowth:
         # only 1996 has a predecessor (1998's 1997 is missing)
         assert list(out.index) == [1996]
         assert out.loc[1996, "yoy"] == 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDailyMovingAvgRange:
+    def test_calendar_gaps_shrink_window(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import (
+            daily_moving_avg_range,
+        )
+
+        li = pa.table({
+            "l_shipdate": pa.array(
+                [dt.datetime(2024, 1, d) for d in [1, 2, 5]],
+                pa.timestamp("us")),
+            "l_extendedprice": pa.array([10.0, 20.0, 50.0]),
+            "l_discount": pa.array([0.0] * 3),
+        })
+        out = daily_moving_avg_range(
+            rd.from_arrow(li).repartition(2), window_days=3
+        ).to_pandas()
+        m = 1_000_000
+        # day 5 is > 2 days after day 2 -> window is only itself
+        assert list(out["ma_sum_micro"]) == [10 * m, 30 * m, 50 * m]
+        assert list(out["ma_n"]) == [1, 2, 1]

@@ -559,3 +559,81 @@ class TestNoveltyProperty:
         assert int(out["n_novel"].sum()) == len(all_grams)
         for r in out.itertuples():
             assert r.n_grams == len(per_doc[r.doc_id])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTermIndex:
+    def _corpus(self):
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.RandomState(31)
+        vocab = ["hash", "join", "vector", "sort", "scan", "merge"]
+        texts = [
+            " ".join(rng.choice(vocab, rng.randint(1, 8)))
+            for _ in range(80)
+        ]
+        return pa.table({
+            "doc_id": pa.array(list(range(80)), pa.int64()),
+            "lang": pa.array(["en"] * 80),
+            "text": pa.array(texts),
+        })
+
+    def test_search_equals_scan(self, tmp_path):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import (
+            build_term_index,
+            search_term_index,
+            token_search,
+        )
+
+        t = self._corpus()
+        ds = rd.from_arrow(t).repartition(4)
+        idx = str(tmp_path / "tidx")
+        man = build_term_index(ds, idx, num_buckets=8)
+        assert man["num_buckets"] == 8
+        for kwargs in (
+            {"all_of": ("hash", "join"), "none_of": ("vector",)},
+            {"any_of": ("sort", "scan")},
+            {"all_of": ("merge",), "any_of": ("hash", "vector")},
+        ):
+            got = sorted(
+                search_term_index(idx, **kwargs).to_pandas()["doc_id"]
+            )
+            want = sorted(
+                token_search(rd.from_arrow(t), **kwargs)
+                .to_pandas()["doc_id"]
+            )
+            assert got == want, kwargs
+
+    def test_rebuild_replaces_not_appends(self, tmp_path):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import (
+            build_term_index,
+            search_term_index,
+        )
+
+        t = self._corpus()
+        idx = str(tmp_path / "tidx2")
+        build_term_index(rd.from_arrow(t), idx, num_buckets=4)
+        n1 = len(search_term_index(idx, any_of=("hash",)).to_pandas())
+        # rebuild over the same corpus must not double postings
+        build_term_index(rd.from_arrow(t), idx, num_buckets=4)
+        n2 = len(search_term_index(idx, any_of=("hash",)).to_pandas())
+        assert n1 == n2 > 0
+
+    def test_empty_query_raises(self, tmp_path):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import (
+            build_term_index,
+            search_term_index,
+        )
+
+        idx = str(tmp_path / "tidx3")
+        build_term_index(rd.from_arrow(self._corpus()), idx,
+                         num_buckets=4)
+        with pytest.raises(ValueError):
+            search_term_index(idx)
