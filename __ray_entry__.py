@@ -2625,6 +2625,47 @@ def _q_doc_index_search(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_events_sessions_incremental(sf_dir: str):
+    """Streaming sessionization on a batch engine: three out-of-order
+    delta batches absorbed into the persisted session store (work ∝
+    delta buckets) must equal the one-shot window twin."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from obsidian_parser_ray.stages.events import (
+        read_sessions,
+        sessionize_update,
+    )
+
+    base = tempfile.mkdtemp(prefix="sess_store_")
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        for r in range(3):
+            def pick(t, r=r):
+                m = _pc.equal(
+                    _pc.subtract(
+                        t["event_id"],
+                        _pc.multiply(
+                            _pc.divide(t["event_id"], 3),
+                            pa.scalar(3, pa.int64()),
+                        ),
+                    ),
+                    pa.scalar(r, pa.int64()),
+                )
+                return t.filter(m).select(["user_id", "ts"])
+
+            sessionize_update(
+                base, ev.map_batches(pick, batch_format="pyarrow"),
+            )
+        return read_sessions(base).to_pandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2753,6 +2794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_yoy": _q_sales_yoy,
         "sales_daily_ma_range": _q_sales_daily_ma_range,
         "doc_index_search": _q_doc_index_search,
+        "events_sessions_incremental": _q_events_sessions_incremental,
     }
 
 
@@ -4732,5 +4774,23 @@ WITH toks AS (
 SELECT doc_id FROM toks
 WHERE list_contains(ts, 'hash') AND list_contains(ts, 'join')
   AND NOT list_contains(ts, 'vector')
+""",
+        "events_sessions_incremental": r"""
+WITH s AS (SELECT user_id, epoch_us(ts)//1000000 AS sec FROM events),
+x AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+),
+y AS (
+  SELECT user_id, sec,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM x
+)
+SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+       min(sec)::BIGINT AS start_s, max(sec)::BIGINT AS end_s
+FROM y GROUP BY 1, 2
 """,
     }

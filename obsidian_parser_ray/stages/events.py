@@ -1371,3 +1371,211 @@ def user_lifespans(events, *, key_col: str = "user_id",
         })
 
     return spans.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental sessionization: a persisted session store that absorbs
+# late-arriving event batches with work ∝ delta, not corpus
+# ---------------------------------------------------------------------------
+
+
+def _session_merge_sweep(p: pd.DataFrame, key_col: str,
+                         gap_s: int) -> pd.DataFrame:
+    """One vectorized sweep merging interval rows (start_s, end_s, n)
+    of a partition into gap-separated sessions with 1-based per-key
+    indices.  Inputs may overlap/nest (an old session plus a late
+    event inside it); a running max of end times makes the break test
+    correct for that case."""
+    p = p.sort_values([key_col, "start_s", "end_s"], kind="stable")
+    keys = p[key_col].to_numpy()
+    start = p["start_s"].to_numpy()
+    end = p["end_s"].to_numpy()
+    n = len(p)
+    new_key = np.ones(n, dtype=bool)
+    new_key[1:] = keys[1:] != keys[:-1]
+    # running max of end within key (grouped cummax — no offset trick,
+    # so epoch seconds can't overflow on any partition size)
+    run_end = (
+        pd.Series(end).groupby(pd.Series(keys), sort=False)
+        .cummax().to_numpy()
+    )
+    prev_end = np.concatenate(([0], run_end[:-1]))
+    brk = new_key.copy()
+    brk[1:] |= start[1:] - prev_end[1:] > gap_s
+    sg = np.cumsum(brk.astype(np.int64))
+    key_first = np.maximum.accumulate(np.where(new_key, sg, 0))
+    sidx = sg - key_first + 1
+    out = pd.DataFrame({
+        key_col: keys, "_sg": sg, "session_idx": sidx,
+        "start_s": start, "end_s": end,
+        "n_events": p["n_events"].to_numpy(),
+    })
+    g = out.groupby("_sg", as_index=False, sort=False).agg(
+        **{
+            key_col: (key_col, "first"),
+            "session_idx": ("session_idx", "first"),
+            "n_events": ("n_events", "sum"),
+            "start_s": ("start_s", "min"),
+            "end_s": ("end_s", "max"),
+        }
+    )
+    return g[[key_col, "session_idx", "n_events", "start_s",
+              "end_s"]].astype({
+        "session_idx": "int64", "n_events": "int64",
+        "start_s": "int64", "end_s": "int64",
+    })
+
+
+def sessionize_update(base_dir: str, new_events, *,
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      gap_minutes: int = 30,
+                      num_partitions: int = 64) -> dict:
+    """Absorb a batch of (possibly late-arriving) events into a
+    persisted session store, touching ONLY the key-hash buckets the
+    batch mentions — the streaming-sessionization contract on a batch
+    engine: work and I/O ∝ delta keys, never corpus.
+
+    Store layout: ``{base_dir}/sessions/bucket=<n>/data.parquet`` (one
+    summary table per bucket; at 10^12 events a bucket would shard
+    further — the merge is associative so nothing changes) plus
+    ``_SESSIONS_MANIFEST.json`` pinning (gap, buckets, columns).
+    Adding events can only EXTEND or MERGE sessions, never split
+    them, so stored (start_s, end_s, n_events) summaries are a
+    sufficient statistic: each update unions affected buckets'
+    summaries with the delta's single-event intervals and re-runs one
+    vectorized merge sweep per bucket.  Bucket files are replaced via
+    a fixed ``.next`` temp name (idempotent under task retry) and
+    renamed by the driver after the whole update succeeds —
+    per-bucket atomic, at-least-once overall (the same contract as
+    ``pipelines.incremental``).
+
+    Returns {"buckets_touched": int, "rows_written": int}.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..hashing import hash_bucket_array
+
+    gap_s = gap_minutes * 60
+    sess_root = os.path.join(base_dir, "sessions")
+    man_path = os.path.join(base_dir, "_SESSIONS_MANIFEST.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        if (man["gap_minutes"] != gap_minutes
+                or man["num_partitions"] != num_partitions
+                or man["key_col"] != key_col):
+            raise ValueError(
+                "store parameters differ from manifest: " + str(man)
+            )
+    else:
+        os.makedirs(sess_root, exist_ok=True)
+        man = {"gap_minutes": gap_minutes,
+               "num_partitions": num_partitions, "key_col": key_col}
+        with open(man_path, "w") as f:
+            json.dump(man, f)
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        sec = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            1_000_000,
+        )
+        return pa.table({
+            key_col: t[key_col],
+            "start_s": sec,
+            "end_s": sec,
+            "n_events": pa.array(
+                np.ones(t.num_rows, dtype=np.int64)
+            ),
+            "bucket": hash_bucket_array(t[key_col], num_partitions),
+        })
+
+    delta = new_events.select_columns([key_col, ts_col]).map_batches(
+        delta_rows, batch_format="pyarrow"
+    )
+    # bounded: ≤ num_partitions rows survive the per-block dedup
+    touched = sorted({
+        r["bucket"]
+        for b in delta.map_batches(
+            lambda t: t.select(["bucket"]).group_by("bucket").aggregate([]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    })
+    if not touched:
+        return {"buckets_touched": 0, "rows_written": 0}
+
+    existing_paths = [
+        p for p in (
+            os.path.join(sess_root, f"bucket={b}", "data.parquet")
+            for b in touched
+        ) if os.path.exists(p)
+    ]
+    parts = [delta]
+    if existing_paths:
+        def tag_existing(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "bucket", hash_bucket_array(t[key_col], num_partitions)
+            ).select([key_col, "start_s", "end_s", "n_events",
+                      "bucket"])
+
+        parts.append(
+            rd.read_parquet(
+                existing_paths,
+                columns=[key_col, "start_s", "end_s", "n_events"],
+            ).map_batches(tag_existing, batch_format="pyarrow")
+        )
+    merged_input = parts[0] if len(parts) == 1 else parts[0].union(
+        *parts[1:]
+    )
+
+    def merge_write(p: pd.DataFrame) -> pd.DataFrame:
+        b = int(p["bucket"].iloc[0])
+        out = _session_merge_sweep(
+            p.drop(columns=["bucket"]), key_col, gap_s
+        )
+        d = os.path.join(sess_root, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False),
+            os.path.join(d, "data.parquet.next"),
+        )
+        return pd.DataFrame({"bucket": [b], "rows": [len(out)]})
+
+    stats = (
+        merged_input.groupby("bucket")
+        .map_groups(merge_write, batch_format="pandas")
+        .take_all()
+    )
+    rows = 0
+    for r in stats:
+        d = os.path.join(sess_root, f"bucket={int(r['bucket'])}")
+        os.replace(os.path.join(d, "data.parquet.next"),
+                   os.path.join(d, "data.parquet"))
+        rows += int(r["rows"])
+    return {"buckets_touched": len(stats), "rows_written": rows}
+
+
+def read_sessions(base_dir: str):
+    """Read the full persisted session store as a Dataset with the
+    same schema as :func:`sessionize` output."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    paths = sorted(
+        glob.glob(os.path.join(base_dir, "sessions", "bucket=*",
+                               "data.parquet"))
+    )
+    if not paths:
+        raise FileNotFoundError(f"no session store under {base_dir}")
+    ds = rd.read_parquet(paths)
+    # drop the hive-inferred partition column — callers get exactly
+    # the sessionize() schema
+    if "bucket" in ds.schema().names:
+        ds = ds.drop_columns(["bucket"])
+    return ds

@@ -1100,3 +1100,134 @@ class TestAttributionProperty:
                 if r.event_type in touches:
                     last = r.event_type
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalSessionize:
+    def _events(self, seed, n, users=20):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "user_id": rng.integers(0, users, n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(
+                    rng.integers(0, 86400 * 2, n), unit="s"),
+            }
+        )
+
+    def _norm(self, df):
+        return (
+            df.sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True)
+            [["user_id", "session_idx", "n_events", "start_s", "end_s"]]
+            .astype({"user_id": "int64"})
+        )
+
+    def test_incremental_equals_full_rebuild(self, tmp_path):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import (
+            read_sessions,
+            sessionize,
+            sessionize_update,
+        )
+
+        full = self._events(1, 400)
+        # three arbitrary slices, NOT time-ordered (late arrivals)
+        slices = [full.iloc[0::3], full.iloc[1::3], full.iloc[2::3]]
+        base = str(tmp_path / "sess_store")
+        for s in slices:
+            r = sessionize_update(
+                base, rd.from_pandas(s.reset_index(drop=True)),
+                num_partitions=8,
+            )
+            assert r["buckets_touched"] > 0
+        got = self._norm(read_sessions(base).to_pandas())
+        want = self._norm(
+            sessionize(rd.from_pandas(full)).to_pandas()
+        )
+        assert got.equals(want)
+
+    def test_late_event_bridges_two_sessions(self, tmp_path):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import (
+            read_sessions,
+            sessionize_update,
+        )
+
+        base = str(tmp_path / "bridge_store")
+        t0 = pd.Timestamp("2024-01-01 10:00:00")
+        first = pd.DataFrame({
+            "user_id": [1, 1],
+            "ts": [t0, t0 + pd.Timedelta(minutes=70)],
+        })
+        sessionize_update(base, rd.from_pandas(first),
+                          num_partitions=4)
+        assert len(read_sessions(base).to_pandas()) == 2
+        # a late event 35 min in bridges the 70-min gap (30-min rule:
+        # 35 to each side ≤... no — 35 > 30, stays 2; use 25/45 split)
+        bridge = pd.DataFrame({
+            "user_id": [1],
+            "ts": [t0 + pd.Timedelta(minutes=45)],
+        })
+        sessionize_update(base, rd.from_pandas(bridge),
+                          num_partitions=4)
+        out = read_sessions(base).to_pandas()
+        # gaps are now 45 and 25 minutes -> 45 still breaks: 2 sessions
+        assert len(out) == 2
+        closer = pd.DataFrame({
+            "user_id": [1],
+            "ts": [t0 + pd.Timedelta(minutes=20)],
+        })
+        sessionize_update(base, rd.from_pandas(closer),
+                          num_partitions=4)
+        out = read_sessions(base).to_pandas()
+        # gaps 20, 25, 25 -> everything merges into ONE session of 4
+        assert len(out) == 1
+        assert int(out["n_events"].iloc[0]) == 4
+
+    def test_manifest_param_mismatch_raises(self, tmp_path):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import sessionize_update
+
+        base = str(tmp_path / "mismatch_store")
+        ev = self._events(2, 10)
+        sessionize_update(base, rd.from_pandas(ev), gap_minutes=30,
+                          num_partitions=4)
+        with pytest.raises(ValueError):
+            sessionize_update(base, rd.from_pandas(ev),
+                              gap_minutes=60, num_partitions=4)
+
+    def test_untouched_bucket_files_not_rewritten(self, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import sessionize_update
+
+        base = str(tmp_path / "touch_store")
+        ev = self._events(3, 200, users=40)
+        sessionize_update(base, rd.from_pandas(ev), num_partitions=16)
+        mtimes = {}
+        root = os.path.join(base, "sessions")
+        for d in os.listdir(root):
+            p = os.path.join(root, d, "data.parquet")
+            mtimes[d] = os.path.getmtime(p)
+        # delta touching exactly one user
+        one = pd.DataFrame({
+            "user_id": [int(ev["user_id"].iloc[0])],
+            "ts": [pd.Timestamp("2024-01-05")],
+        })
+        r = sessionize_update(base, rd.from_pandas(one),
+                              num_partitions=16)
+        assert r["buckets_touched"] == 1
+        changed = [
+            d for d in mtimes
+            if os.path.getmtime(
+                os.path.join(root, d, "data.parquet")) != mtimes[d]
+        ]
+        assert len(changed) == 1
