@@ -253,3 +253,67 @@ __all__ = [
     "write_markdown",
     "write_markdown_files",
 ]
+
+
+def read_parquet_evolved(paths, target_schema, *,
+                         override_num_blocks: int | None = None):
+    """Schema-drift-tolerant parquet read: conform every file to
+    ``target_schema`` (a ``pyarrow.Schema``) regardless of which
+    columns each shard actually has.
+
+    A 100 TB corpus accretes over months; old shards predate new
+    columns and new shards drop deprecated ones.  Rules, applied per
+    batch (pure map — the read itself stays streaming/block-parallel):
+
+    * missing column        → typed nulls
+    * extra column          → dropped
+    * same-kind widening    → cast (int→wider int, float→wider float,
+      int→float; anything else must match exactly — a lossy or
+      cross-kind mismatch raises rather than corrupting silently)
+    * column order          → target order
+
+    Output schema == ``target_schema`` for every block, so downstream
+    unions/joins never see ragged schemas.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def _safe_cast(col, want: pa.DataType, name: str):
+        have = col.type
+        if have.equals(want):
+            return col
+        ok = (
+            (pa.types.is_integer(have) and pa.types.is_integer(want)
+             and want.bit_width >= have.bit_width
+             and pa.types.is_signed_integer(have)
+             == pa.types.is_signed_integer(want))
+            or (pa.types.is_floating(have) and pa.types.is_floating(want)
+                and want.bit_width >= have.bit_width)
+            or (pa.types.is_integer(have) and pa.types.is_floating(want))
+            or (pa.types.is_string(have)
+                and pa.types.is_large_string(want))
+        )
+        if not ok:
+            raise TypeError(
+                f"column {name!r}: refusing lossy/cross-kind cast "
+                f"{have} -> {want}"
+            )
+        return pc.cast(col, want)
+
+    def conform(t: pa.Table) -> pa.Table:
+        cols = []
+        for field in target_schema:
+            if field.name in t.column_names:
+                c = t[field.name]
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                cols.append(_safe_cast(c, field.type, field.name))
+            else:
+                cols.append(pa.nulls(t.num_rows, field.type))
+        return pa.Table.from_arrays(cols, schema=target_schema)
+
+    ds = rd.read_parquet(
+        paths, override_num_blocks=override_num_blocks,
+    )
+    return ds.map_batches(conform, batch_format="pyarrow")

@@ -316,3 +316,104 @@ def hash_split(ds, *, id_col: str = "doc_id", pcts: tuple = (80, 90),
         return t.append_column("split", pa.array(lab[which]))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def export_jsonl_shards(ds, out_dir: str, *, num_shards: int = 16,
+                        seed: int = 42, compression: str = "gzip",
+                        suffix: str | None = None) -> dict:
+    """Deterministically shuffled, sharded JSONL export — the
+    interchange format most training stacks ingest directly.
+
+    The "shuffle" is content-defined, not positional: each row's shard
+    is a stable hash of its serialized content, and rows within a
+    shard are written in canonical (serialized-bytes) order — so the
+    output is BYTE-IDENTICAL across reruns and input partitionings
+    without paying a ``random_shuffle`` exchange, while still being
+    decorrelated from source order (hash order ≈ random order).
+    ``seed`` is recorded in the manifest for lineage but does not
+    change bytes.  Each shard file lands via ``.next`` + rename; the
+    manifest is written LAST, so a crash leaves data files but no
+    manifest — the rerun signal (same contract as the parquet shard
+    exporter).  Values must be JSON-representable (ints, floats,
+    strings, lists); binary columns should be dropped or hex-encoded
+    upstream.
+    """
+    import gzip
+    import json
+    import os
+
+    if suffix is None:
+        suffix = ".jsonl.gz" if compression == "gzip" else ".jsonl"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(p, ctx=None):
+        # map_groups over the shard id — one task per shard
+        import pandas as pd
+
+        shard = int(p["_shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard:05d}{suffix}")
+        lines = sorted(
+            json.dumps(
+                {k: v for k, v in rec.items() if k != "_shard"},
+                sort_keys=True, default=str,
+            )
+            for rec in p.to_dict(orient="records")
+        )
+        body = ("\n".join(lines) + "\n" if lines else "").encode()
+        tmp = path + ".next"
+        if compression == "gzip":
+            # mtime=0 → byte-identical reruns
+            with open(tmp, "wb") as f:
+                with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as g:
+                    g.write(body)
+        else:
+            with open(tmp, "wb") as f:
+                f.write(body)
+        os.replace(tmp, path)
+        return pd.DataFrame({
+            "shard": [shard], "rows": [len(p)],
+            "bytes": [os.path.getsize(path)],
+        })
+
+    # shard assignment must survive reruns and task retries, so it
+    # hashes the row CONTENT (stable repo hash, not process-salted
+    # builtin hash) rather than any positional index
+    from ..hashing import hash_bucket_array
+
+    def tag_stable(t: pa.Table) -> pa.Table:
+        import json as _json
+
+        keys = pa.array(
+            [_json.dumps(r, sort_keys=True, default=str)
+             for r in t.to_pylist()],
+            pa.string(),
+        )
+        return t.append_column(
+            "_shard",
+            pa.array(
+                hash_bucket_array(keys, num_shards).to_numpy()
+                .astype(np.int64)
+            ),
+        )
+
+    stats = (
+        ds.map_batches(tag_stable, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .take_all()
+    )
+    manifest = {
+        "num_shards": num_shards,
+        "seed": seed,
+        "shards": sorted(
+            ({"shard": int(r["shard"]), "rows": int(r["rows"]),
+              "bytes": int(r["bytes"])} for r in stats),
+            key=lambda x: x["shard"],
+        ),
+        "total_rows": int(sum(r["rows"] for r in stats)),
+    }
+    import json as _json
+
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        _json.dump(manifest, f, indent=1)
+    return manifest

@@ -285,3 +285,60 @@ class TestHashSplit:
         ds = rd.from_arrow(pa.table({"doc_id": [1]}))
         with pytest.raises(ValueError):
             hash_split(ds, pcts=(90, 80))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonlShards:
+    def test_round_trip_and_manifest(self, tmp_path):
+        import gzip
+        import json
+        import os
+
+        from obsidian_parser_ray.stages.chunking import (
+            export_jsonl_shards,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(100)), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(100)]),
+        })
+        out = str(tmp_path / "jl")
+        man = export_jsonl_shards(
+            rd.from_arrow(t).repartition(4), out, num_shards=5,
+        )
+        assert man["total_rows"] == 100
+        assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+        got = []
+        for s in man["shards"]:
+            p = os.path.join(out, f"shard-{s['shard']:05d}.jsonl.gz")
+            with gzip.open(p, "rt") as f:
+                rows = [json.loads(line) for line in f]
+            assert len(rows) == s["rows"]
+            got.extend(rows)
+        assert sorted(r["doc_id"] for r in got) == list(range(100))
+
+    def test_rerun_byte_identical(self, tmp_path):
+        import hashlib
+        import os
+
+        from obsidian_parser_ray.stages.chunking import (
+            export_jsonl_shards,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "v": pa.array([i * 1.5 for i in range(40)]),
+        })
+
+        def digest(d):
+            h = hashlib.md5()
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".gz"):
+                    h.update(open(os.path.join(d, name), "rb").read())
+            return h.hexdigest()
+
+        d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+        export_jsonl_shards(rd.from_arrow(t), d1, num_shards=3)
+        export_jsonl_shards(rd.from_arrow(t).repartition(5), d2,
+                            num_shards=3)
+        assert digest(d1) == digest(d2)

@@ -117,3 +117,60 @@ class TestMarkdownFileRoundTrip:
         assert {(t["subj"], t["pred"], t["obj"]) for t in triples} == {
             ("a", "links_to", "b")
         }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadParquetEvolved:
+    def test_missing_extra_and_widening(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from obsidian_parser_ray.sources import read_parquet_evolved
+
+        # shard A: old schema (int32 id, no score, extra junk col)
+        pq.write_table(
+            pa.table({
+                "id": pa.array([1, 2], pa.int32()),
+                "junk": pa.array(["x", "y"]),
+            }),
+            str(tmp_path / "a.parquet"),
+        )
+        # shard B: new schema
+        pq.write_table(
+            pa.table({
+                "id": pa.array([3], pa.int64()),
+                "score": pa.array([0.5], pa.float64()),
+            }),
+            str(tmp_path / "b.parquet"),
+        )
+        target = pa.schema([
+            pa.field("id", pa.int64()),
+            pa.field("score", pa.float64()),
+        ])
+        out = (
+            read_parquet_evolved(
+                [str(tmp_path / "a.parquet"),
+                 str(tmp_path / "b.parquet")],
+                target,
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert list(out.columns) == ["id", "score"]
+        assert list(out["id"]) == [1, 2, 3]
+        assert out["score"].isna().tolist() == [True, True, False]
+
+    def test_lossy_cast_refused(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from obsidian_parser_ray.sources import read_parquet_evolved
+
+        pq.write_table(
+            pa.table({"id": pa.array([1.5], pa.float64())}),
+            str(tmp_path / "c.parquet"),
+        )
+        target = pa.schema([pa.field("id", pa.int64())])
+        ds = read_parquet_evolved([str(tmp_path / "c.parquet")], target)
+        with _pytest.raises(Exception):
+            ds.to_pandas()
