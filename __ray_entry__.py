@@ -2666,6 +2666,95 @@ def _q_events_sessions_incremental(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_sales_forecast(sf_dir: str):
+    """Q6 shape: pure filter + global discount-amount sum — the
+    predicate-pushdown probe."""
+    import datetime as dt
+
+    from obsidian_parser_ray.pipelines.analytics import forecast_revenue
+
+    return forecast_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_discount", "l_quantity",
+               "l_extendedprice"]),
+        date_from=dt.datetime(1996, 1, 1),
+        date_to=dt.datetime(1997, 1, 1),
+        disc_lo=0.05, disc_hi=0.07, qty_max=24.0,
+    )
+
+
+def _q_supplier_quartiles(sf_dir: str):
+    """NTILE(4) over aggregated supplier revenue — total order only on
+    the |suppliers|-sized reduction, exact SQL tile boundaries."""
+    from obsidian_parser_ray.pipelines.analytics import supplier_quartiles
+
+    return supplier_quartiles(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount"]))
+
+
+def _q_customer_first_last(sf_dir: str):
+    """FIRST/LAST_VALUE per customer via a packed argmin/argmax reduce
+    — no window shuffle."""
+    from obsidian_parser_ray.pipelines.analytics import customer_first_last
+
+    return customer_first_last(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]))
+
+
+def _q_orders_dow(sf_dir: str):
+    """Calendar seasonality: order counts + revenue by day-of-week
+    (engine-neutral ``(epoch_day + 3) % 7`` — 0 = Monday — so no
+    cross-engine DOW-convention trap)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t):
+        day = _pc.divide(
+            _pc.cast(_pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()),
+            86_400_000_000,
+        )
+        shifted = _pc.add(day, pa.scalar(3, pa.int64()))
+        dow = _pc.subtract(
+            shifted,
+            _pc.multiply(_pc.divide(shifted, 7),
+                         pa.scalar(7, pa.int64())),
+        )
+        micro = _pc.cast(
+            _pc.floor(_pc.multiply(t["o_totalprice"], 1_000_000.0)),
+            pa.int64(),
+        )
+        flat = pa.table({
+            "dow": dow,
+            "n_orders": pa.array([1] * t.num_rows, pa.int64()),
+            "revenue_micro": micro,
+        })
+        g = flat.group_by("dow").aggregate(
+            [("n_orders", "sum"), ("revenue_micro", "sum")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+
+    def merge(t):
+        g = t.group_by("dow").aggregate(
+            [("n_orders", "sum"), ("revenue_micro", "sum")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2795,6 +2884,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_daily_ma_range": _q_sales_daily_ma_range,
         "doc_index_search": _q_doc_index_search,
         "events_sessions_incremental": _q_events_sessions_incremental,
+        "sales_forecast": _q_sales_forecast,
+        "supplier_quartiles": _q_supplier_quartiles,
+        "customer_first_last": _q_customer_first_last,
+        "orders_dow": _q_orders_dow,
     }
 
 
@@ -4792,5 +4885,62 @@ y AS (
 SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
        min(sec)::BIGINT AS start_s, max(sec)::BIGINT AS end_s
 FROM y GROUP BY 1, 2
+""",
+        "sales_forecast": r"""
+SELECT
+  CAST(COALESCE(sum(
+    CAST(floor(l_extendedprice * l_discount * 1000000) AS BIGINT)
+  ), 0) AS BIGINT) AS revenue_micro,
+  count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "supplier_quartiles": r"""
+WITH s AS (
+  SELECT l_suppkey AS s_suppkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS revenue_micro
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, revenue_micro,
+  ntile(4) OVER (ORDER BY revenue_micro DESC, s_suppkey)::BIGINT
+    AS tile
+FROM s
+""",
+        "customer_first_last": r"""
+WITH o AS (
+  SELECT o_custkey,
+         (epoch_us(o_orderdate) // 86400000000) AS d,
+         CAST(floor(o_totalprice * 1000000) AS BIGINT) AS p,
+         o_orderkey
+  FROM orders
+),
+w AS (
+  SELECT o_custkey AS c_custkey,
+    first_value(d) OVER win AS first_date_day,
+    first_value(p) OVER win AS first_price_micro,
+    last_value(d) OVER win AS last_date_day,
+    last_value(p) OVER win AS last_price_micro,
+    row_number() OVER win AS rn,
+    count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM o
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING)
+)
+SELECT c_custkey, first_date_day::BIGINT AS first_date_day,
+       first_price_micro, last_date_day::BIGINT AS last_date_day,
+       last_price_micro
+FROM w WHERE rn = 1
+""",
+        "orders_dow": r"""
+SELECT ((epoch_us(o_orderdate) // 86400000000) + 3) % 7 AS dow,
+  count(*)::BIGINT AS n_orders,
+  CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+    AS revenue_micro
+FROM orders GROUP BY dow
 """,
     }

@@ -1902,3 +1902,182 @@ def daily_moving_avg_range(lineitem, *, window_days: int = 3):
         .map_batches(merge_range, batch_format="pyarrow",
                      batch_size=None)
     )
+
+
+def forecast_revenue(lineitem, *, date_from: _dt.datetime,
+                     date_to: _dt.datetime, disc_lo: float,
+                     disc_hi: float, qty_max: float):
+    """Q6 shape: potential revenue from discount changes — a pure
+    filter + global sum, the canonical predicate-pushdown probe.
+
+    The three predicates evaluate as one vectorized mask per block;
+    the global sum is exact int64 micros of ``price * discount``
+    (note: NOT price·(1−discount) — Q6 sums the discount amount).
+    Output: one row (revenue_micro, n_items).
+    """
+    lo, hi = _ts(date_from), _ts(date_to)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo),
+                pc.less(t["l_shipdate"], hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], disc_lo),
+                    pc.less_equal(t["l_discount"], disc_hi),
+                ),
+                pc.less(t["l_quantity"], qty_max),
+            ),
+        )
+        t = t.filter(m)
+        rev = _micro(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table({
+            "revenue_micro": pa.array(
+                [pc.sum(rev).as_py() or 0], pa.int64()
+            ),
+            "n_items": pa.array([t.num_rows], pa.int64()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_micro": pa.array(
+                [pc.sum(t["revenue_micro"]).as_py() or 0], pa.int64()
+            ),
+            "n_items": pa.array(
+                [pc.sum(t["n_items"]).as_py() or 0], pa.int64()
+            ),
+        })
+
+    return (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+
+
+def supplier_quartiles(lineitem, *, n_tiles: int = 4):
+    """NTILE over aggregated supplier revenue: each supplier's revenue
+    quartile (1 = top), deterministic ties by suppkey.
+
+    Scale shape: NTILE needs a total order, so it runs on the
+    AGGREGATED table only (|suppliers| ≪ |fact| — same reduction as
+    :func:`supplier_pareto`); the tile boundaries replicate SQL NTILE
+    exactly: the first ``n mod k`` tiles get ``⌈n/k⌉`` rows.
+    Output: (s_suppkey, revenue_micro, tile).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        flat = pa.table({"l_suppkey": t["l_suppkey"], "_rev": rev})
+        g = flat.group_by("l_suppkey").aggregate([("_rev", "sum")])
+        return g.rename_columns([
+            "_rev" if c == "_rev_sum" else c for c in g.column_names
+        ])
+
+    totals = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("_rev", alias_name="revenue_micro"))
+    )
+
+    def tile(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([
+            "s_suppkey" if c == "l_suppkey" else c
+            for c in t.column_names
+        ]).sort_by([("revenue_micro", "descending"),
+                    ("s_suppkey", "ascending")])
+        n = t.num_rows
+        q, r = divmod(n, n_tiles)
+        sizes = np.full(n_tiles, q, dtype=np.int64)
+        sizes[:r] += 1
+        tiles = np.repeat(
+            np.arange(1, n_tiles + 1, dtype=np.int64), sizes
+        )
+        return t.append_column("tile", pa.array(tiles, pa.int64()))
+
+    return (
+        totals.repartition(1, shuffle=False)
+        .map_batches(tile, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def customer_first_last(orders):
+    """FIRST_VALUE / LAST_VALUE per group without a window shuffle:
+    each customer's first and latest order (date + price), order
+    defined by (orderdate, orderkey).
+
+    The total order packs into one int64 — ``epoch_day * 2^32 +
+    orderkey`` (days < 2^21, keys < 2^32 by schema) — making
+    first/last an argmin/argmax reduce: each block keeps its local
+    first and last row per customer (price riding along), so ≤ 2 rows
+    per (block, customer) cross the wire into one per-customer merge.
+    A valid combiner — the global extreme of a union is the extreme
+    of the per-block extremes.
+
+    Output: (c_custkey, first_date_day, first_price_micro,
+    last_date_day, last_price_micro).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                    pa.int64()),
+            86_400_000_000,
+        )
+        packed = pc.add(
+            pc.multiply(day, pa.scalar(1 << 32, pa.int64())),
+            pc.cast(t["o_orderkey"], pa.int64()),
+        )
+        flat = (
+            pa.table({
+                "c_custkey": t["o_custkey"],
+                "packed": packed,
+                "price_micro": _micro(t["o_totalprice"]),
+            })
+            .sort_by("packed")
+        )
+        df = flat.to_pandas()
+        g = df.groupby("c_custkey", sort=False)
+        first = g.head(1).rename(columns={
+            "packed": "first_packed", "price_micro": "first_price_micro"
+        })
+        last = g.tail(1).rename(columns={
+            "packed": "last_packed", "price_micro": "last_price_micro"
+        })
+        out = first.merge(last, on="c_custkey")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(p):
+        import pandas as pd
+
+        p = p.sort_values("first_packed", kind="stable")
+        g = p.groupby("c_custkey", sort=False)
+        first = g.head(1)[["c_custkey", "first_packed",
+                           "first_price_micro"]]
+        p2 = p.sort_values("last_packed", kind="stable")
+        last = p2.groupby("c_custkey", sort=False).tail(1)[
+            ["c_custkey", "last_packed", "last_price_micro"]
+        ]
+        out = first.merge(last, on="c_custkey")
+        out["first_date_day"] = out["first_packed"] // (1 << 32)
+        out["last_date_day"] = out["last_packed"] // (1 << 32)
+        return out[["c_custkey", "first_date_day", "first_price_micro",
+                    "last_date_day", "last_price_micro"]].astype(
+            "int64"
+        )
+
+    return (
+        orders.select_columns(["o_custkey", "o_orderkey", "o_orderdate",
+                               "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -665,3 +665,73 @@ class TestDailyMovingAvgRange:
         # day 5 is > 2 days after day 2 -> window is only itself
         assert list(out["ma_sum_micro"]) == [10 * m, 30 * m, 50 * m]
         assert list(out["ma_n"]) == [1, 2, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ6NtileFirstLast:
+    def test_forecast_discount_amount_not_net(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import (
+            forecast_revenue,
+        )
+
+        li = pa.table({
+            "l_shipdate": pa.array(
+                [dt.datetime(1996, 6, 1)] * 3, pa.timestamp("us")),
+            "l_discount": pa.array([0.06, 0.06, 0.10]),
+            "l_quantity": pa.array([10.0, 30.0, 10.0]),
+            "l_extendedprice": pa.array([100.0, 100.0, 100.0]),
+        })
+        out = forecast_revenue(
+            rd.from_arrow(li).repartition(2),
+            date_from=dt.datetime(1996, 1, 1),
+            date_to=dt.datetime(1997, 1, 1),
+            disc_lo=0.05, disc_hi=0.07, qty_max=24.0,
+        ).to_pandas()
+        # only row 0 passes (row1 qty, row2 discount); 100*0.06 = 6
+        assert out["n_items"].iloc[0] == 1
+        assert out["revenue_micro"].iloc[0] == 6_000_000
+
+    def test_ntile_uneven_boundaries(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import (
+            supplier_quartiles,
+        )
+
+        # 6 suppliers -> NTILE(4) sizes 2,2,1,1
+        li = pa.table({
+            "l_suppkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "l_extendedprice": pa.array(
+                [60.0, 50.0, 40.0, 30.0, 20.0, 10.0]),
+            "l_discount": pa.array([0.0] * 6),
+        })
+        out = supplier_quartiles(
+            rd.from_arrow(li).repartition(3)
+        ).to_pandas().set_index("s_suppkey")
+        assert list(out["tile"]) == [1, 1, 2, 2, 3, 4]
+
+    def test_first_last_packed_order(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import (
+            customer_first_last,
+        )
+
+        orders = pa.table({
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            "o_orderkey": pa.array([5, 2, 9], pa.int64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2),
+                 dt.datetime(2024, 1, 1)],
+                pa.timestamp("us")),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0]),
+        })
+        out = customer_first_last(
+            rd.from_arrow(orders).repartition(3)
+        ).to_pandas()
+        # first = (day 1, key 9, 30); last = (day 2, key 5, 10) — the
+        # same-day tie resolves by orderkey (2 < 5)
+        assert out["first_price_micro"].iloc[0] == 30_000_000
+        assert out["last_price_micro"].iloc[0] == 10_000_000
