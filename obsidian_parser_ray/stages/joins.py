@@ -25,7 +25,9 @@ import pyarrow.compute as pc
 
 def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None,
                      how: str = "inner", suffix: str = "_r",
-                     num_partitions: int = 64, salt: int = 1):
+                     num_partitions: int = 64, salt: int = 1,
+                     left_schema: pa.Schema | None = None,
+                     right_schema: pa.Schema | None = None):
     """Equi-join ``left`` against a ``right`` side unique per key.
 
     ``right`` MUST have at most one row per ``right_key`` value (an
@@ -54,6 +56,11 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     row still meets its full right set); ``how="full"`` rejects
     ``salt > 1`` because right-only detection needs cross-slot
     visibility.  Cost: ``salt × |right|`` extra shuffle rows.
+
+    ``left_schema`` / ``right_schema``: pass the known Arrow schema of
+    a side whose lineage contains an all-to-all (groupby/sort) —
+    otherwise the plan's ``schema()`` probe executes that whole
+    subtree once just for inference and the real run repeats it.
     """
     if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(
@@ -70,8 +77,13 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
 
     from ..hashing import hash_bucket_array
 
-    l_schema = left.schema()
-    r_schema = right.schema()
+    # schema inference on a lazy side whose lineage holds an
+    # all-to-all EXECUTES that subtree and discards the work; callers
+    # that know their schemas pass them to skip the probe entirely
+    l_schema = left_schema if left_schema is not None else left.schema()
+    r_schema = (
+        right_schema if right_schema is not None else right.schema()
+    )
     # a fully-empty input can surface as a block-less dataset whose
     # schema is unknown (e.g. a map_groups stage that emitted only
     # empty tables) — the join result is then determined without it
@@ -271,9 +283,13 @@ def broadcast_join_unique(left, right, *, left_key: str,
 
     import ray
 
-    l_schema = left.schema()
-    if l_schema is None:
-        return left
+    # NOTE deliberately no left.schema() probe: on a lazy left whose
+    # lineage contains an all-to-all (groupby/sort), schema inference
+    # EXECUTES that whole subtree and throws the work away — a 3×
+    # wall-clock trap when an expensive left feeds two chained joins
+    # (measured: 46 s -> 15 s on the record-linkage pipeline).  Column
+    # names are read from each batch inside `probe` instead.
+    right = right.materialize()
     r_schema = right.schema()
     if r_schema is None:
         if how == "anti":
@@ -284,7 +300,6 @@ def broadcast_join_unique(left, right, *, left_key: str,
             "broadcast_join_unique(how='left'): right side has no schema"
         )
 
-    right = right.materialize()
     n_right = right.count()
     # bound by BYTES as well as rows: a right side with wide value
     # columns (text payloads) can be multi-GB under the row guard, and
@@ -303,13 +318,11 @@ def broadcast_join_unique(left, right, *, left_key: str,
     ).combine_chunks()
     r_ref = ray.put(r_tbl)
 
-    l_names = list(l_schema.names)
     r_value = (
         []
         if how in ("semi", "anti")
         else [n for n in r_schema.names if n != right_key]
     )
-    rename = {n: (n + suffix if n in set(l_names) else n) for n in r_value}
 
     def probe(t: pa.Table) -> pa.Table:
         r = ray.get(r_ref)  # zero-copy plasma read, once per task
@@ -323,6 +336,10 @@ def broadcast_join_unique(left, right, *, left_key: str,
             idx = idx.filter(keep)
         if how in ("semi", "anti"):
             return t
+        l_names = list(t.column_names)
+        rename = {
+            n: (n + suffix if n in set(l_names) else n) for n in r_value
+        }
         cols = [t[n] for n in l_names]
         names = list(l_names)
         for n in r_value:

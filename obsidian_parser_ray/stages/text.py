@@ -1059,6 +1059,8 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
             "gram": pa.array(out_gram, pa.string()),
         })
 
+    sch0 = ds.schema()
+    id_t = dict(zip(sch0.names, sch0.types))[id_col]
     grams = ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow"
     )
@@ -1067,8 +1069,15 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
     )
     from .joins import hash_join_unique
 
+    # explicit schemas: `first`'s lineage is a full groupby — letting
+    # the join's schema probe execute it once for inference would
+    # double the gram shuffle
     joined = hash_join_unique(
         grams, first, left_key="gram", right_key="gram", how="inner",
+        left_schema=pa.schema([pa.field(id_col, id_t),
+                               pa.field("gram", pa.string())]),
+        right_schema=pa.schema([pa.field("gram", pa.string()),
+                                pa.field("first_doc", id_t)]),
     )
 
     def doc_partial(t: pa.Table) -> pa.Table:
