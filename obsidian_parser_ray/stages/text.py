@@ -1109,8 +1109,7 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
                    Sum("n_novel", alias_name="n_novel"))
     )
 
-    sch = ds.schema()
-    id_type = dict(zip(sch.names, sch.types))[id_col]
+    id_type = id_t
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
