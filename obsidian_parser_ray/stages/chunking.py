@@ -8,6 +8,12 @@
 * :func:`export_training_shards` — deterministic ``random_shuffle``
   (seeded) + fixed shard count + manifest: the standard "shuffle once,
   shard for epoch reading" layout.
+* :func:`export_jsonl_shards` — byte-reproducible JSONL shards
+  (content-defined sharding, no shuffle exchange).
+* :func:`deterministic_sample_per_key` / :func:`hash_split` —
+  md5-ordered stratified sampling and train/val/test assignment
+  (oracle-replayable, stable under corpus growth).
+* :func:`pack_sequences` — fixed-token-capacity sequence packing.
 """
 
 from __future__ import annotations
