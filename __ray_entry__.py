@@ -2755,6 +2755,28 @@ def _q_orders_dow(sf_dir: str):
     )
 
 
+def _q_events_conversion_lag(sf_dir: str):
+    """Funnel timing: signup→purchase lag quantiles (exact discrete),
+    filter-pruned single shuffle."""
+    from obsidian_parser_ray.stages.events import conversion_lag
+
+    return conversion_lag(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]))
+
+
+def _q_sales_cube(sf_dir: str):
+    """CUBE grouping sets over (returnflag, orderpriority) — all four
+    levels derived from bounded leaves, one fact exchange."""
+    from obsidian_parser_ray.pipelines.analytics import revenue_cube
+
+    return revenue_cube(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice",
+               "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2888,6 +2910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_quartiles": _q_supplier_quartiles,
         "customer_first_last": _q_customer_first_last,
         "orders_dow": _q_orders_dow,
+        "events_conversion_lag": _q_events_conversion_lag,
+        "sales_cube": _q_sales_cube,
     }
 
 
@@ -4942,5 +4966,36 @@ SELECT ((epoch_us(o_orderdate) // 86400000000) + 3) % 7 AS dow,
   CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
     AS revenue_micro
 FROM orders GROUP BY dow
+""",
+        "events_conversion_lag": r"""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts) // 1000000) AS s0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT s.user_id, min(epoch_us(e.ts) // 1000000) AS p0
+  FROM s JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) // 1000000 >= s0
+  GROUP BY s.user_id
+),
+g AS (SELECT p0 - s0 AS gap FROM p JOIN s USING (user_id))
+SELECT (SELECT count(*) FROM s)::BIGINT AS n_from_users,
+       count(*)::BIGINT AS n_converted,
+       quantile_disc(gap, 0.5)::BIGINT AS lag_p50,
+       quantile_disc(gap, 0.9)::BIGINT AS lag_p90
+FROM g
+""",
+        "sales_cube": r"""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(sum(rev) AS BIGINT) AS revenue_micro
+FROM (
+  SELECT l_returnflag, o_orderpriority,
+    CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+      AS rev
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+GROUP BY CUBE (l_returnflag, o_orderpriority)
 """,
     }

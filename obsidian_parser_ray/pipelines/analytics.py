@@ -2081,3 +2081,88 @@ def customer_first_last(orders):
         .groupby("c_custkey")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def revenue_cube(lineitem, orders, *, num_partitions: int = 64):
+    """``GROUP BY CUBE (l_returnflag, o_orderpriority)`` revenue: all
+    four grouping sets — leaves, each one-dimension margin, and the
+    grand total — with rolled-up levels labelled ``'ALL'``.
+
+    Scale shape: ONE fact exchange (the orderkey join ships per-
+    (orderkey, flag) integer partials, not raw rows); leaves are
+    bounded (|flags| × |priorities|), so every super-aggregate is
+    DERIVED from the leaf table in the single final task — grouping
+    sets cost nothing beyond the leaves, the same derivation rule as
+    :func:`revenue_rollup` generalized to the full lattice.
+
+    Output: (l_returnflag, o_orderpriority, revenue_micro).
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        flat = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_returnflag": t["l_returnflag"],
+            "revenue_micro": rev,
+        })
+        g = flat.group_by(["l_orderkey", "l_returnflag"]).aggregate(
+            [("revenue_micro", "sum")]
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    joined = broadcast_join_unique(
+        lineitem.map_batches(li_partial, batch_format="pyarrow"),
+        orders.select_columns(["o_orderkey", "o_orderpriority"]),
+        left_key="l_orderkey", right_key="o_orderkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def leaf_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_returnflag", "o_orderpriority",
+                      "revenue_micro"])
+            .group_by(["l_returnflag", "o_orderpriority"])
+            .aggregate([("revenue_micro", "sum")])
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    def cube(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "o_orderpriority"]).aggregate(
+            [("revenue_micro", "sum")]
+        )
+        df = _rename_sums(
+            g, {"revenue_micro_sum": "revenue_micro"}
+        ).to_pandas()
+        by_flag = (
+            df.groupby("l_returnflag", as_index=False)["revenue_micro"]
+            .sum().assign(o_orderpriority="ALL")
+        )
+        by_prio = (
+            df.groupby("o_orderpriority", as_index=False)
+            ["revenue_micro"].sum().assign(l_returnflag="ALL")
+        )
+        import pandas as pd
+
+        total = pd.DataFrame({
+            "l_returnflag": ["ALL"], "o_orderpriority": ["ALL"],
+            "revenue_micro": [df["revenue_micro"].sum()],
+        })
+        out = pd.concat([df, by_flag, by_prio, total],
+                        ignore_index=True)
+        out["revenue_micro"] = out["revenue_micro"].astype("int64")
+        return pa.Table.from_pandas(
+            out[["l_returnflag", "o_orderpriority", "revenue_micro"]],
+            preserve_index=False,
+        )
+
+    return (
+        joined.map_batches(leaf_partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(cube, batch_format="pyarrow")
+    )

@@ -1579,3 +1579,136 @@ def read_sessions(base_dir: str):
     if "bucket" in ds.schema().names:
         ds = ds.drop_columns(["bucket"])
     return ds
+
+
+def conversion_lag(events, *, from_type: str = "signup",
+                   to_type: str = "purchase", key_col: str = "user_id",
+                   ts_col: str = "ts", type_col: str = "event_type",
+                   quantiles=(0.5, 0.9), num_partitions: int = 64):
+    """Funnel timing: for each user, the lag between their FIRST
+    ``from_type`` event and the first ``to_type`` event at-or-after
+    it; reported as conversion counts + exact discrete lag quantiles.
+
+    One hash shuffle of the two relevant event types only (the filter
+    prunes before the exchange); each partition resolves its users
+    with one vectorized sweep (first-from via grouped min, first-to-
+    after via a sorted searchsorted per partition frame); the lag
+    distribution reduces through the exact value-histogram (quantile
+    exchange is O(distinct lags)).
+
+    Output: one row (n_from_users, n_converted,
+    lag_p<q> [seconds] per requested quantile — null when nobody
+    converts).
+    """
+    import pandas as pd
+
+    from ..hashing import hash_bucket_array
+    from .sketch import exact_int_quantiles
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.equal(t[type_col], from_type),
+            pc.equal(t[type_col], to_type),
+        )
+        t = t.filter(m)
+        sec = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            1_000_000,
+        )
+        out = pa.table({
+            key_col: t[key_col],
+            "sec": sec,
+            "is_from": pc.equal(t[type_col], from_type),
+        })
+        return out.append_column(
+            "part", hash_bucket_array(out[key_col], num_partitions)
+        )
+
+    def lags_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({
+                "gap": pd.Series([], dtype="int64"),
+                "is_from_user": pd.Series([], dtype="int64"),
+            })
+        f = p[p["is_from"]]
+        if not len(f):
+            return pd.DataFrame({
+                "gap": pd.Series([], dtype="int64"),
+                "is_from_user": pd.Series([], dtype="int64"),
+            })
+        s0 = (
+            f.groupby(key_col)["sec"].min().rename("s0").reset_index()
+        )
+        t = p[~p["is_from"]].merge(s0, on=key_col)
+        t = t[t["sec"] >= t["s0"]]
+        g2 = t.groupby(key_col).agg(
+            p0=("sec", "min"), s0=("s0", "first")
+        )
+        gaps = (g2["p0"] - g2["s0"]).astype("int64")
+        out = pd.DataFrame({
+            "gap": gaps.to_numpy(),
+            "is_from_user": np.zeros(len(gaps), dtype=np.int64),
+        })
+        # one marker row per from-user so the caller can count them
+        # without a second pass
+        marker = pd.DataFrame({
+            "gap": np.full(len(s0), -1, dtype=np.int64),
+            "is_from_user": np.ones(len(s0), dtype=np.int64),
+        })
+        return pd.concat([out, marker], ignore_index=True)
+
+    rows = (
+        events.select_columns([key_col, ts_col, type_col])
+        .map_batches(keep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lags_partition, batch_format="pandas")
+    ).materialize()  # consumed twice below (counts + quantiles); the
+    # pinned table is one row per from-user/conversion — ≪ events
+
+    import pyarrow.compute as _pc
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_from": pa.array(
+                [_pc.sum(t["is_from_user"]).as_py() or 0], pa.int64()
+            ),
+            "n_conv": pa.array(
+                [int(t.num_rows
+                     - (_pc.sum(t["is_from_user"]).as_py() or 0))],
+                pa.int64(),
+            ),
+        })
+
+    merged = (
+        rows.map_batches(counts, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(
+            lambda t: pa.table({
+                "n_from": pa.array(
+                    [_pc.sum(t["n_from"]).as_py() or 0], pa.int64()
+                ),
+                "n_conv": pa.array(
+                    [_pc.sum(t["n_conv"]).as_py() or 0], pa.int64()
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )[0]
+    n_from, n_conv = int(merged["n_from"]), int(merged["n_conv"])
+
+    data = {"n_from_users": [n_from], "n_converted": [n_conv]}
+    if n_conv:
+        gaps_only = rows.map_batches(
+            lambda t: t.filter(
+                _pc.equal(t["is_from_user"], pa.scalar(0, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        vals = exact_int_quantiles(gaps_only, "gap", list(quantiles))
+        for q, v in zip(quantiles, vals):
+            data[f"lag_p{int(q * 100)}"] = [v]
+    else:
+        for q in quantiles:
+            data[f"lag_p{int(q * 100)}"] = [None]
+    return pd.DataFrame(data)

@@ -735,3 +735,35 @@ class TestQ6NtileFirstLast:
         # same-day tie resolves by orderkey (2 < 5)
         assert out["first_price_micro"].iloc[0] == 30_000_000
         assert out["last_price_micro"].iloc[0] == 10_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRevenueCube:
+    def test_all_four_grouping_sets_consistent(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import revenue_cube
+
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_returnflag": pa.array(["A", "B", "A"]),
+            "l_extendedprice": pa.array([10.0, 20.0, 40.0]),
+            "l_discount": pa.array([0.0] * 3),
+        })
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderpriority": pa.array(["HIGH", "LOW"]),
+        })
+        out = revenue_cube(
+            rd.from_arrow(li).repartition(2), rd.from_arrow(orders),
+        ).to_pandas().set_index(["l_returnflag", "o_orderpriority"])
+        m = 1_000_000
+        assert out.loc[("A", "HIGH"), "revenue_micro"] == 10 * m
+        assert out.loc[("A", "ALL"), "revenue_micro"] == 50 * m
+        assert out.loc[("ALL", "LOW"), "revenue_micro"] == 40 * m
+        assert out.loc[("ALL", "ALL"), "revenue_micro"] == 70 * m
+        # lattice consistency: margins sum to the grand total
+        flags = out.loc[
+            (slice(None), "ALL"), "revenue_micro"
+        ].drop(("ALL", "ALL"), errors="ignore")
+        assert flags.sum() == 70 * m

@@ -1231,3 +1231,47 @@ class TestIncrementalSessionize:
                 os.path.join(root, d, "data.parquet")) != mtimes[d]
         ]
         assert len(changed) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConversionLag:
+    def test_first_from_first_to_after(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import conversion_lag
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame(
+            {
+                # u1: purchase BEFORE signup ignored; lag = 100s
+                # u2: signup, never purchases
+                # u3: no signup (purchase only) -> not counted
+                "user_id": [1, 1, 1, 2, 3],
+                "ts": [t0 + pd.Timedelta(seconds=s)
+                       for s in [50, 60, 160, 10, 5]],
+                "event_type": ["purchase", "signup", "purchase",
+                               "signup", "purchase"],
+            }
+        )
+        out = conversion_lag(rd.from_pandas(df), num_partitions=3)
+        assert out["n_from_users"].iloc[0] == 2
+        assert out["n_converted"].iloc[0] == 1
+        assert out["lag_p50"].iloc[0] == 100
+        assert out["lag_p90"].iloc[0] == 100
+
+    def test_no_conversions_yields_nulls(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import conversion_lag
+
+        df = pd.DataFrame(
+            {
+                "user_id": [1],
+                "ts": [pd.Timestamp("2024-01-01")],
+                "event_type": ["signup"],
+            }
+        )
+        out = conversion_lag(rd.from_pandas(df))
+        assert out["n_from_users"].iloc[0] == 1
+        assert out["n_converted"].iloc[0] == 0
+        assert out["lag_p50"].isna().all()
