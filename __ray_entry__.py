@@ -2777,6 +2777,16 @@ def _q_sales_cube(sf_dir: str):
     )
 
 
+def _q_events_top_paths(sf_dir: str):
+    """Clickstream path mining: top-15 session-opening type paths
+    (bounded path space, one user shuffle)."""
+    from obsidian_parser_ray.stages.events import top_session_paths
+
+    return top_session_paths(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2912,6 +2922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_dow": _q_orders_dow,
         "events_conversion_lag": _q_events_conversion_lag,
         "sales_cube": _q_sales_cube,
+        "events_top_paths": _q_events_top_paths,
     }
 
 
@@ -4997,5 +5008,38 @@ FROM (
   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 )
 GROUP BY CUBE (l_returnflag, o_orderpriority)
+""",
+        "events_top_paths": r"""
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) // 1000000 AS sec
+  FROM events
+),
+x AS (
+  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                   OR sec - lag(sec) OVER w > 1800
+                 THEN 1 ELSE 0 END AS brk
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+y AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY sec, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+z AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY sec, event_id) AS rn
+  FROM y
+),
+p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY sec, event_id) AS path
+  FROM z WHERE rn <= 3 GROUP BY user_id, sid
+)
+SELECT path, count(*)::BIGINT AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 15
 """,
     }

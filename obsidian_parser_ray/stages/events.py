@@ -1712,3 +1712,92 @@ def conversion_lag(events, *, from_type: str = "signup",
         for q in quantiles:
             data[f"lag_p{int(q * 100)}"] = [None]
     return pd.DataFrame(data)
+
+
+def top_session_paths(events, *, key_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      type_col: str = "event_type",
+                      gap_minutes: int = 30, prefix_len: int = 3,
+                      k: int = 15, num_partitions: int = 64):
+    """Clickstream path mining: the top-k session-opening paths — the
+    first ``prefix_len`` event types of each session joined with
+    ``'>'`` — with counts.
+
+    One hash shuffle by user; each partition re-runs the sessionize
+    break sweep, takes each session's first ``prefix_len`` rows with
+    a vectorized in-session rank (cumcount), and folds to path-count
+    partials; the path space is bounded (|types|^prefix_len), so the
+    final merge + top-k is one tiny task.  Ties in the opening order
+    resolve by (ts, event_id) — the same total order the SQL twin
+    spells.
+
+    Output: (path, n_sessions), count desc, path asc on ties.
+    """
+    import pandas as pd
+
+    from ..hashing import hash_bucket_array
+
+    gap_s = gap_minutes * 60
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", hash_bucket_array(t[key_col], num_partitions)
+        )
+
+    def paths_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({
+                "path": pd.Series([], dtype="object"),
+                "n_sessions": pd.Series([], dtype="int64"),
+            })
+        p = p.sort_values([key_col, ts_col, id_col], kind="stable")
+        keys = p[key_col].to_numpy()
+        secs = _epoch_seconds(p[ts_col]).to_numpy()
+        n = len(p)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        brk = new_key.copy()
+        brk[1:] |= secs[1:] - secs[:-1] > gap_s
+        sg = np.cumsum(brk.astype(np.int64))
+        # in-session rank via cumcount over the session id
+        rank = (
+            pd.Series(np.ones(n, dtype=np.int64))
+            .groupby(pd.Series(sg), sort=False).cumsum().to_numpy()
+        )
+        d = pd.DataFrame({
+            "_sg": sg,
+            "t": p[type_col].to_numpy(),
+        })[rank <= prefix_len]
+        paths = (
+            d.groupby("_sg", sort=False)["t"]
+            .agg(">".join)
+            .value_counts()
+            .rename_axis("path")
+            .reset_index(name="n_sessions")
+        )
+        return paths.astype({"path": "object", "n_sessions": "int64"})
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        if "path" not in t.column_names:
+            return pa.table({
+                "path": pa.array([], pa.string()),
+                "n_sessions": pa.array([], pa.int64()),
+            })
+        g = t.group_by("path").aggregate([("n_sessions", "sum")])
+        g = g.rename_columns([
+            "n_sessions" if c == "n_sessions_sum" else c
+            for c in g.column_names
+        ])
+        return g.sort_by([
+            ("n_sessions", "descending"), ("path", "ascending"),
+        ]).slice(0, k)
+
+    return (
+        events.select_columns([key_col, ts_col, id_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(paths_partition, batch_format="pandas")
+        .repartition(1, shuffle=False)
+        .map_batches(merge_topk, batch_format="pyarrow",
+                     batch_size=None)
+    )

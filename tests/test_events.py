@@ -1275,3 +1275,33 @@ class TestConversionLag:
         assert out["n_from_users"].iloc[0] == 1
         assert out["n_converted"].iloc[0] == 0
         assert out["lag_p50"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopSessionPaths:
+    def test_prefix_and_session_breaks(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import top_session_paths
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 1, 1, 2],
+                "ts": [t0, t0 + pd.Timedelta(seconds=10),
+                       t0 + pd.Timedelta(seconds=20),
+                       t0 + pd.Timedelta(seconds=30),
+                       t0 + pd.Timedelta(hours=2),  # new session
+                       t0],
+                "event_id": [0, 1, 2, 3, 4, 5],
+                "event_type": ["a", "b", "c", "d", "a", "a"],
+            }
+        )
+        out = top_session_paths(
+            rd.from_pandas(df), prefix_len=3, k=10, num_partitions=3,
+        ).to_pandas()
+        got = dict(zip(out["path"], out["n_sessions"]))
+        # u1 session1 opens a>b>c (4th event beyond prefix);
+        # u1 session2 and u2 session1 are both just "a"
+        assert got == {"a": 2, "a>b>c": 1}
+        assert list(out["path"]) == ["a", "a>b>c"]  # count desc
