@@ -234,3 +234,39 @@ class TestBasketPairs:
                            item_col="i", k=1).to_pandas()
         assert list(top["item_a"]) == ["a"]
         assert list(top["n"]) == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBasketPairsRandomParity:
+    def test_matches_self_join_oracle(self):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.ranking import basket_pairs
+
+        rng = np.random.RandomState(41)
+        df = pd.DataFrame(
+            {
+                "o": rng.randint(0, 80, 600),
+                "i": rng.choice(list("abcdefg"), 600),
+            }
+        )
+        out = (
+            basket_pairs(rd.from_pandas(df).repartition(6),
+                         basket_col="o", item_col="i", k=50)
+            .to_pandas().reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            """
+            WITH d AS (SELECT DISTINCT o, i FROM t)
+            SELECT a.i AS item_a, b.i AS item_b,
+                   count(*)::BIGINT AS n
+            FROM d a JOIN d b ON a.o = b.o AND a.i < b.i
+            GROUP BY 1, 2 ORDER BY n DESC, item_a, item_b LIMIT 50
+            """
+        ).fetchdf()
+        assert out.equals(exp)
