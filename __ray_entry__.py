@@ -2787,6 +2787,16 @@ def _q_events_top_paths(sf_dir: str):
               ["user_id", "ts", "event_id", "event_type"]))
 
 
+def _q_events_linear_attribution(sf_dir: str):
+    """Linear multi-touch attribution — exact integer credit splitting
+    (floor(1e6 / n_prior) per touch), one shuffle."""
+    from obsidian_parser_ray.stages.events import linear_attribution
+
+    return linear_attribution(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2923,6 +2933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion_lag": _q_events_conversion_lag,
         "sales_cube": _q_sales_cube,
         "events_top_paths": _q_events_top_paths,
+        "events_linear_attribution": _q_events_linear_attribution,
     }
 
 
@@ -5041,5 +5052,48 @@ SELECT path, count(*)::BIGINT AS n_sessions
 FROM p GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT 15
+""",
+        "events_linear_attribution": r"""
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) // 1000000 AS sec
+  FROM events
+),
+w AS (
+  SELECT event_type,
+    count(*) FILTER (event_type IN ('click', 'signup', 'view'))
+      OVER pre AS n_prior,
+    count(*) FILTER (event_type = 'click')  OVER pre AS p_click,
+    count(*) FILTER (event_type = 'signup') OVER pre AS p_signup,
+    count(*) FILTER (event_type = 'view')   OVER pre AS p_view
+  FROM s
+  WINDOW pre AS (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (
+  SELECT COALESCE(n_prior, 0) AS n_prior,
+         COALESCE(p_click, 0) AS p_click,
+         COALESCE(p_signup, 0) AS p_signup,
+         COALESCE(p_view, 0) AS p_view
+  FROM w WHERE event_type = 'purchase'
+),
+credits AS (
+  SELECT 'click' AS touch,
+    CAST(sum((1000000 // n_prior) * p_click) AS BIGINT) AS credit_micro
+  FROM conv WHERE n_prior > 0
+  UNION ALL
+  SELECT 'signup',
+    CAST(sum((1000000 // n_prior) * p_signup) AS BIGINT)
+  FROM conv WHERE n_prior > 0
+  UNION ALL
+  SELECT 'view',
+    CAST(sum((1000000 // n_prior) * p_view) AS BIGINT)
+  FROM conv WHERE n_prior > 0
+  UNION ALL
+  SELECT 'none', CAST(count(*) * 1000000 AS BIGINT)
+  FROM conv WHERE n_prior = 0
+)
+SELECT touch, credit_micro FROM credits
+WHERE credit_micro IS NOT NULL AND credit_micro > 0
 """,
     }

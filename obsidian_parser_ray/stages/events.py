@@ -1801,3 +1801,98 @@ def top_session_paths(events, *, key_col: str = "user_id",
         .map_batches(merge_topk, batch_format="pyarrow",
                      batch_size=None)
     )
+
+
+def linear_attribution(events, *, key_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       type_col: str = "event_type",
+                       conversion: str = "purchase",
+                       touches: tuple = ("click", "signup", "view"),
+                       num_partitions: int = 64):
+    """Linear multi-touch attribution: every conversion's credit is
+    split EQUALLY across all prior touch events of the user; a
+    conversion with no prior touch credits ``'none'``.
+
+    Exactness: the per-touch share is ``floor(1e6 / n_prior)`` micro
+    credits (the ≤ n_prior−1 leftover micros per conversion are
+    deliberately unassigned — integer splitting is associative and
+    bit-reproducible where double division is not; the SQL twin
+    spells the same floor).  One hash shuffle; per partition the
+    prior-touch counts come from shifted cumulative sums per type —
+    vectorized, no per-event loop; the credit table is bounded
+    (|touches|+1 rows), merged in one tiny task.
+
+    Output: (touch, credit_micro).
+    """
+    import pandas as pd
+
+    from ..hashing import hash_bucket_array
+
+    touch_list = list(touches)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", hash_bucket_array(t[key_col], num_partitions)
+        )
+
+    def credit_partition(p: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "touch": pd.Series([], dtype="object"),
+            "credit_micro": pd.Series([], dtype="int64"),
+        })
+        if not len(p):
+            return empty
+        p = p.sort_values([key_col, ts_col, id_col], kind="stable")
+        keys = pd.Series(p[key_col].to_numpy())
+        vals = p[type_col].to_numpy()
+        conv = vals == conversion
+        if not conv.any():
+            return empty
+        # per-type prior counts: grouped cumsum shifted by one row
+        prior = {}
+        for tt in touch_list:
+            ind = pd.Series((vals == tt).astype(np.int64))
+            cum = ind.groupby(keys, sort=False).cumsum()
+            prior[tt] = (
+                (cum - ind).to_numpy()  # strictly-before count
+            )
+        n_prior = np.zeros(len(p), dtype=np.int64)
+        for tt in touch_list:
+            n_prior += prior[tt]
+        rows = []
+        cmask = conv & (n_prior > 0)
+        if cmask.any():
+            share = 1_000_000 // n_prior[cmask]
+            for tt in touch_list:
+                credit = int((share * prior[tt][cmask]).sum())
+                if credit:
+                    rows.append((tt, credit))
+        none_n = int((conv & (n_prior == 0)).sum())
+        if none_n:
+            rows.append(("none", none_n * 1_000_000))
+        if not rows:
+            return empty
+        out = pd.DataFrame(rows, columns=["touch", "credit_micro"])
+        return out.astype({"touch": "object",
+                           "credit_micro": "int64"})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if "touch" not in t.column_names:
+            return pa.table({
+                "touch": pa.array([], pa.string()),
+                "credit_micro": pa.array([], pa.int64()),
+            })
+        g = t.group_by("touch").aggregate([("credit_micro", "sum")])
+        return g.rename_columns([
+            "credit_micro" if c == "credit_micro_sum" else c
+            for c in g.column_names
+        ])
+
+    return (
+        events.select_columns([key_col, ts_col, id_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(credit_partition, batch_format="pandas")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+    )

@@ -1305,3 +1305,105 @@ class TestTopSessionPaths:
         # u1 session2 and u2 session1 are both just "a"
         assert got == {"a": 2, "a>b>c": 1}
         assert list(out["path"]) == ["a", "a>b>c"]  # count desc
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinearAttribution:
+    def test_equal_split_with_floor(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import linear_attribution
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame(
+            {
+                # u1: click, view, view, purchase -> n_prior=3,
+                #     share=333333: click 333333, view 666666
+                # u2: purchase with no prior -> none 1000000
+                "user_id": [1, 1, 1, 1, 2],
+                "ts": [t0 + pd.Timedelta(seconds=s)
+                       for s in [0, 1, 2, 3, 0]],
+                "event_id": [0, 1, 2, 3, 4],
+                "event_type": ["click", "view", "view", "purchase",
+                               "purchase"],
+            }
+        )
+        out = linear_attribution(
+            rd.from_pandas(df), num_partitions=3
+        ).to_pandas().set_index("touch")
+        assert out.loc["click", "credit_micro"] == 333333
+        assert out.loc["view", "credit_micro"] == 666666
+        assert out.loc["none", "credit_micro"] == 1_000_000
+
+    def test_matches_window_oracle_random(self):
+        import duckdb
+        import numpy as np
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import linear_attribution
+
+        rng = np.random.RandomState(43)
+        n = 700
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 40, n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 86400, n), unit="s"),
+                "event_id": np.arange(n),
+                "event_type": rng.choice(
+                    ["click", "view", "signup", "purchase", "error"], n
+                ),
+            }
+        )
+        out = (
+            linear_attribution(rd.from_pandas(df).repartition(5))
+            .to_pandas().sort_values("touch").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            """
+            WITH s AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) // 1000000 AS sec
+                       FROM events),
+            w AS (
+              SELECT event_type,
+                count(*) FILTER (event_type IN
+                    ('click', 'signup', 'view')) OVER pre AS n_prior,
+                count(*) FILTER (event_type = 'click')  OVER pre
+                  AS p_click,
+                count(*) FILTER (event_type = 'signup') OVER pre
+                  AS p_signup,
+                count(*) FILTER (event_type = 'view')   OVER pre
+                  AS p_view
+              FROM s
+              WINDOW pre AS (PARTITION BY user_id
+                             ORDER BY sec, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)
+            ),
+            conv AS (SELECT COALESCE(n_prior, 0) AS n_prior,
+                            COALESCE(p_click, 0) AS p_click,
+                            COALESCE(p_signup, 0) AS p_signup,
+                            COALESCE(p_view, 0) AS p_view
+                     FROM w WHERE event_type = 'purchase'),
+            credits AS (
+              SELECT 'click' AS touch, CAST(sum((1000000 // n_prior)
+                * p_click) AS BIGINT) AS credit_micro
+              FROM conv WHERE n_prior > 0
+              UNION ALL
+              SELECT 'signup', CAST(sum((1000000 // n_prior)
+                * p_signup) AS BIGINT) FROM conv WHERE n_prior > 0
+              UNION ALL
+              SELECT 'view', CAST(sum((1000000 // n_prior)
+                * p_view) AS BIGINT) FROM conv WHERE n_prior > 0
+              UNION ALL
+              SELECT 'none', CAST(count(*) * 1000000 AS BIGINT)
+              FROM conv WHERE n_prior = 0
+            )
+            SELECT touch, credit_micro FROM credits
+            WHERE credit_micro IS NOT NULL AND credit_micro > 0
+            ORDER BY touch
+            """
+        ).fetchdf()
+        assert out.equals(exp)
