@@ -1031,15 +1031,44 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
     incremental corpus curation, computed WITHOUT a sequential scan:
     first-seen is a commutative ``min(doc_id)`` reduction per gram.
 
-    Plan: per-doc distinct grams (block explode, same tokenizer as
-    :func:`term_frequencies`) → one groupby-min at gram cardinality
-    (the only shuffle — O(distinct doc-grams), the same exchange the
-    decontamination op pays) → map-side join back → bounded per-doc
-    counts.  Docs with < n tokens emit no grams and no output row.
+    Plan (one gram-cardinality exchange — the join-back of the first
+    version tripled shuffle volume and ran 3× slower at bench scale):
 
+    1. per-doc totals ``(doc, n_grams)`` — exact IN BLOCK (a doc's
+       text lives in one row), no gram row ever shuffled for this;
+    2. gram rows → ``groupby(gram).min(doc)`` (THE exchange, the same
+       O(distinct doc-grams) the decontamination op pays) → the
+       winner table folds per block to ``(first_doc, count)`` partials
+       → one small per-doc sum: every gram is novel in exactly one
+       doc, so novel counts need no join against the gram table;
+    3. totals LEFT JOIN novels at |docs| rows (explicit schemas — no
+       probe execution), null → 0.
+
+    Docs with < n tokens emit no grams and no output row.
     Output: (id_col, n_grams, n_novel, novelty).
     """
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Min, Sum
+
+    sch0 = ds.schema()
+    id_t = dict(zip(sch0.names, sch0.types))[id_col]
+
+    def totals(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_id: list = []
+        out_n: list = []
+        for i, x in zip(ids, texts):
+            toks = [tok.lower() for tok in _TERM_RE.findall(x or "")]
+            if len(toks) < n:
+                continue
+            g = {tuple(toks[j:j + n])
+                 for j in range(len(toks) - n + 1)}
+            out_id.append(i)
+            out_n.append(len(g))
+        return pa.table({
+            id_col: pa.array(out_id, id_t),
+            "n_grams": pa.array(out_n, pa.int64()),
+        })
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
@@ -1055,61 +1084,42 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
             out_id.extend([i] * len(grams))
             out_gram.extend(grams)
         return pa.table({
-            id_col: pa.array(out_id, t.schema.field(id_col).type),
+            id_col: pa.array(out_id, id_t),
             "gram": pa.array(out_gram, pa.string()),
         })
 
-    sch0 = ds.schema()
-    id_t = dict(zip(sch0.names, sch0.types))[id_col]
-    grams = ds.select_columns([id_col, text_col]).map_batches(
-        explode, batch_format="pyarrow"
-    )
-    first = grams.groupby("gram").aggregate(
-        Min(id_col, alias_name="first_doc")
-    )
-    from .joins import hash_join_unique
+    pruned = ds.select_columns([id_col, text_col])
+    tot = pruned.map_batches(totals, batch_format="pyarrow")
+    first = pruned.map_batches(explode, batch_format="pyarrow").groupby(
+        "gram"
+    ).aggregate(Min(id_col, alias_name="first_doc"))
 
-    # explicit schemas: `first`'s lineage is a full groupby — letting
-    # the join's schema probe execute it once for inference would
-    # double the gram shuffle
-    joined = hash_join_unique(
-        grams, first, left_key="gram", right_key="gram", how="inner",
-        left_schema=pa.schema([pa.field(id_col, id_t),
-                               pa.field("gram", pa.string())]),
-        right_schema=pa.schema([pa.field("gram", pa.string()),
-                                pa.field("first_doc", id_t)]),
-    )
-
-    def doc_partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        novel = pc.cast(
-            pc.equal(t[id_col], t["first_doc"]), pa.int64()
+    def novel_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["first_doc"]).group_by("first_doc").aggregate(
+            [([], "count_all")]
         )
-        flat = pa.table({
-            id_col: t[id_col],
-            "n_grams": pa.array(
-                np.ones(t.num_rows, dtype=np.int64)
-            ),
-            "n_novel": novel,
-        })
-        g = flat.group_by(id_col).aggregate(
-            [("n_grams", "sum"), ("n_novel", "sum")]
-        )
+        g = g.rename_columns([
+            "n_novel" if c == "count_all" else c for c in g.column_names
+        ])
         return g.rename_columns([
-            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+            id_col if c == "first_doc" else c for c in g.column_names
         ])
 
-    from ray.data.aggregate import Sum
-
-    counts = (
-        joined.map_batches(doc_partial, batch_format="pyarrow")
+    novels = (
+        first.map_batches(novel_partial, batch_format="pyarrow")
         .groupby(id_col)
-        .aggregate(Sum("n_grams", alias_name="n_grams"),
-                   Sum("n_novel", alias_name="n_novel"))
+        .aggregate(Sum("n_novel", alias_name="n_novel"))
     )
 
-    id_type = id_t
+    from .joins import hash_join_unique
+
+    joined = hash_join_unique(
+        tot, novels, left_key=id_col, right_key=id_col, how="left",
+        left_schema=pa.schema([pa.field(id_col, id_t),
+                               pa.field("n_grams", pa.int64())]),
+        right_schema=pa.schema([pa.field(id_col, id_t),
+                                pa.field("n_novel", pa.int64())]),
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1118,18 +1128,24 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
             # schema restore for an all-empty lineage (no doc produced
             # a single n-gram)
             return pa.table({
-                id_col: pa.array([], id_type),
+                id_col: pa.array([], id_t),
                 "n_grams": pa.array([], pa.int64()),
                 "n_novel": pa.array([], pa.int64()),
                 "novelty": pa.array([], pa.float64()),
             })
+        n_novel = pc.coalesce(t["n_novel"], pa.scalar(0, pa.int64()))
         nov = pc.divide(
-            pc.cast(t["n_novel"], pa.float64()),
+            pc.cast(n_novel, pa.float64()),
             pc.cast(t["n_grams"], pa.float64()),
         )
-        return t.append_column("novelty", nov)
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams": t["n_grams"],
+            "n_novel": n_novel,
+            "novelty": nov,
+        })
 
-    return counts.map_batches(finish, batch_format="pyarrow")
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
