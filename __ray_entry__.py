@@ -2797,6 +2797,30 @@ def _q_events_linear_attribution(sf_dir: str):
               ["user_id", "ts", "event_id", "event_type"]))
 
 
+def _q_supplier_gini(sf_dir: str):
+    """Gini coefficient of supplier revenue — exact integer rank sums,
+    one double division."""
+    from obsidian_parser_ray.pipelines.analytics import supplier_gini
+
+    return supplier_gini(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount"]))
+
+
+def _q_sales_hhi(sf_dir: str):
+    """Herfindahl concentration of nation shares per region — exact
+    rational (Σrev²)/(Σrev)², bounded leaves."""
+    from obsidian_parser_ray.pipelines.analytics import region_hhi
+
+    return region_hhi(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region"),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2934,6 +2958,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_cube": _q_sales_cube,
         "events_top_paths": _q_events_top_paths,
         "events_linear_attribution": _q_events_linear_attribution,
+        "supplier_gini": _q_supplier_gini,
+        "sales_hhi": _q_sales_hhi,
     }
 
 
@@ -5095,5 +5121,42 @@ credits AS (
 )
 SELECT touch, credit_micro FROM credits
 WHERE credit_micro IS NOT NULL AND credit_micro > 0
+""",
+        "supplier_gini": r"""
+WITH s AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) // 1000000 AS units
+  FROM lineitem GROUP BY l_suppkey
+),
+r AS (
+  SELECT units,
+         row_number() OVER (ORDER BY units, l_suppkey) AS rk
+  FROM s
+)
+SELECT count(*)::BIGINT AS n_suppliers,
+  CAST(sum(units) AS BIGINT) AS sum_units,
+  ((2 * CAST(sum(rk * units) AS BIGINT)
+    - (count(*) + 1) * CAST(sum(units) AS BIGINT))::DOUBLE
+   / (count(*) * CAST(sum(units) AS BIGINT))::DOUBLE) AS gini
+FROM r
+""",
+        "sales_hhi": r"""
+WITH leaf AS (
+  SELECT r_name, n_name,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) // 1000000 AS units
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, count(*)::BIGINT AS n_nations,
+  CAST(sum(units * units) AS BIGINT) AS hhi_num,
+  (CAST(sum(units * units) AS BIGINT)::DOUBLE
+   / (CAST(sum(units) AS BIGINT)::DOUBLE
+      * CAST(sum(units) AS BIGINT)::DOUBLE)) AS hhi
+FROM leaf GROUP BY r_name
 """,
     }

@@ -2166,3 +2166,163 @@ def revenue_cube(lineitem, orders, *, num_partitions: int = 64):
         .repartition(1, shuffle=False)
         .map_batches(cube, batch_format="pyarrow")
     )
+
+
+def supplier_gini(lineitem):
+    """Gini coefficient of supplier revenue concentration — the
+    inequality measure over the aggregated revenue distribution.
+
+    ``G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)`` with ``xᵢ`` ascending
+    and ``i`` the 1-based rank (ties broken by suppkey, making G
+    deterministic).  Revenue enters the rank sums in WHOLE currency
+    units (micros // 1e6) so ``Σ i·xᵢ`` stays within int64 at any
+    plausible supplier count; the division is the single double op,
+    shape-identical to the twin.  Rank sums run on the |suppliers|-
+    sized aggregate only.
+
+    Output: one row (n_suppliers, sum_units, gini).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        flat = pa.table({"l_suppkey": t["l_suppkey"], "_rev": rev})
+        g = flat.group_by("l_suppkey").aggregate([("_rev", "sum")])
+        return g.rename_columns([
+            "_rev" if c == "_rev_sum" else c for c in g.column_names
+        ])
+
+    totals = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("_rev", alias_name="revenue_micro"))
+    )
+
+    def gini(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("revenue_micro", "ascending"),
+                       ("l_suppkey", "ascending")])
+        units = t["revenue_micro"].to_numpy() // 1_000_000
+        n = len(units)
+        s0 = int(units.sum())
+        ranks = np.arange(1, n + 1, dtype=np.int64)
+        s1 = int((ranks * units).sum())
+        g = (
+            float(2 * s1 - (n + 1) * s0) / float(n * s0)
+            if n and s0 else None
+        )
+        return pa.table({
+            "n_suppliers": pa.array([n], pa.int64()),
+            "sum_units": pa.array([s0], pa.int64()),
+            "gini": pa.array([g], pa.float64()),
+        })
+
+    return (
+        totals.repartition(1, shuffle=False)
+        .map_batches(gini, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def region_hhi(lineitem, supplier, nation, region, *,
+               num_partitions: int = 64):
+    """Herfindahl–Hirschman concentration index of nation revenue
+    shares within each region: ``HHI = Σ shareᵢ²``.
+
+    Exact rational form: ``hhi = (Σ revᵢ²) / (Σ revᵢ)²`` with revenue
+    in whole units — both sums are exact int64 over the BOUNDED
+    (region, nation) leaves (same reduction as :func:`nation_share`),
+    so the one double division is bit-reproducible; no
+    order-dependent float summation anywhere.
+
+    Output: (r_name, n_nations, hhi_num, hhi).
+    """
+    from ..stages.joins import broadcast_join_unique
+
+    nat = pa.concat_tables(
+        [b for b in nation.iter_batches(batch_format="pyarrow")]
+    )
+    reg = pa.concat_tables(
+        [b for b in region.iter_batches(batch_format="pyarrow")]
+    )
+    nat_keys = pc.cast(nat["n_nationkey"], pa.int64()).combine_chunks()
+    nat_names = nat["n_name"].combine_chunks()
+    reg_keys = pc.cast(reg["r_regionkey"], pa.int64()).combine_chunks()
+    reg_names = reg["r_name"].combine_chunks()
+    nat_region = pc.take(
+        reg_names,
+        pc.index_in(
+            pc.cast(nat["n_regionkey"], pa.int64()).combine_chunks(),
+            value_set=reg_keys,
+        ),
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _micro(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        flat = pa.table({"l_suppkey": t["l_suppkey"],
+                         "revenue_micro": rev})
+        g = flat.group_by("l_suppkey").aggregate(
+            [("revenue_micro", "sum")]
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    joined = broadcast_join_unique(
+        lineitem.map_batches(li_partial, batch_format="pyarrow"),
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        left_key="l_suppkey", right_key="s_suppkey", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def leaf_partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            pc.cast(t["s_nationkey"], pa.int64()), value_set=nat_keys
+        )
+        flat = pa.table({
+            "r_name": pc.take(nat_region, idx),
+            "n_name": pc.take(nat_names, idx),
+            "revenue_micro": t["revenue_micro"],
+        })
+        g = flat.group_by(["r_name", "n_name"]).aggregate(
+            [("revenue_micro", "sum")]
+        )
+        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+
+    def hhi(t: pa.Table) -> pa.Table:
+        g = t.group_by(["r_name", "n_name"]).aggregate(
+            [("revenue_micro", "sum")]
+        )
+        df = _rename_sums(
+            g, {"revenue_micro_sum": "revenue_micro"}
+        ).to_pandas()
+        df["units"] = df["revenue_micro"] // 1_000_000
+        out = df.groupby("r_name").agg(
+            n_nations=("n_name", "size"),
+            hhi_num=("units", lambda u: int((u.astype("int64") ** 2)
+                                            .sum())),
+            s0=("units", "sum"),
+        ).reset_index()
+        out["hhi"] = (
+            out["hhi_num"].astype("float64")
+            / (out["s0"].astype("float64")
+               * out["s0"].astype("float64"))
+        )
+        out["n_nations"] = out["n_nations"].astype("int64")
+        out["hhi_num"] = out["hhi_num"].astype("int64")
+        return pa.Table.from_pandas(
+            out[["r_name", "n_nations", "hhi_num", "hhi"]],
+            preserve_index=False,
+        )
+
+    return (
+        joined.map_batches(leaf_partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(hhi, batch_format="pyarrow")
+    )

@@ -767,3 +767,60 @@ class TestRevenueCube:
             (slice(None), "ALL"), "revenue_micro"
         ].drop(("ALL", "ALL"), errors="ignore")
         assert flags.sum() == 70 * m
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGiniAndHhi:
+    def test_gini_extremes(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import supplier_gini
+
+        # perfectly equal revenues -> G = (n-1)/n - ... actually for
+        # equal x: 2*S1 = (n+1)*S0 -> G = 0
+        li = pa.table({
+            "l_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_extendedprice": pa.array([10.0] * 4),
+            "l_discount": pa.array([0.0] * 4),
+        })
+        out = supplier_gini(rd.from_arrow(li).repartition(2)).to_pandas()
+        assert out["gini"].iloc[0] == 0.0
+        # total concentration in one supplier of n -> G = (n-1)/n
+        li2 = pa.table({
+            "l_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_extendedprice": pa.array([0.0, 0.0, 0.0, 40.0]),
+            "l_discount": pa.array([0.0] * 4),
+        })
+        out2 = supplier_gini(rd.from_arrow(li2)).to_pandas()
+        assert out2["gini"].iloc[0] == 0.75
+
+    def test_hhi_extremes(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import region_hhi
+
+        nation = pa.table({
+            "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+            "n_name": pa.array(["N0", "N1", "N2"]),
+            "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+        })
+        region = pa.table({
+            "r_regionkey": pa.array([0, 1], pa.int64()),
+            "r_name": pa.array(["R0", "R1"]),
+        })
+        supplier = pa.table({
+            "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "s_nationkey": pa.array([0, 1, 2], pa.int64()),
+        })
+        li = pa.table({
+            "l_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 10.0, 5.0]),
+            "l_discount": pa.array([0.0] * 3),
+        })
+        out = region_hhi(
+            rd.from_arrow(li).repartition(2), rd.from_arrow(supplier),
+            rd.from_arrow(nation), rd.from_arrow(region),
+        ).to_pandas().set_index("r_name")
+        # R0: two equal nations -> HHI = 0.5; R1: monopoly -> 1.0
+        assert out.loc["R0", "hhi"] == 0.5
+        assert out.loc["R1", "hhi"] == 1.0
