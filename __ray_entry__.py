@@ -2821,6 +2821,31 @@ def _q_sales_hhi(sf_dir: str):
     )
 
 
+def _q_events_debounce(sf_dir: str):
+    """Throttle dedup: drop events repeating the same (user, type)
+    within an hour — lag() semantics, one key shuffle."""
+    from obsidian_parser_ray.stages.events import debounce
+
+    return debounce(
+        _read(sf_dir, "events",
+              ["event_id", "user_id", "event_type", "ts"]),
+        window_seconds=3600)
+
+
+def _q_sales_missing_days(sf_dir: str):
+    """Calendar-spine completeness: ship-date gaps in 1996 (bounded
+    spine anti join)."""
+    import datetime as dt
+
+    from obsidian_parser_ray.pipelines.analytics import missing_ship_days
+
+    return missing_ship_days(
+        _read(sf_dir, "lineitem", ["l_shipdate"]),
+        date_from=dt.datetime(1995, 1, 1),
+        date_to=dt.datetime(2003, 1, 1),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2960,6 +2985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_linear_attribution": _q_events_linear_attribution,
         "supplier_gini": _q_supplier_gini,
         "sales_hhi": _q_sales_hhi,
+        "events_debounce": _q_events_debounce,
+        "sales_missing_days": _q_sales_missing_days,
     }
 
 
@@ -5158,5 +5185,35 @@ SELECT r_name, count(*)::BIGINT AS n_nations,
    / (CAST(sum(units) AS BIGINT)::DOUBLE
       * CAST(sum(units) AS BIGINT)::DOUBLE)) AS hhi
 FROM leaf GROUP BY r_name
+""",
+        "events_debounce": r"""
+WITH s AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) // 1000000 AS sec
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, event_type,
+         lag(sec) OVER (PARTITION BY user_id, event_type
+                        ORDER BY sec, event_id) AS prev_sec,
+         sec
+  FROM s
+)
+SELECT event_id, user_id, event_type
+FROM w WHERE prev_sec IS NULL OR sec - prev_sec > 3600
+""",
+        "sales_missing_days": r"""
+WITH spine AS (
+  SELECT unnest(range(
+    (epoch_us(TIMESTAMP '1995-01-01') // 86400000000),
+    (epoch_us(TIMESTAMP '2003-01-01') // 86400000000)
+  )) AS epoch_day
+),
+seen AS (
+  SELECT DISTINCT (epoch_us(l_shipdate) // 86400000000) AS epoch_day
+  FROM lineitem
+)
+SELECT epoch_day FROM spine
+WHERE epoch_day NOT IN (SELECT epoch_day FROM seen)
 """,
     }

@@ -2326,3 +2326,50 @@ def region_hhi(lineitem, supplier, nation, region, *,
         .repartition(1, shuffle=False)
         .map_batches(hhi, batch_format="pyarrow")
     )
+
+
+def missing_ship_days(lineitem, *, date_from: _dt.datetime,
+                      date_to: _dt.datetime):
+    """Calendar-spine gap detection: days in ``[date_from, date_to)``
+    with NO shipments — the data-completeness probe every ingestion
+    pipeline runs against a date dimension.
+
+    The spine is generated driver-side (calendar days are bounded at
+    any data scale); observed days fold to bounded per-block partials;
+    the anti join is one vectorized ``is_in`` over the spine in the
+    final tiny task.  Output: (epoch_day,) ascending.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                    pa.int64()),
+            86_400_000_000,
+        )
+        return (
+            pa.table({"epoch_day": day})
+            .group_by("epoch_day")
+            .aggregate([])
+        )
+
+    # calendar arithmetic, NOT .timestamp(): naive datetimes resolve
+    # via the process TZ there, which would shift the spine off-UTC
+    epoch = _dt.datetime(1970, 1, 1)
+    lo = (date_from - epoch).days
+    hi = (date_to - epoch).days
+
+    def finish(t: pa.Table) -> pa.Table:
+        seen = t.group_by("epoch_day").aggregate([])["epoch_day"]
+        spine = np.arange(lo, hi, dtype=np.int64)
+        mask = np.isin(spine, seen.to_numpy(zero_copy_only=False),
+                       invert=True)
+        return pa.table({
+            "epoch_day": pa.array(spine[mask], pa.int64()),
+        })
+
+    return (
+        lineitem.select_columns(["l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )

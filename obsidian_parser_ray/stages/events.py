@@ -1896,3 +1896,57 @@ def linear_attribution(events, *, key_col: str = "user_id",
         .repartition(1, shuffle=False)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+def debounce(events, *, key_col: str = "user_id",
+             type_col: str = "event_type", ts_col: str = "ts",
+             id_col: str = "event_id", window_seconds: int = 5,
+             num_partitions: int = 64):
+    """Throttle-style stream dedup: drop an event when the SAME
+    (key, type) fired within ``window_seconds`` before it — the
+    standard debounce for double-clicks / retry storms.
+
+    Semantics are "gap from the previous occurrence" (the SQL
+    ``lag()`` form — vectorizable as one diff per partition), not
+    "gap from the previous KEPT event" (a sequential chain no engine
+    expresses in a window function).  One hash shuffle on the key;
+    each partition is one sort + diff sweep.
+
+    Output: the surviving events' (id_col, key_col, type_col) rows.
+    """
+    import pandas as pd
+
+    from ..hashing import hash_bucket_array
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", hash_bucket_array(t[key_col], num_partitions)
+        )
+
+    def keep_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                key_col: pd.Series([], dtype="int64"),
+                type_col: pd.Series([], dtype="object"),
+            })
+        p = p.sort_values([key_col, type_col, ts_col, id_col],
+                          kind="stable")
+        keys = p[key_col].to_numpy()
+        typs = p[type_col].to_numpy()
+        secs = _epoch_seconds(p[ts_col]).to_numpy()
+        n = len(p)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = (keys[1:] == keys[:-1]) & (typs[1:] == typs[:-1])
+        gap_ok = np.ones(n, dtype=bool)
+        gap_ok[1:] = secs[1:] - secs[:-1] > window_seconds
+        keep = ~same | gap_ok
+        out = p.loc[keep, [id_col, key_col, type_col]]
+        return out.reset_index(drop=True)
+
+    return (
+        events.select_columns([id_col, key_col, type_col, ts_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(keep_partition, batch_format="pandas")
+    )

@@ -824,3 +824,27 @@ class TestGiniAndHhi:
         # R0: two equal nations -> HHI = 0.5; R1: monopoly -> 1.0
         assert out.loc["R0", "hhi"] == 0.5
         assert out.loc["R1", "hhi"] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMissingShipDays:
+    def test_spine_gaps(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import (
+            missing_ship_days,
+        )
+
+        li = pa.table({
+            "l_shipdate": pa.array(
+                [dt.datetime(2024, 1, d) for d in [1, 2, 4]],
+                pa.timestamp("us")),
+        })
+        out = missing_ship_days(
+            rd.from_arrow(li).repartition(2),
+            date_from=dt.datetime(2024, 1, 1),
+            date_to=dt.datetime(2024, 1, 6),
+        ).to_pandas()
+        base = (dt.datetime(2024, 1, 1)
+                - dt.datetime(1970, 1, 1)).days
+        assert list(out["epoch_day"]) == [base + 2, base + 4]

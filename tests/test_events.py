@@ -1407,3 +1407,30 @@ class TestLinearAttribution:
             """
         ).fetchdf()
         assert out.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDebounce:
+    def test_lag_window_semantics(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import debounce
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame(
+            {
+                # u1 clicks at 0, 3, 7: event 1 (gap 3 ≤ 5) dropped;
+                # event 2 (gap 4 from PREVIOUS OCCURRENCE, not
+                # previous kept) also dropped — lag semantics
+                # u1 view at 2 survives (different type)
+                "event_id": [0, 1, 2, 3],
+                "user_id": [1, 1, 1, 1],
+                "event_type": ["click", "click", "click", "view"],
+                "ts": [t0, t0 + pd.Timedelta(seconds=3),
+                       t0 + pd.Timedelta(seconds=7),
+                       t0 + pd.Timedelta(seconds=2)],
+            }
+        )
+        out = debounce(rd.from_pandas(df), window_seconds=5,
+                       num_partitions=2).to_pandas()
+        assert sorted(out["event_id"]) == [0, 3]
