@@ -2846,6 +2846,85 @@ def _q_sales_missing_days(sf_dir: str):
     )
 
 
+def _q_events_latest_per_user(sf_dir: str):
+    """DISTINCT ON shape: each user's latest event via a packed
+    argmax reduce (grouped top-1, no window shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from obsidian_parser_ray.stages.ranking import grouped_topk
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_id", "event_type", "ts"])
+
+    def pack(t):
+        sec = _pc.divide(
+            _pc.cast(_pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            1_000_000,
+        )
+        packed = _pc.add(
+            _pc.multiply(sec, pa.scalar(1 << 20, pa.int64())),
+            _pc.cast(t["event_id"], pa.int64()),
+        )
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "packed": packed,
+        })
+
+    out = grouped_topk(
+        ev.map_batches(pack, batch_format="pyarrow"),
+        ["user_id"], "packed", 1, descending=True,
+    )
+
+    def strip(t):
+        return t.select(["user_id", "event_id", "event_type"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
+def _q_parties_per_nation(sf_dir: str):
+    """UNION + distinct across two sources: customers ∪ suppliers per
+    nation (Dataset.union → per-block dedup → distinct count)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    cust = _read(sf_dir, "customer", ["c_name", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_name", "s_nationkey"])
+
+    def cn(t):
+        return pa.table({
+            "nationkey": pa.compute.cast(t["c_nationkey"], pa.int64()),
+            "name": t["c_name"],
+        })
+
+    def sn(t):
+        return pa.table({
+            "nationkey": pa.compute.cast(t["s_nationkey"], pa.int64()),
+            "name": t["s_name"],
+        })
+
+    both = cust.map_batches(cn, batch_format="pyarrow").union(
+        supp.map_batches(sn, batch_format="pyarrow")
+    )
+
+    def dedup_partial(t):
+        return t.group_by(["nationkey", "name"]).aggregate([])
+
+    distinct = (
+        both.map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby(["nationkey", "name"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    counts = distinct.groupby("nationkey").aggregate(
+        Count(alias_name="n_parties")
+    )
+    return counts
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -2987,6 +3066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_hhi": _q_sales_hhi,
         "events_debounce": _q_events_debounce,
         "sales_missing_days": _q_sales_missing_days,
+        "events_latest_per_user": _q_events_latest_per_user,
+        "parties_per_nation": _q_parties_per_nation,
     }
 
 
@@ -5215,5 +5296,26 @@ seen AS (
 )
 SELECT epoch_day FROM spine
 WHERE epoch_day NOT IN (SELECT epoch_day FROM seen)
+""",
+        "events_latest_per_user": r"""
+WITH w AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY (epoch_us(ts) // 1000000) * 1048576 + event_id
+             DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type FROM w WHERE rn = 1
+""",
+        "parties_per_nation": r"""
+WITH u AS (
+  SELECT c_nationkey AS nationkey, c_name AS name FROM customer
+  UNION
+  SELECT s_nationkey, s_name FROM supplier
+)
+SELECT nationkey, count(*)::BIGINT AS n_parties
+FROM u GROUP BY nationkey
 """,
     }
