@@ -2925,6 +2925,26 @@ def _q_parties_per_nation(sf_dir: str):
     return counts
 
 
+def _q_doc_winsorize_by_lang(sf_dir: str):
+    """Per-language winsorization — grouped histogram cut points, one
+    vectorized clamp."""
+    from obsidian_parser_ray.stages.sketch import grouped_winsorize
+
+    return grouped_winsorize(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        column="n_chars", group_col="lang",
+    )
+
+
+def _q_events_user_hhi(sf_dir: str):
+    """Behavioral concentration: per-user Herfindahl index of
+    hour-of-day activity — exact integer Σc² cores."""
+    from obsidian_parser_ray.stages.events import user_hour_concentration
+
+    return user_hour_concentration(
+        _read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -3068,6 +3088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_missing_days": _q_sales_missing_days,
         "events_latest_per_user": _q_events_latest_per_user,
         "parties_per_nation": _q_parties_per_nation,
+        "doc_winsorize_by_lang": _q_doc_winsorize_by_lang,
+        "events_user_hhi": _q_events_user_hhi,
     }
 
 
@@ -5317,5 +5339,31 @@ WITH u AS (
 )
 SELECT nationkey, count(*)::BIGINT AS n_parties
 FROM u GROUP BY nationkey
+""",
+        "doc_winsorize_by_lang": r"""
+WITH q AS (
+  SELECT lang, quantile_disc(n_chars, 0.05)::BIGINT AS lo,
+         quantile_disc(n_chars, 0.95)::BIGINT AS hi
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, lang, n_chars,
+  CASE WHEN n_chars < lo THEN lo
+       WHEN n_chars > hi THEN hi
+       ELSE n_chars::BIGINT END AS n_chars_w
+FROM documents JOIN q USING (lang)
+""",
+        "events_user_hhi": r"""
+WITH c AS (
+  SELECT user_id, EXTRACT(hour FROM ts)::BIGINT AS hour,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY user_id, hour
+)
+SELECT user_id,
+  CAST(sum(n) AS BIGINT) AS n_events,
+  CAST(sum(n * n) AS BIGINT) AS hhi_num,
+  (CAST(sum(n * n) AS BIGINT)::DOUBLE
+   / (CAST(sum(n) AS BIGINT)::DOUBLE
+      * CAST(sum(n) AS BIGINT)::DOUBLE)) AS hhi
+FROM c GROUP BY user_id
 """,
     }

@@ -1950,3 +1950,71 @@ def debounce(events, *, key_col: str = "user_id",
         .groupby("part")
         .map_groups(keep_partition, batch_format="pandas")
     )
+
+
+def user_hour_concentration(events, *, key_col: str = "user_id",
+                            ts_col: str = "ts"):
+    """Behavioral concentration feature: per user, the Herfindahl
+    index of their hour-of-day activity distribution — 1/24 for a
+    uniform clock profile, 1.0 for single-hour users.
+
+    Exact rational core: ``hhi = Σ cᵢ² / (Σ cᵢ)²`` over the user's 24
+    hourly counts — integer partials per (user, hour), one per-user
+    merge, the single double division per user.  Shuffle carries ≤ 24
+    rows per (block, user).
+
+    Output: (key_col, n_events, hhi_num, hhi).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.cast(
+            pc.hour(pc.cast(t[ts_col], pa.timestamp("us"))), pa.int64()
+        )
+        g = (
+            pa.table({key_col: t[key_col], "hour": hour})
+            .group_by([key_col, "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([
+            "n" if c == "count_all" else c for c in g.column_names
+        ])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        events.select_columns([key_col, ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish_partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        flat = pa.table({
+            key_col: t[key_col],
+            "n_events": n,
+            "hhi_num": pc.multiply(n, n),
+        })
+        g = flat.group_by(key_col).aggregate(
+            [("n_events", "sum"), ("hhi_num", "sum")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+
+    per_user = (
+        counts.map_batches(finish_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("hhi_num", alias_name="hhi_num"))
+    )
+
+    def hhi(t: pa.Table) -> pa.Table:
+        tot = pc.cast(t["n_events"], pa.float64())
+        h = pc.divide(
+            pc.cast(t["hhi_num"], pa.float64()),
+            pc.multiply(tot, tot),
+        )
+        return t.append_column("hhi", h)
+
+    return per_user.map_batches(hhi, batch_format="pyarrow")

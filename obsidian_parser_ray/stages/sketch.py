@@ -721,3 +721,83 @@ def grouped_percent_ranks(ds, *, column: str, group_col: str,
         return t.append_column(out_col, pr)
 
     return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def grouped_winsorize(ds, *, column: str, group_col: str,
+                      lo_q: float = 0.05, hi_q: float = 0.95,
+                      out_col: str | None = None):
+    """Per-group winsorization: clamp an integer column to each
+    group's exact [lo_q, hi_q] discrete quantiles — robust scaling
+    respecting per-group distributions (doc lengths per language,
+    latencies per endpoint).
+
+    Cut points come from ONE grouped histogram reduction
+    (``diagnostics.grouped_int_quantile`` internals — O(groups ×
+    distinct) exchange, both quantiles from the same histogram); the
+    clamp is a vectorized per-batch lookup.  Output: input columns +
+    ``out_col`` (default ``<column>_w``).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    out_col = out_col or f"{column}_w"
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            group_col: t[group_col],
+            column: pc.cast(t[column], pa.int64()),
+        })
+        g = flat.group_by([group_col, column]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([
+            "n" if c == "count_all" else c for c in g.column_names
+        ])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, column]).aggregate([("n", "sum")])
+        return g.rename_columns([
+            "n" if c == "n_sum" else c for c in g.column_names
+        ]).sort_by([(group_col, "ascending"), (column, "ascending")])
+
+    hist = (
+        ds.select_columns([group_col, column])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r[group_col], []).append(
+            (r[column], r["n"])
+        )
+    keys, los, his = [], [], []
+    for grp, pairs in by_group.items():  # pairs value-sorted already
+        counts = np.cumsum([n for _, n in pairs])
+        n = int(counts[-1])
+        cuts = []
+        for q in (lo_q, hi_q):
+            rank = math.ceil(q * n)
+            idx = int(np.searchsorted(counts, max(rank, 1),
+                                      side="left"))
+            cuts.append(int(pairs[idx][0]))
+        keys.append(grp)
+        los.append(cuts[0])
+        his.append(cuts[1])
+    key_arr = pa.array(keys)
+    lo_arr = pa.array(los, pa.int64())
+    hi_arr = pa.array(his, pa.int64())
+
+    def clamp(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[group_col], value_set=key_arr)
+        lo = pc.take(lo_arr, idx)
+        hi = pc.take(hi_arr, idx)
+        v = pc.cast(t[column], pa.int64())
+        w = pc.if_else(
+            pc.less(v, lo), lo, pc.if_else(pc.greater(v, hi), hi, v)
+        )
+        return t.append_column(out_col, w)
+
+    return ds.map_batches(clamp, batch_format="pyarrow")

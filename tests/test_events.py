@@ -1434,3 +1434,29 @@ class TestDebounce:
         out = debounce(rd.from_pandas(df), window_seconds=5,
                        num_partitions=2).to_pandas()
         assert sorted(out["event_id"]) == [0, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserHourConcentration:
+    def test_uniform_and_single_hour(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import (
+            user_hour_concentration,
+        )
+
+        rows = []
+        # u1: one event in each of 4 distinct hours -> hhi = 1/4
+        for h in range(4):
+            rows.append((1, pd.Timestamp(f"2024-01-01 {h:02d}:30")))
+        # u2: 5 events all in one hour -> hhi = 1.0
+        for _ in range(5):
+            rows.append((2, pd.Timestamp("2024-01-01 07:10")))
+        df = pd.DataFrame(rows, columns=["user_id", "ts"])
+        out = (
+            user_hour_concentration(rd.from_pandas(df).repartition(3))
+            .to_pandas().set_index("user_id")
+        )
+        assert out.loc[1, "hhi"] == 0.25
+        assert out.loc[1, "n_events"] == 4
+        assert out.loc[2, "hhi"] == 1.0

@@ -415,3 +415,42 @@ class TestGroupedPercentRanks:
         )
         assert out[out["g"] == "a"]["pr"].isna().all()
         assert sorted(out[out["g"] == "b"]["pr"]) == [0.0, 1.0]
+
+
+class TestGroupedWinsorize:
+    def test_per_group_cuts(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.sketch import grouped_winsorize
+
+        rng = np.random.RandomState(47)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(400),
+                "g": rng.choice(["a", "b"], 400),
+                "v": rng.randint(0, 100, 400),
+            }
+        )
+        out = (
+            grouped_winsorize(rd.from_pandas(df).repartition(4),
+                              column="v", group_col="g")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            """
+            WITH q AS (SELECT g, quantile_disc(v, 0.05)::BIGINT AS lo,
+                              quantile_disc(v, 0.95)::BIGINT AS hi
+                       FROM t GROUP BY g)
+            SELECT id, g, v,
+              CASE WHEN v < lo THEN lo WHEN v > hi THEN hi
+                   ELSE v::BIGINT END AS v_w
+            FROM t JOIN q USING (g) ORDER BY id
+            """
+        ).fetchdf()
+        exp = exp.astype({"id": "int64", "v": "int64"})
+        out = out.astype({"id": "int64", "v": "int64"})
+        assert out.equals(exp)
