@@ -97,3 +97,89 @@ class TestWriteGraph:
         # different dataset_id → rewrite
         m3 = write_graph(build_graph(_docs()), out, dataset_id="corpus-v2")
         assert m3["triples"]["written_at"] != stamp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalSumView:
+    def test_deltas_equal_full_recompute(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.state import (
+            incremental_sum_view,
+            read_sum_view,
+        )
+
+        rng = np.random.RandomState(53)
+        full = pd.DataFrame(
+            {
+                "k": rng.randint(0, 30, 500),
+                "v": rng.randint(0, 100, 500).astype("int64"),
+                "w": rng.randint(0, 10, 500).astype("int64"),
+            }
+        )
+        base = str(tmp_path / "mv")
+        for s in [full.iloc[0::3], full.iloc[1::3], full.iloc[2::3]]:
+            r = incremental_sum_view(
+                base, rd.from_pandas(s.reset_index(drop=True)),
+                keys=["k"], sums=["v", "w"], num_partitions=8,
+            )
+            assert r["buckets_touched"] > 0
+        got = (
+            read_sum_view(base).to_pandas()
+            .sort_values("k").reset_index(drop=True)
+            .astype({"k": "int64", "v": "int64", "w": "int64"})
+        )
+        want = (
+            full.groupby("k", as_index=False)[["v", "w"]].sum()
+            .sort_values("k").reset_index(drop=True)
+        )
+        assert got.equals(want)
+
+    def test_param_mismatch_raises(self, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.state import incremental_sum_view
+
+        base = str(tmp_path / "mv2")
+        df = pd.DataFrame({"k": [1], "v": [2]})
+        incremental_sum_view(base, rd.from_pandas(df), keys=["k"],
+                             sums=["v"], num_partitions=4)
+        with pytest.raises(ValueError):
+            incremental_sum_view(base, rd.from_pandas(df), keys=["k"],
+                                 sums=["v"], num_partitions=8)
+
+    def test_untouched_buckets_left_alone(self, tmp_path):
+        import os
+
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from obsidian_parser_ray.state import incremental_sum_view
+
+        base = str(tmp_path / "mv3")
+        rng = np.random.RandomState(59)
+        df = pd.DataFrame({
+            "k": rng.randint(0, 40, 300),
+            "v": np.ones(300, dtype="int64"),
+        })
+        incremental_sum_view(base, rd.from_pandas(df), keys=["k"],
+                             sums=["v"], num_partitions=16)
+        root = os.path.join(base, "view")
+        mtimes = {
+            d: os.path.getmtime(os.path.join(root, d, "data.parquet"))
+            for d in os.listdir(root)
+        }
+        one = pd.DataFrame({"k": [int(df["k"].iloc[0])], "v": [5]})
+        r = incremental_sum_view(base, rd.from_pandas(one), keys=["k"],
+                                 sums=["v"], num_partitions=16)
+        assert r["buckets_touched"] == 1
+        changed = [
+            d for d in mtimes
+            if os.path.getmtime(
+                os.path.join(root, d, "data.parquet")) != mtimes[d]
+        ]
+        assert len(changed) == 1
