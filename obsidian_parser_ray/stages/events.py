@@ -1,4 +1,6 @@
-"""Event-stream operators: tumbling-window aggregates + sessionization.
+"""Event-stream operators: windows, sessionization (one-shot and
+incremental), temporal joins, funnels, attribution, path mining,
+debouncing, growth accounting, and behavioral features.
 
 Ray Data is a batch engine (no watermarks); stream-shaped semantics are
 expressed per the standard pattern: treat the events table as a
