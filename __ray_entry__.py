@@ -2945,6 +2945,85 @@ def _q_events_user_hhi(sf_dir: str):
         _read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _q_events_type_users_exact(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — two-level groupby
+    (the exact twin of the HLL gate events_type_approx_users)."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def dedup_partial(t):
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    distinct = (
+        ev.map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    return distinct.groupby("event_type").aggregate(
+        Count(alias_name="n_users")
+    )
+
+
+def _q_supplier_dense_topk(sf_dir: str):
+    """DENSE_RANK ≤ 3: every supplier whose revenue is among the top-3
+    DISTINCT revenue values — ties kept, rank from a tiny distinct
+    top-k, no window shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t):
+        rev = _pc.cast(
+            _pc.floor(_pc.multiply(
+                _pc.multiply(
+                    t["l_extendedprice"],
+                    _pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                ),
+                1_000_000.0,
+            )),
+            pa.int64(),
+        )
+        flat = pa.table({"l_suppkey": t["l_suppkey"], "_rev": rev})
+        g = flat.group_by("l_suppkey").aggregate([("_rev", "sum")])
+        return g.rename_columns([
+            "_rev" if c == "_rev_sum" else c for c in g.column_names
+        ])
+
+    totals = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("_rev", alias_name="revenue_micro"))
+    )
+
+    def dense_filter(t):
+        vals = _pc.unique(t["revenue_micro"])
+        top = sorted(vals.to_pylist(), reverse=True)[:3]
+        cut = pa.array(top, pa.int64())
+        t = t.filter(_pc.is_in(t["revenue_micro"], value_set=cut))
+        rank_of = {v: i + 1 for i, v in enumerate(top)}
+        ranks = pa.array(
+            [rank_of[v] for v in t["revenue_micro"].to_pylist()],
+            pa.int64(),
+        )
+        out = t.rename_columns([
+            "s_suppkey" if c == "l_suppkey" else c
+            for c in t.column_names
+        ])
+        return out.append_column("rnk", ranks)
+
+    return (
+        totals.repartition(1, shuffle=False)
+        .map_batches(dense_filter, batch_format="pyarrow",
+                     batch_size=None)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -3090,6 +3169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parties_per_nation": _q_parties_per_nation,
         "doc_winsorize_by_lang": _q_doc_winsorize_by_lang,
         "events_user_hhi": _q_events_user_hhi,
+        "events_type_users_exact": _q_events_type_users_exact,
+        "supplier_dense_topk": _q_supplier_dense_topk,
     }
 
 
@@ -5365,5 +5446,23 @@ SELECT user_id,
    / (CAST(sum(n) AS BIGINT)::DOUBLE
       * CAST(sum(n) AS BIGINT)::DOUBLE)) AS hhi
 FROM c GROUP BY user_id
+""",
+        "events_type_users_exact": r"""
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+""",
+        "supplier_dense_topk": r"""
+WITH s AS (
+  SELECT l_suppkey AS s_suppkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS revenue_micro
+  FROM lineitem GROUP BY l_suppkey
+),
+r AS (
+  SELECT *, dense_rank() OVER (ORDER BY revenue_micro DESC)::BIGINT
+           AS rnk
+  FROM s
+)
+SELECT s_suppkey, revenue_micro, rnk FROM r WHERE rnk <= 3
 """,
     }
