@@ -3024,6 +3024,44 @@ def _q_supplier_dense_topk(sf_dir: str):
     )
 
 
+def _q_kg_tag_counts(sf_dir: str):
+    """Tag distribution over the built KG: top-10 tags by total edge
+    weight (bounded tag space, partial top-k)."""
+    import pyarrow as pa
+
+    from obsidian_parser_ray.pipelines.analytics import global_topk
+
+    tagged = _graph(sf_dir).triples.filter(expr="pred == 'tagged'")
+
+    def partial(t):
+        flat = pa.table({
+            "tag": t["obj"],
+            "total_weight": pa.compute.cast(t["weight"], pa.int64()),
+            "n_notes": pa.array([1] * t.num_rows, pa.int64()),
+        })
+        g = flat.group_by("tag").aggregate(
+            [("total_weight", "sum"), ("n_notes", "sum")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+
+    def merge(t):
+        g = t.group_by("tag").aggregate(
+            [("total_weight", "sum"), ("n_notes", "sum")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+
+    counts = (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+    return global_topk(counts, "total_weight", 10, tiebreak=["tag"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -3171,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hhi": _q_events_user_hhi,
         "events_type_users_exact": _q_events_type_users_exact,
         "supplier_dense_topk": _q_supplier_dense_topk,
+        "kg_tag_counts": _q_kg_tag_counts,
     }
 
 
@@ -5464,5 +5503,13 @@ r AS (
   FROM s
 )
 SELECT s_suppkey, revenue_micro, rnk FROM r WHERE rnk <= 3
+""",
+        "kg_tag_counts": cte + """
+SELECT obj AS tag, CAST(sum(weight) AS BIGINT) AS total_weight,
+       count(*)::BIGINT AS n_notes
+FROM exp_triples WHERE pred = 'tagged'
+GROUP BY obj
+ORDER BY total_weight DESC, tag
+LIMIT 10
 """,
     }
