@@ -132,26 +132,19 @@ def sessionize(events, *, key_col: str = "user_id", ts_col: str = "ts",
         sg = np.cumsum(brk.astype(np.int64))
         key_first = np.maximum.accumulate(np.where(new_key, sg, 0))
         sidx = sg - key_first + 1
-        out = pd.DataFrame(
-            {key_col: keys, "_sg": sg, "session_idx": sidx, "_s": secs}
-        )
-        g = out.groupby("_sg", as_index=False, sort=False).agg(
-            **{
-                key_col: (key_col, "first"),
-                "session_idx": ("session_idx", "first"),
-                "n_events": ("_s", "size"),
-                "start_s": ("_s", "min"),
-                "end_s": ("_s", "max"),
-            }
-        )
-        return g[
-            [key_col, "session_idx", "n_events", "start_s", "end_s"]
-        ].astype(
+        # sessions are CONTIGUOUS runs of the (key, ts)-sorted frame,
+        # so the reduction is pure numpy indexing (start = first row,
+        # end = last row — secs are nondecreasing within a run), no
+        # pandas groupby: ~2× on output-heavy partitions
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        return pd.DataFrame(
             {
-                "session_idx": "int64",
-                "n_events": "int64",
-                "start_s": "int64",
-                "end_s": "int64",
+                key_col: keys[starts],
+                "session_idx": sidx[starts].astype(np.int64),
+                "n_events": (ends - starts).astype(np.int64),
+                "start_s": secs[starts].astype(np.int64),
+                "end_s": secs[ends - 1].astype(np.int64),
             }
         )
 
@@ -1407,24 +1400,20 @@ def _session_merge_sweep(p: pd.DataFrame, key_col: str,
     sg = np.cumsum(brk.astype(np.int64))
     key_first = np.maximum.accumulate(np.where(new_key, sg, 0))
     sidx = sg - key_first + 1
-    out = pd.DataFrame({
-        key_col: keys, "_sg": sg, "session_idx": sidx,
-        "start_s": start, "end_s": end,
-        "n_events": p["n_events"].to_numpy(),
-    })
-    g = out.groupby("_sg", as_index=False, sort=False).agg(
-        **{
-            key_col: (key_col, "first"),
-            "session_idx": ("session_idx", "first"),
-            "n_events": ("n_events", "sum"),
-            "start_s": ("start_s", "min"),
-            "end_s": ("end_s", "max"),
-        }
+    # contiguous-run reduction (see sessionize): start = first row's
+    # start (start-sorted), end = the running max at the run's last
+    # row (intervals may nest), n_events via one add.reduceat
+    starts_i = np.flatnonzero(brk)
+    ends_i = np.append(starts_i[1:], n)
+    n_ev = np.add.reduceat(
+        p["n_events"].to_numpy().astype(np.int64), starts_i
     )
-    return g[[key_col, "session_idx", "n_events", "start_s",
-              "end_s"]].astype({
-        "session_idx": "int64", "n_events": "int64",
-        "start_s": "int64", "end_s": "int64",
+    return pd.DataFrame({
+        key_col: keys[starts_i],
+        "session_idx": sidx[starts_i].astype(np.int64),
+        "n_events": n_ev,
+        "start_s": start[starts_i].astype(np.int64),
+        "end_s": run_end[ends_i - 1].astype(np.int64),
     })
 
 
