@@ -1914,32 +1914,40 @@ def debounce(events, *, key_col: str = "user_id",
             "part", hash_bucket_array(t[key_col], num_partitions)
         )
 
-    def keep_partition(p: pd.DataFrame) -> pd.DataFrame:
-        if not len(p):
-            return pd.DataFrame({
-                id_col: pd.Series([], dtype="int64"),
-                key_col: pd.Series([], dtype="int64"),
-                type_col: pd.Series([], dtype="object"),
-            })
-        p = p.sort_values([key_col, type_col, ts_col, id_col],
-                          kind="stable")
-        keys = p[key_col].to_numpy()
-        typs = p[type_col].to_numpy()
-        secs = _epoch_seconds(p[ts_col]).to_numpy()
-        n = len(p)
-        same = np.zeros(n, dtype=bool)
-        same[1:] = (keys[1:] == keys[:-1]) & (typs[1:] == typs[:-1])
-        gap_ok = np.ones(n, dtype=bool)
-        gap_ok[1:] = secs[1:] - secs[:-1] > window_seconds
-        keep = ~same | gap_ok
-        out = p.loc[keep, [id_col, key_col, type_col]]
-        return out.reset_index(drop=True)
+    def keep_partition(t: pa.Table) -> pa.Table:
+        # pure Arrow: the pandas round trip (object-dtype strings both
+        # ways) dominated this output-heavy op at 4M events
+        n = t.num_rows
+        if not n:
+            return t.select([id_col, key_col, type_col])
+        t = t.sort_by([(key_col, "ascending"), (type_col, "ascending"),
+                       (ts_col, "ascending"), (id_col, "ascending")])
+        keys = t[key_col].combine_chunks()
+        typs = t[type_col].combine_chunks()
+        secs = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            1_000_000,
+        ).combine_chunks()
+        same = pc.and_(
+            pc.equal(keys.slice(1), keys.slice(0, n - 1)),
+            pc.equal(typs.slice(1), typs.slice(0, n - 1)),
+        )
+        gap_ok = pc.greater(
+            pc.subtract(secs.slice(1), secs.slice(0, n - 1)),
+            pa.scalar(window_seconds, pa.int64()),
+        )
+        rest = pc.or_(pc.invert(same), gap_ok)
+        keep = pa.chunked_array([
+            pa.array([True]), *rest.combine_chunks().chunks
+        ] if isinstance(rest, pa.ChunkedArray) else
+            [pa.array([True]), rest])
+        return t.filter(keep).select([id_col, key_col, type_col])
 
     return (
         events.select_columns([id_col, key_col, type_col, ts_col])
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(keep_partition, batch_format="pandas")
+        .map_groups(keep_partition, batch_format="pyarrow")
     )
 
 
