@@ -317,3 +317,60 @@ def read_parquet_evolved(paths, target_schema, *,
         paths, override_num_blocks=override_num_blocks,
     )
     return ds.map_batches(conform, batch_format="pyarrow")
+
+
+def read_jsonl_shards(shard_dir: str, *, columns=None,
+                      override_num_blocks: int | None = None):
+    """Read a `chunking.export_jsonl_shards` directory back as a
+    Dataset — the ingest half of the JSONL round trip (training stacks
+    write JSONL; downstream jobs re-read it here without a conversion
+    step).
+
+    Validates against the exporter's manifest when present (shard
+    count + total rows — a cheap corruption/partial-write check) and
+    reads the ``.jsonl[.gz]`` files block-parallel via
+    ``ray.data.read_json``.
+    """
+    import glob
+    import json
+    import os
+
+    import ray.data as rd
+
+    paths = sorted(
+        p for ext in ("*.jsonl", "*.jsonl.gz")
+        for p in glob.glob(os.path.join(shard_dir, ext))
+    )
+    if not paths:
+        raise FileNotFoundError(f"no .jsonl shards under {shard_dir}")
+    man_path = os.path.join(shard_dir, "_MANIFEST.json")
+    expected = None
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        if len(paths) != len(man.get("shards", [])):
+            raise ValueError(
+                f"shard count mismatch: {len(paths)} files vs "
+                f"{len(man['shards'])} in the manifest — partial "
+                "export or stray files"
+            )
+        expected = int(man.get("total_rows", 0))
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    ds = rd.read_json(
+        paths, arrow_open_stream_args={"compression": "gzip"}
+        if paths[0].endswith(".gz") else None, **kwargs,
+    )
+    if columns:
+        ds = ds.select_columns(list(columns))
+    if expected is not None:
+        # cheap count from metadata where possible; a mismatch means
+        # truncated/duplicated shards
+        n = ds.count()
+        if n != expected:
+            raise ValueError(
+                f"row count mismatch: read {n}, manifest says "
+                f"{expected}"
+            )
+    return ds

@@ -342,3 +342,43 @@ class TestJsonlShards:
         export_jsonl_shards(rd.from_arrow(t).repartition(5), d2,
                             num_shards=3)
         assert digest(d1) == digest(d2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonlRoundTrip:
+    def test_export_then_read_back(self, tmp_path):
+        from obsidian_parser_ray.sources import read_jsonl_shards
+        from obsidian_parser_ray.stages.chunking import (
+            export_jsonl_shards,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(60)), pa.int64()),
+            "text": pa.array([f"body {i}" for i in range(60)]),
+        })
+        out = str(tmp_path / "rt")
+        export_jsonl_shards(rd.from_arrow(t).repartition(3), out,
+                            num_shards=4)
+        back = (
+            read_jsonl_shards(out)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(back["doc_id"]) == list(range(60))
+        assert back["text"].iloc[7] == "body 7"
+
+    def test_manifest_mismatch_raises(self, tmp_path):
+        import os
+
+        from obsidian_parser_ray.sources import read_jsonl_shards
+        from obsidian_parser_ray.stages.chunking import (
+            export_jsonl_shards,
+        )
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})
+        out = str(tmp_path / "bad")
+        export_jsonl_shards(rd.from_arrow(t), out, num_shards=2)
+        # delete one shard -> count mismatch must be detected
+        shards = [f for f in os.listdir(out) if f.endswith(".gz")]
+        os.remove(os.path.join(out, shards[0]))
+        with pytest.raises(ValueError):
+            read_jsonl_shards(out)
