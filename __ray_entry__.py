@@ -3062,6 +3062,49 @@ def _q_kg_tag_counts(sf_dir: str):
     return global_topk(counts, "total_weight", 10, tiebreak=["tag"])
 
 
+def _q_doc_source_mix(sf_dir: str):
+    """Corpus composition report: docs + chars per source with share
+    of total — the mixture dashboard every curation run starts from
+    (bounded source space, exact int sums, one derived division)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(t):
+        flat = pa.table({
+            "source": t["source"],
+            "n_docs": pa.array([1] * t.num_rows, pa.int64()),
+            "n_chars": _pc.cast(t["n_chars"], pa.int64()),
+        })
+        g = flat.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum")]
+        )
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+
+    def finish(t):
+        g = t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum")]
+        )
+        g = g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
+        total = _pc.sum(g["n_chars"]).as_py() or 0
+        share = _pc.divide(
+            _pc.cast(g["n_chars"], pa.float64()),
+            pa.scalar(float(total)),
+        )
+        return g.append_column("char_share", share)
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .repartition(1, shuffle=False)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -3210,6 +3253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_users_exact": _q_events_type_users_exact,
         "supplier_dense_topk": _q_supplier_dense_topk,
         "kg_tag_counts": _q_kg_tag_counts,
+        "doc_source_mix": _q_doc_source_mix,
     }
 
 
@@ -5511,5 +5555,13 @@ FROM exp_triples WHERE pred = 'tagged'
 GROUP BY obj
 ORDER BY total_weight DESC, tag
 LIMIT 10
+""",
+        "doc_source_mix": r"""
+WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total
+           FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  (CAST(sum(n_chars) AS BIGINT)::DOUBLE / total::DOUBLE) AS char_share
+FROM documents, t GROUP BY source, total
 """,
     }
