@@ -1460,3 +1460,48 @@ class TestUserHourConcentration:
         assert out.loc[1, "hhi"] == 0.25
         assert out.loc[1, "n_events"] == 4
         assert out.loc[2, "hhi"] == 1.0
+
+
+class TestDebounceProperty:
+    """Hypothesis sweep: the Arrow sliced-compare sweep must match a
+    per-(key, type) nested-loop reference on arbitrary layouts
+    (duplicate timestamps, singleton groups, exact-boundary gaps)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(seed=st.integers(0, 2**16), n=st.integers(1, 80),
+           w=st.integers(0, 10))
+    @settings(max_examples=15, deadline=None)
+    def test_matches_bruteforce(self, ray_session, seed, n, w):
+        import numpy as np
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import debounce
+
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "user_id": rng.integers(0, 5, n),
+                "event_type": np.array(["a", "b", "c"])[
+                    rng.integers(0, 3, n)],
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 30, n), unit="s"),
+            }
+        )
+        out = debounce(
+            rd.from_pandas(df), window_seconds=w, num_partitions=3,
+        ).to_pandas()
+        got = sorted(out["event_id"])
+        want = []
+        for (u, tt), sub in df.groupby(["user_id", "event_type"]):
+            sub = sub.sort_values(["ts", "event_id"])
+            secs = (sub["ts"].astype("int64") // 10**9).to_numpy()
+            ids = sub["event_id"].to_numpy()
+            prev = None
+            for s, i in zip(secs, ids):
+                if prev is None or s - prev > w:
+                    want.append(int(i))
+                prev = s
+        assert got == sorted(want)
