@@ -1505,3 +1505,53 @@ class TestDebounceProperty:
                     want.append(int(i))
                 prev = s
         assert got == sorted(want)
+
+
+class TestTopPathsProperty:
+    """Hypothesis sweep: session-opening paths must match a
+    per-user nested-loop sessionizer + prefix join on arbitrary
+    layouts (ties on ts broken by event_id, exact-gap boundaries)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(seed=st.integers(0, 2**16), n=st.integers(1, 60))
+    @settings(max_examples=12, deadline=None)
+    def test_matches_bruteforce(self, ray_session, seed, n):
+        import numpy as np
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import top_session_paths
+
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 4, n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(
+                    rng.integers(0, 7200, n), unit="s"),
+                "event_id": np.arange(n),
+                "event_type": np.array(["x", "y", "z"])[
+                    rng.integers(0, 3, n)],
+            }
+        )
+        out = top_session_paths(
+            rd.from_pandas(df), gap_minutes=10, prefix_len=2, k=100,
+            num_partitions=3,
+        ).to_pandas()
+        got = dict(zip(out["path"], out["n_sessions"]))
+        want: dict = {}
+        for u, sub in df.groupby("user_id"):
+            sub = sub.sort_values(["ts", "event_id"])
+            secs = (sub["ts"].astype("int64") // 10**9).to_numpy()
+            typs = sub["event_type"].to_numpy()
+            sessions = []
+            for i in range(len(sub)):
+                if i == 0 or secs[i] - secs[i - 1] > 600:
+                    sessions.append([typs[i]])
+                else:
+                    sessions[-1].append(typs[i])
+            for s in sessions:
+                p = ">".join(s[:2])
+                want[p] = want.get(p, 0) + 1
+        assert got == want
