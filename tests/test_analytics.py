@@ -848,3 +848,47 @@ class TestMissingShipDays:
         base = (dt.datetime(2024, 1, 1)
                 - dt.datetime(1970, 1, 1)).days
         assert list(out["epoch_day"]) == [base + 2, base + 4]
+
+
+class TestFirstLastProperty:
+    """Hypothesis sweep: the packed argmin/argmax reduce must match a
+    per-customer nested-loop reference (same-day orderkey ties,
+    single-order customers, arbitrary block splits)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(seed=st.integers(0, 2**16), n=st.integers(1, 50))
+    @settings(max_examples=12, deadline=None)
+    def test_matches_bruteforce(self, ray_session, seed, n):
+        import numpy as np
+        import ray.data as rd
+
+        from obsidian_parser_ray.pipelines.analytics import (
+            customer_first_last,
+        )
+
+        rng = np.random.default_rng(seed)
+        orders = pa.table({
+            "o_custkey": pa.array(
+                rng.integers(0, 6, n).astype("int64")),
+            "o_orderkey": pa.array(np.arange(n, dtype="int64")),
+            "o_orderdate": pa.array(
+                [dt.datetime(2024, 1, 1)
+                 + dt.timedelta(days=int(d))
+                 for d in rng.integers(0, 5, n)],
+                pa.timestamp("us")),
+            "o_totalprice": pa.array(
+                rng.integers(1, 100, n).astype("float64")),
+        })
+        out = customer_first_last(
+            rd.from_arrow(orders).repartition(3)
+        ).to_pandas().set_index("c_custkey")
+        df = orders.to_pandas()
+        for cust, sub in df.groupby("o_custkey"):
+            sub = sub.sort_values(["o_orderdate", "o_orderkey"])
+            first, last = sub.iloc[0], sub.iloc[-1]
+            assert out.loc[cust, "first_price_micro"] == int(
+                first["o_totalprice"] * 1_000_000)
+            assert out.loc[cust, "last_price_micro"] == int(
+                last["o_totalprice"] * 1_000_000)
