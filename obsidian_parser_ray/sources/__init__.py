@@ -327,9 +327,10 @@ def read_jsonl_shards(shard_dir: str, *, columns=None,
     step).
 
     Validates against the exporter's manifest when present (shard
-    count + total rows — a cheap corruption/partial-write check) and
-    reads the ``.jsonl[.gz]`` files block-parallel via
-    ``ray.data.read_json``.
+    count + per-shard on-disk byte size — a zero-read
+    corruption/partial-write check, valid because the export is
+    byte-reproducible) and reads the ``.jsonl[.gz]`` files
+    block-parallel via ``ray.data.read_json``.
     """
     import glob
     import json
@@ -344,7 +345,6 @@ def read_jsonl_shards(shard_dir: str, *, columns=None,
     if not paths:
         raise FileNotFoundError(f"no .jsonl shards under {shard_dir}")
     man_path = os.path.join(shard_dir, "_MANIFEST.json")
-    expected = None
     if os.path.exists(man_path):
         with open(man_path) as f:
             man = json.load(f)
@@ -354,7 +354,29 @@ def read_jsonl_shards(shard_dir: str, *, columns=None,
                 f"{len(man['shards'])} in the manifest — partial "
                 "export or stray files"
             )
-        expected = int(man.get("total_rows", 0))
+        # per-shard ON-DISK byte sizes are recorded by the exporter and
+        # the export is byte-reproducible, so a stat() compare catches
+        # truncated / corrupted / swapped shards without reading (let
+        # alone JSON-parsing) any data — the dataset below stays the
+        # single ingest pass
+        sizes = {
+            int(r["shard"]): int(r["bytes"])
+            for r in man.get("shards", [])
+        }
+        for p in paths:
+            stem = os.path.basename(p).split(".")[0]  # shard-00007
+            shard = int(stem.rsplit("-", 1)[1])
+            if shard not in sizes:
+                raise ValueError(
+                    f"shard file {p} not present in the manifest"
+                )
+            got = os.path.getsize(p)
+            if got != sizes[shard]:
+                raise ValueError(
+                    f"shard {shard} size mismatch: {got} bytes on "
+                    f"disk, manifest says {sizes[shard]} — truncated "
+                    "or corrupted export"
+                )
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
@@ -364,13 +386,4 @@ def read_jsonl_shards(shard_dir: str, *, columns=None,
     )
     if columns:
         ds = ds.select_columns(list(columns))
-    if expected is not None:
-        # cheap count from metadata where possible; a mismatch means
-        # truncated/duplicated shards
-        n = ds.count()
-        if n != expected:
-            raise ValueError(
-                f"row count mismatch: read {n}, manifest says "
-                f"{expected}"
-            )
     return ds

@@ -973,11 +973,23 @@ def json_int_field_stats(events, *, props_col: str = "props",
 
     Output: (group_col, n, sum_v, min_v, max_v).
     """
-    pattern = rf'"{field}":\s*(?P<v>-?\d+)'
+    import re as _re
+
+    # field is escaped (it lands inside an RE2 pattern), and a float
+    # value like `"k": 12.5` must yield NULL, not a truncated 12.  RE2
+    # has no lookahead, so capture the one character after the digit
+    # run (greedy \d+ consumes all digits, leaving only `.`/`e`/`E`
+    # as float markers) and invalidate the match when it is non-empty.
+    pattern = rf'"{_re.escape(field)}":\s*(?P<v>-?\d+)(?P<tail>[.eE]?)'
 
     def partial(t: pa.Table) -> pa.Table:
         ext = pc.extract_regex(t[props_col], pattern)
-        v = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        raw = pc.struct_field(ext, "v")
+        is_int = pc.equal(pc.struct_field(ext, "tail"), "")
+        v = pc.cast(
+            pc.if_else(pc.fill_null(is_int, False), raw, None),
+            pa.int64(),
+        )
         flat = pa.table({
             group_col: t[group_col],
             "n": pc.cast(pc.is_valid(v), pa.int64()),
@@ -1206,6 +1218,7 @@ def type_user_overlap(events, *, key_col: str = "user_id",
             return pd.DataFrame({
                 "type_a": pd.Series([], dtype="object"),
                 "type_b": pd.Series([], dtype="object"),
+                "is_total": pd.Series([], dtype="int64"),
                 "n": pd.Series([], dtype="int64"),
             })
         d = p[[key_col, type_col]].drop_duplicates()
@@ -1218,18 +1231,23 @@ def type_user_overlap(events, *, key_col: str = "user_id",
             .rename(columns={f"{type_col}_a": "type_a",
                              f"{type_col}_b": "type_b"})
         )
-        # per-type distinct users, tagged with an empty type_b
+        pairs["is_total"] = 0
+        # per-type distinct users, tagged by a DEDICATED marker column
+        # (is_total=1), never by a sentinel type_b value — a real
+        # empty-string event_type must not collide with the marker
         singles = (
             d.groupby(type_col).size().rename("n").reset_index()
             .rename(columns={type_col: "type_a"})
         )
-        singles["type_b"] = ""
+        singles["type_b"] = singles["type_a"]
+        singles["is_total"] = 1
         out = pd.concat(
-            [pairs, singles[["type_a", "type_b", "n"]]],
+            [pairs[["type_a", "type_b", "is_total", "n"]],
+             singles[["type_a", "type_b", "is_total", "n"]]],
             ignore_index=True,
         )
         return out.astype({"type_a": "object", "type_b": "object",
-                           "n": "int64"})
+                           "is_total": "int64", "n": "int64"})
 
     def finish(t: pa.Table) -> pa.Table:
         if "type_a" not in t.column_names:
@@ -1242,12 +1260,15 @@ def type_user_overlap(events, *, key_col: str = "user_id",
                 "n_both": pa.array([], pa.int64()),
                 "jaccard": pa.array([], pa.float64()),
             })
-        g = t.group_by(["type_a", "type_b"]).aggregate([("n", "sum")])
+        g = t.group_by(["type_a", "type_b", "is_total"]).aggregate(
+            [("n", "sum")]
+        )
         df = g.to_pandas().rename(columns={"n_sum": "n"})
         totals = (
-            df[df["type_b"] == ""].set_index("type_a")["n"].to_dict()
+            df[df["is_total"] == 1]
+            .set_index("type_a")["n"].to_dict()
         )
-        pairs = df[df["type_b"] != ""].copy()
+        pairs = df[df["is_total"] == 0].copy()
         pairs["n_a"] = pairs["type_a"].map(totals).astype("int64")
         pairs["n_b"] = pairs["type_b"].map(totals).astype("int64")
         pairs = pairs.rename(columns={"n": "n_both"})
@@ -1268,6 +1289,27 @@ def type_user_overlap(events, *, key_col: str = "user_id",
         .map_groups(partition_partials, batch_format="pandas")
         .repartition(1, shuffle=False)
         .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _expected_micro(df: "pd.DataFrame", type_col: str) -> "pd.Series":
+    """Exact ``row_total * col_total * 1e6 // n`` for a merged
+    (type, hour, observed) contingency table.
+
+    The marginal product wraps int64 once it passes ~9.2e12 (reachable
+    around tens of millions of events with a skewed type/hour
+    distribution), so the product is taken in PYTHON ints — the table
+    is bounded by |types| × 24 rows, so the scalar loop is O(groups),
+    not O(events), and the bit-reproducibility claim holds at any
+    event count whose expected counts fit int64 micros.
+    """
+    row_tot = df.groupby(type_col)["observed"].transform("sum")
+    col_tot = df.groupby("hour")["observed"].transform("sum")
+    n = int(df["observed"].sum())
+    return pd.array(
+        [(int(r) * int(c) * 1_000_000) // n
+         for r, c in zip(row_tot, col_tot)],
+        dtype="int64",
     )
 
 
@@ -1307,12 +1349,7 @@ def contingency_expected(events, *, type_col: str = "event_type",
             [("observed", "sum")]
         )
         df = g.to_pandas().rename(columns={"observed_sum": "observed"})
-        row_tot = df.groupby(type_col)["observed"].transform("sum")
-        col_tot = df.groupby("hour")["observed"].transform("sum")
-        n = int(df["observed"].sum())
-        df["expected_micro"] = (
-            row_tot.astype("int64") * col_tot.astype("int64") * 1_000_000
-        ) // n
+        df["expected_micro"] = _expected_micro(df, type_col)
         return pa.Table.from_pandas(
             df[[type_col, "hour", "observed", "expected_micro"]],
             preserve_index=False,

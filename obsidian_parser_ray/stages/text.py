@@ -1254,6 +1254,17 @@ def search_term_index(index_dir: str, *, all_of=(), any_of=(),
     terms = set(all_of) | set(any_of) | set(none_of)
     if not terms:
         raise ValueError("need at least one query term")
+    if not all_of and not any_of:
+        # a pure-negation query cannot be answered from a pruned
+        # index: docs containing NO query term never appear in the
+        # read postings, so the result would silently be empty where
+        # token_search (full corpus scan) returns every non-matching
+        # doc — fail loudly instead of diverging
+        raise ValueError(
+            "pure-negation queries (only none_of terms) need the "
+            "full corpus — use token_search, or add an all_of/any_of "
+            "term"
+        )
     wanted = sorted({hash_bucket_scalar(t, nb) for t in terms})
     paths = [
         p for p in (

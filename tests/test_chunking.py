@@ -382,3 +382,29 @@ class TestJsonlRoundTrip:
         os.remove(os.path.join(out, shards[0]))
         with pytest.raises(ValueError):
             read_jsonl_shards(out)
+
+    def test_truncated_shard_raises_without_reading(self, tmp_path):
+        import os
+
+        from obsidian_parser_ray.sources import read_jsonl_shards
+        from obsidian_parser_ray.stages.chunking import (
+            export_jsonl_shards,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(30)), pa.int64()),
+            "text": pa.array([f"body {i}" for i in range(30)]),
+        })
+        out = str(tmp_path / "trunc")
+        export_jsonl_shards(rd.from_arrow(t), out, num_shards=2)
+        # truncate one shard in place: same shard count, fewer bytes —
+        # the stat()-level size check must catch it before any read
+        shards = sorted(
+            f for f in os.listdir(out) if f.endswith(".gz")
+        )
+        victim = os.path.join(out, shards[0])
+        body = open(victim, "rb").read()
+        with open(victim, "wb") as f:
+            f.write(body[: len(body) // 2])
+        with pytest.raises(ValueError, match="size mismatch"):
+            read_jsonl_shards(out)

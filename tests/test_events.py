@@ -815,6 +815,46 @@ class TestJsonFieldStats:
         assert out.loc["b"].to_dict() == {
             "n": 2, "sum_v": 10, "min_v": 0, "max_v": 10}
 
+    def test_float_values_skipped_not_truncated(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import json_int_field_stats
+
+        t = pa.table({
+            "event_type": pa.array(["a", "a", "a", "a"]),
+            "props": pa.array([
+                '{"k": 12.5}',     # float: must be null, not 12
+                '{"k": 1e5}',      # exponent: null, not 1
+                '{"k": 7}',        # plain int: counted
+                '{"k": -2.0}',     # negative float: null, not -2
+            ]),
+        })
+        out = (
+            json_int_field_stats(rd.from_arrow(t).repartition(2))
+            .to_pandas().set_index("event_type")
+        )
+        assert out.loc["a"].to_dict() == {
+            "n": 1, "sum_v": 7, "min_v": 7, "max_v": 7}
+
+    def test_field_name_is_regex_escaped(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import json_int_field_stats
+
+        # an unescaped "a.b" would also match the "axb" payload
+        t = pa.table({
+            "event_type": pa.array(["g", "g"]),
+            "props": pa.array(['{"a.b": 4}', '{"axb": 9}']),
+        })
+        out = (
+            json_int_field_stats(rd.from_arrow(t), field="a.b")
+            .to_pandas().set_index("event_type")
+        )
+        assert out.loc["g"].to_dict() == {
+            "n": 1, "sum_v": 4, "min_v": 4, "max_v": 4}
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestLastTouchAttribution:
@@ -983,6 +1023,29 @@ class TestTypeUserOverlap:
         out = type_user_overlap(rd.from_pandas(df)).to_pandas()
         assert len(out) == 0
 
+    def test_empty_string_event_type_is_a_real_type(self):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.events import type_user_overlap
+
+        # "" as an actual event_type value must behave like any other
+        # type, not collide with an internal totals marker
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 2, 2, 3],
+                "event_type": ["", "x", "", "x", ""],
+            }
+        )
+        out = (
+            type_user_overlap(rd.from_pandas(df).repartition(3))
+            .to_pandas().set_index(["type_a", "type_b"])
+        )
+        row = out.loc[("", "x")]
+        assert int(row["n_a"]) == 3      # users of "": 1, 2, 3
+        assert int(row["n_b"]) == 2      # users of "x": 1, 2
+        assert int(row["n_both"]) == 2
+        assert row["jaccard"] == 2 / 3
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestContingencyExpected:
@@ -1010,6 +1073,28 @@ class TestContingencyExpected:
         assert out.loc[("a", 0), "expected_micro"] == 3 * 3 * 1_000_000 // 4
         assert out.loc[("a", 1), "expected_micro"] == 3 * 1 * 1_000_000 // 4
         assert out.loc[("b", 0), "expected_micro"] == 1 * 3 * 1_000_000 // 4
+
+    def test_no_int64_wrap_at_large_marginals(self):
+        from obsidian_parser_ray.stages.events import _expected_micro
+
+        # marginal product 4e9 * 4e9 * 1e6 = 1.6e25 >> int64 — the
+        # vectorized int64 formula would silently wrap here
+        df = pd.DataFrame(
+            {
+                "event_type": ["a", "a", "b"],
+                "hour": [0, 1, 0],
+                "observed": [2_000_000_000, 2_000_000_000,
+                             1_000_000],
+            }
+        )
+        got = list(_expected_micro(df, "event_type"))
+        n = 4_001_000_000
+        assert got[0] == (4_000_000_000 * 2_001_000_000
+                          * 1_000_000) // n
+        assert got[1] == (4_000_000_000 * 2_000_000_000
+                          * 1_000_000) // n
+        assert got[2] == (1_000_000 * 2_001_000_000 * 1_000_000) // n
+        assert all(g >= 0 for g in got)
 
 
 @pytest.mark.usefixtures("ray_session")

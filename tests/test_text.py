@@ -637,3 +637,20 @@ class TestTermIndex:
                          num_buckets=4)
         with pytest.raises(ValueError):
             search_term_index(idx)
+
+    def test_pure_negation_query_raises(self, tmp_path):
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import (
+            build_term_index,
+            search_term_index,
+        )
+
+        # docs with NO query term never appear in the pruned postings,
+        # so a none_of-only query cannot match token_search semantics —
+        # it must fail loudly instead of silently returning nothing
+        idx = str(tmp_path / "tidx4")
+        build_term_index(rd.from_arrow(self._corpus()), idx,
+                         num_buckets=4)
+        with pytest.raises(ValueError, match="pure-negation"):
+            search_term_index(idx, none_of=("vector",))
