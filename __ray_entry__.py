@@ -1768,6 +1768,38 @@ def _q_customer_full_join(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_orders_lineitem_mn(sf_dir: str):
+    """General M:N shuffle equi-join (stages/joins.py hash_join):
+    orders ⋈ lineitem on the order key WITHOUT pre-aggregation — the
+    probe-side build carries duplicate keys (one row per line item),
+    which hash_join_unique would reject.  Per-partition resolution is
+    dictionary-encode + run-length expansion, no Python row loop."""
+    from obsidian_parser_ray.stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linenumber", "l_quantity"])
+    return hash_join(
+        orders, items, left_key="o_orderkey", right_key="l_orderkey",
+        how="inner", num_partitions=32,
+    )
+
+
+def _q_customer_supplier_mn(sf_dir: str):
+    """M:N equi-join with duplicate keys on BOTH sides: customers ⋈
+    suppliers of the same nation (the co-location-pair shape whose
+    output cardinality is sum over nations of |C_n| × |S_n|)."""
+    from obsidian_parser_ray.stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    return hash_join(
+        cust, supp, left_key="c_nationkey", right_key="s_nationkey",
+        how="inner", num_partitions=16,
+    )
+
+
 def _q_doc_pack(sf_dir: str):
     """Sequence packing (stages/chunking.py pack_sequences) as a
     CONSERVATION + CONSTRAINT gate: chunks → 256-token next-fit bins;
@@ -3182,6 +3214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_knn": _q_doc_text_knn,
         "doc_pack": _q_doc_pack,
         "customer_full_join": _q_customer_full_join,
+        "orders_lineitem_mn": _q_orders_lineitem_mn,
+        "customer_supplier_mn": _q_customer_supplier_mn,
         "customer_rfm": _q_customer_rfm,
         "events_gap_median": _q_events_gap_median,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -4231,6 +4265,18 @@ SELECT COALESCE(c.c_custkey, o.c_custkey) AS c_custkey,
        COALESCE(c.has_customer, FALSE) AS has_customer,
        COALESCE(o.n_orders, 0)::BIGINT AS n_orders
 FROM c FULL JOIN o ON c.c_custkey = o.c_custkey
+""",
+        # general M:N join: duplicate keys on the build side (one
+        # lineitem row per order line), no pre-aggregation anywhere
+        "orders_lineitem_mn": """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       l_linenumber, l_quantity
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+""",
+        # M:N with duplicates on BOTH sides (nation co-location pairs)
+        "customer_supplier_mn": """
+SELECT c_custkey, c_nationkey, s_suppkey
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
 """,
         # packing gate: totals recomputed from the doc_chunks
         # derivation; the constraint booleans must both hold

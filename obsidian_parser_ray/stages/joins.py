@@ -1,20 +1,29 @@
-"""Generic hash equi-join against a unique-keyed build side.
+"""Generic hash equi-joins: unique-keyed probe and full M:N.
 
 ``Dataset.join`` in Ray 2.49 crashes when a hash partition receives no
 blocks for one input sequence (the aggregator builds a ZERO-COLUMN
 empty table and Acero then fails with "No match ... for key field" —
 ray/data/_internal/execution/operators/join.py:104-125), which any
 small or skewed join can trigger.  It also allocates ``num_partitions``
-concurrent 1-CPU actors.  For the dominant join shape in this engine —
-probe a fact table against a side that is UNIQUE per key (a dictionary,
-an aggregate, a rank/label table) — this module provides a
-partition-robust, actor-free alternative built from the repo's standard
-primitives: union-tag the two sides, hash-partition on the key, and
-resolve each partition with one vectorized ``pc.index_in`` probe (the
-same pattern as dedup's candidate↔signature join, dedup.py:380-401).
+concurrent 1-CPU actors.  This module provides partition-robust,
+actor-free alternatives built from the repo's standard primitives:
+union-tag the two sides, hash-partition on the key, and resolve each
+partition with vectorized Arrow/numpy kernels (the same pattern as
+dedup's candidate↔signature join, dedup.py:380-401).
+
+* :func:`hash_join_unique` — probe a fact table against a side UNIQUE
+  per key (a dictionary, an aggregate, a rank/label table): one
+  ``pc.index_in`` per partition.  A violated uniqueness invariant
+  RAISES (never silently drops the extra rows).
+* :func:`hash_join` — general M:N equi-join with duplicate keys
+  allowed on BOTH sides: per-partition dictionary-encode + run-length
+  expansion (numpy repeat arithmetic, no Python row loop).
+* :func:`broadcast_join_unique` — map-side variant for small unique
+  right sides (falls back to the shuffle join over size guards).
 
 Shuffle volume is |left| + |right| rows, the per-partition work is
-O(rows) Arrow kernels, and empty partitions are simply absent groups.
+O(rows + matches) Arrow kernels, and empty partitions are simply
+absent groups.
 """
 
 from __future__ import annotations
@@ -23,58 +32,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None,
-                     how: str = "inner", suffix: str = "_r",
-                     num_partitions: int = 64, salt: int = 1,
-                     left_schema: pa.Schema | None = None,
-                     right_schema: pa.Schema | None = None):
-    """Equi-join ``left`` against a ``right`` side unique per key.
+def _plan_shuffle_join(left, right, *, left_key: str, right_key: str,
+                       how: str, suffix: str, num_partitions: int,
+                       salt: int, left_schema, right_schema,
+                       fn_name: str):
+    """Shared front half of the shuffle equi-joins: schema resolution,
+    empty-side short circuits, carrier construction and the union-tag
+    + hash-partition plan.
 
-    ``right`` MUST have at most one row per ``right_key`` value (an
-    aggregate / dictionary / rank table); rows beyond the first per key
-    would be silently ignored, so callers own that invariant — except
-    for ``how="semi"``/``"anti"``, which are pure presence checks and
-    accept any right side.  ``how`` is ``"inner"``, ``"left"``
-    (unmatched left rows keep typed nulls on the right value columns),
-    ``"semi"`` (left rows WITH a match, left columns only), ``"anti"``
-    (left rows WITHOUT a match, left columns only) or ``"full"`` (left
-    mode PLUS one row per unmatched right key; USING-style key
-    semantics — the ``left_key`` column carries the coalesced key, so
-    right-only rows stay identifiable, matching
-    ``FULL JOIN ... USING (k)`` in SQL).  Right value columns
-    colliding with a left column name get ``suffix``.
-
-    Output columns: all left columns, then (inner/left/full only)
-    each right non-key column.
-
-    ``salt > 1`` splits every key partition into ``salt`` slots: left
-    rows round-robin across the slots of their key partition and the
-    (unique-keyed, hence small) right side replicates into every slot
-    — the standard hot-key remedy, turning one straggler task holding
-    the whole hub key into ``salt`` even tasks.  Results are
-    IDENTICAL for left-driven modes (inner/left/semi/anti: every left
-    row still meets its full right set); ``how="full"`` rejects
-    ``salt > 1`` because right-only detection needs cross-slot
-    visibility.  Cost: ``salt × |right|`` extra shuffle rows.
-
-    ``left_schema`` / ``right_schema``: pass the known Arrow schema of
-    a side whose lineage contains an all-to-all (groupby/sort) —
-    otherwise the plan's ``schema()`` probe executes that whole
-    subtree once just for inference and the real run repeats it.
+    Returns ``(short_circuit, plan)`` — exactly one is non-None.
+    ``plan`` is a dict with the tagged dataset and the pieces the
+    per-partition kernel needs (out_schema, l_names, l_fields,
+    r_value, empty, left_key).
     """
-    if how not in ("inner", "left", "semi", "anti", "full"):
-        raise ValueError(
-            f"how must be 'inner', 'left', 'semi', 'anti' or 'full', "
-            f"got {how!r}"
-        )
-    salt = max(1, int(salt))
-    if salt > 1 and how == "full":
-        raise ValueError(
-            "hash_join_unique(how='full') does not support salt > 1: "
-            "right-only rows need cross-slot visibility"
-        )
-    right_key = right_key or left_key
-
     from ..hashing import hash_bucket_array
 
     # schema inference on a lazy side whose lineage holds an
@@ -90,19 +60,19 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     if l_schema is None:
         if how == "full":
             raise ValueError(
-                "hash_join_unique(how='full'): left side has no schema "
+                f"{fn_name}(how='full'): left side has no schema "
                 "(block-less empty dataset) — cannot type the null left "
                 "columns of right-only rows; materialize an empty typed "
                 "table instead"
             )
-        return left  # empty: inner/semi/anti/left results are all empty
+        return left, None  # empty: inner/semi/anti/left are all empty
     if r_schema is None:
         if how == "anti":
-            return left  # nothing to subtract
+            return left, None  # nothing to subtract
         if how in ("semi", "inner"):
-            return left.limit(0)
+            return left.limit(0), None
         raise ValueError(
-            f"hash_join_unique(how={how!r}): right side has no schema "
+            f"{fn_name}(how={how!r}): right side has no schema "
             "(block-less empty dataset) — cannot type the null value "
             "columns; materialize an empty typed table instead"
         )
@@ -191,8 +161,95 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     tagged = left.map_batches(pad_left, batch_format="pyarrow").union(
         right.map_batches(pad_right, batch_format="pyarrow")
     )
-
     empty = pa.table({f.name: pa.nulls(0, f.type) for f in out_schema})
+    return None, {
+        "tagged": tagged,
+        "out_schema": out_schema,
+        "l_names": l_names,
+        "l_fields": l_fields,
+        "r_value": r_value,
+        "empty": empty,
+        "left_key": left_key,
+    }
+
+
+def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None,
+                     how: str = "inner", suffix: str = "_r",
+                     num_partitions: int = 64, salt: int = 1,
+                     left_schema: pa.Schema | None = None,
+                     right_schema: pa.Schema | None = None,
+                     validate_unique: bool = True):
+    """Equi-join ``left`` against a ``right`` side unique per key.
+
+    ``right`` MUST have at most one row per ``right_key`` value (an
+    aggregate / dictionary / rank table); rows beyond the first per key
+    would be silently ignored, so callers own that invariant — except
+    for ``how="semi"``/``"anti"``, which are pure presence checks and
+    accept any right side.  ``how`` is ``"inner"``, ``"left"``
+    (unmatched left rows keep typed nulls on the right value columns),
+    ``"semi"`` (left rows WITH a match, left columns only), ``"anti"``
+    (left rows WITHOUT a match, left columns only) or ``"full"`` (left
+    mode PLUS one row per unmatched right key; USING-style key
+    semantics — the ``left_key`` column carries the coalesced key, so
+    right-only rows stay identifiable, matching
+    ``FULL JOIN ... USING (k)`` in SQL).  Right value columns
+    colliding with a left column name get ``suffix``.
+
+    Output columns: all left columns, then (inner/left/full only)
+    each right non-key column.
+
+    ``salt > 1`` splits every key partition into ``salt`` slots: left
+    rows round-robin across the slots of their key partition and the
+    (unique-keyed, hence small) right side replicates into every slot
+    — the standard hot-key remedy, turning one straggler task holding
+    the whole hub key into ``salt`` even tasks.  Results are
+    IDENTICAL for left-driven modes (inner/left/semi/anti: every left
+    row still meets its full right set); ``how="full"`` rejects
+    ``salt > 1`` because right-only detection needs cross-slot
+    visibility.  Cost: ``salt × |right|`` extra shuffle rows.
+
+    ``left_schema`` / ``right_schema``: pass the known Arrow schema of
+    a side whose lineage contains an all-to-all (groupby/sort) —
+    otherwise the plan's ``schema()`` probe executes that whole
+    subtree once just for inference and the real run repeats it.
+
+    ``validate_unique=True`` (the default) checks the uniqueness
+    invariant per partition — one ``count_distinct`` vs ``len``
+    compare, negligible cost — and RAISES on a duplicate right key
+    for the value-carrying modes (inner/left/full) instead of
+    silently dropping rows beyond the first.  semi/anti are pure
+    presence checks and accept any right side.  Pass ``False`` only
+    when the caller just proved uniqueness (e.g. the right side is a
+    groupby output on the key).  Duplicate keys on both sides are a
+    feature, not an error — that's :func:`hash_join`.
+    """
+    if how not in ("inner", "left", "semi", "anti", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi', 'anti' or 'full', "
+            f"got {how!r}"
+        )
+    salt = max(1, int(salt))
+    if salt > 1 and how == "full":
+        raise ValueError(
+            "hash_join_unique(how='full') does not support salt > 1: "
+            "right-only rows need cross-slot visibility"
+        )
+    right_key = right_key or left_key
+
+    short, plan = _plan_shuffle_join(
+        left, right, left_key=left_key, right_key=right_key, how=how,
+        suffix=suffix, num_partitions=num_partitions, salt=salt,
+        left_schema=left_schema, right_schema=right_schema,
+        fn_name="hash_join_unique",
+    )
+    if plan is None:
+        return short
+    out_schema = plan["out_schema"]
+    l_names = plan["l_names"]
+    l_fields = plan["l_fields"]
+    r_value = plan["r_value"]
+    empty = plan["empty"]
+    check_unique = validate_unique and how in ("inner", "left", "full")
 
     def join_partition(t: pa.Table) -> pa.Table:
         side = t["_side"]
@@ -201,6 +258,17 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
             return empty
         rf = t.filter(pc.equal(side, 1))
         rkeys = rf["_k"].combine_chunks()
+        if check_unique and rf.num_rows:
+            n_distinct = pc.count_distinct(rkeys, mode="all").as_py()
+            if n_distinct != rf.num_rows:
+                raise ValueError(
+                    "hash_join_unique: right side has duplicate "
+                    f"'{right_key}' keys ({rf.num_rows - n_distinct} "
+                    "extra rows in one partition) — rows beyond the "
+                    "first per key would be silently dropped. "
+                    "Pre-aggregate the right side or use hash_join() "
+                    "for M:N semantics."
+                )
         idx = pc.index_in(lf["_k"], rkeys)
         if how in ("inner", "semi", "anti"):
             keep = pc.is_valid(idx)
@@ -237,7 +305,187 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
             [out, pa.Table.from_arrays(ro_cols, schema=out_schema)]
         )
 
-    return tagged.groupby("part").map_groups(
+    return plan["tagged"].groupby("part").map_groups(
+        join_partition, batch_format="pyarrow"
+    )
+
+
+def hash_join(left, right, *, left_key: str, right_key: str | None = None,
+              how: str = "inner", suffix: str = "_r",
+              num_partitions: int = 64, salt: int = 1,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """General M:N equi-join — duplicate keys allowed on BOTH sides.
+
+    Same partition-robust union-tag + hash-partition plan as
+    :func:`hash_join_unique`, but each partition resolves matches with
+    a dictionary-encode + run-length expansion instead of a unique
+    probe: right rows are grouped by key code (one stable argsort of
+    int32 codes), each matched left row is ``np.repeat``-ed by its
+    key's right-group size, and the paired right row indices come from
+    pure numpy offset arithmetic — no Python row loop, O(rows +
+    matches) per partition.  Output size is the true join cardinality;
+    a hot key producing K_left × K_right matches costs exactly that
+    many rows, all inside one partition task (``salt`` spreads the
+    LEFT rows of a hot key across slots, bounding the per-task
+    expansion).
+
+    ``how`` ∈ inner / left / semi / anti / full with the same
+    semantics and USING-style full-join key coalescing as
+    :func:`hash_join_unique`; null keys never match (SQL semantics —
+    null-keyed left rows are unmatched, null-keyed right rows surface
+    only as right-only rows under ``how="full"``).  semi/anti dedupe
+    nothing: they return left rows (not distinct keys) exactly like
+    ``EXISTS`` / ``NOT EXISTS``.  Right value columns colliding with
+    a left column name get ``suffix``.
+
+    ``salt > 1`` is identical to the unique join: left rows round-robin
+    across slots, right rows replicate into every slot, full mode
+    rejects it (right-only detection needs cross-slot visibility).
+    """
+    import numpy as np
+
+    if how not in ("inner", "left", "semi", "anti", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi', 'anti' or 'full', "
+            f"got {how!r}"
+        )
+    salt = max(1, int(salt))
+    if salt > 1 and how == "full":
+        raise ValueError(
+            "hash_join(how='full') does not support salt > 1: "
+            "right-only rows need cross-slot visibility"
+        )
+    right_key = right_key or left_key
+
+    short, plan = _plan_shuffle_join(
+        left, right, left_key=left_key, right_key=right_key, how=how,
+        suffix=suffix, num_partitions=num_partitions, salt=salt,
+        left_schema=left_schema, right_schema=right_schema,
+        fn_name="hash_join",
+    )
+    if plan is None:
+        return short
+    out_schema = plan["out_schema"]
+    l_names = plan["l_names"]
+    l_fields = plan["l_fields"]
+    r_value = plan["r_value"]
+    empty = plan["empty"]
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        side = t["_side"]
+        lf = t.filter(pc.equal(side, 0))
+        if lf.num_rows == 0 and how != "full":
+            return empty
+        rf = t.filter(pc.equal(side, 1))
+        # SQL null semantics: null keys never match.  Null-keyed right
+        # rows leave the match space entirely (they reappear below as
+        # right-only rows under how="full").
+        rk_all = rf["_k"].combine_chunks()
+        r_valid_mask = pc.is_valid(rk_all)
+        rv = rf.filter(r_valid_mask)
+        lk = lf["_k"].combine_chunks()
+
+        pieces = []
+        if rv.num_rows and lf.num_rows:
+            enc = pc.dictionary_encode(rv["_k"].combine_chunks())
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            n_groups = len(enc.dictionary)
+            # right rows grouped by code: one stable argsort of int32
+            order = np.argsort(codes, kind="stable")
+            counts = np.bincount(codes, minlength=n_groups)
+            starts = np.zeros(n_groups, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            # left rows → group codes; the dictionary holds only
+            # VALID right keys, so a null left key maps to null here —
+            # SQL null-never-matches falls out for free
+            g = pc.index_in(lk, enc.dictionary)
+            matched = pc.is_valid(g).to_numpy(zero_copy_only=False)
+            g_np = (
+                pc.fill_null(g, -1)
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        else:
+            g_np = None
+            matched = np.zeros(lf.num_rows, dtype=bool)
+
+        if how == "semi":
+            if not matched.any():
+                return empty
+            lo = lf.filter(pa.array(matched))
+            return pa.Table.from_arrays(
+                [lo[n] for n in l_names], schema=out_schema
+            )
+        if how == "anti":
+            keep = ~matched
+            if not keep.any():
+                return empty
+            lo = lf.filter(pa.array(keep))
+            return pa.Table.from_arrays(
+                [lo[n] for n in l_names], schema=out_schema
+            )
+
+        if matched.any():
+            m_rows = np.flatnonzero(matched)
+            m_g = g_np[matched]
+            m_counts = counts[m_g]
+            total = int(m_counts.sum())
+            # expansion: left row i repeats count[g_i] times; its right
+            # partners are order[starts[g_i] : starts[g_i]+count[g_i]]
+            l_take = np.repeat(m_rows, m_counts)
+            off = np.zeros(len(m_counts), dtype=np.int64)
+            np.cumsum(m_counts[:-1], out=off[1:])
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                off, m_counts
+            )
+            r_take = order[np.repeat(starts[m_g], m_counts) + intra]
+            le = lf.take(pa.array(l_take))
+            cols = [le[n] for n in l_names]
+            for f in r_value:
+                cols.append(
+                    pc.take(rv["_rv_" + f.name], pa.array(r_take))
+                )
+            pieces.append(pa.Table.from_arrays(cols, schema=out_schema))
+
+        if how in ("left", "full") and not matched.all():
+            lo = lf.filter(pa.array(~matched))
+            cols = [lo[n] for n in l_names]
+            for f in r_value:
+                cols.append(pa.nulls(lo.num_rows, f.type))
+            pieces.append(pa.Table.from_arrays(cols, schema=out_schema))
+
+        if how == "full" and rf.num_rows:
+            # right-only rows: valid keys absent from the left, plus
+            # every null-keyed right row (null never matches)
+            lk_valid = lk.filter(pc.is_valid(lk))
+            r_only = pc.or_kleene(
+                pc.invert(r_valid_mask),
+                pc.fill_null(
+                    pc.invert(pc.is_in(rk_all, value_set=lk_valid)),
+                    False,
+                ),
+            )
+            ro = rf.filter(pc.fill_null(r_only, False))
+            if ro.num_rows:
+                ro_cols = []
+                for f in l_fields:
+                    if f.name == left_key:
+                        ro_cols.append(ro["_k"].cast(f.type))
+                    else:
+                        ro_cols.append(pa.nulls(ro.num_rows, f.type))
+                for f in r_value:
+                    ro_cols.append(ro["_rv_" + f.name])
+                pieces.append(
+                    pa.Table.from_arrays(ro_cols, schema=out_schema)
+                )
+
+        if not pieces:
+            return empty
+        return pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
+
+    return plan["tagged"].groupby("part").map_groups(
         join_partition, batch_format="pyarrow"
     )
 

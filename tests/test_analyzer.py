@@ -83,3 +83,40 @@ def test_analyzer_matches_oracle(ray_session):
     got = analyze(docs, linker_concurrency=2)
     exp = _oracle_report(rows)
     assert got == exp
+
+
+def test_analyzer_components_topology_size_selected(
+    ray_session, monkeypatch
+):
+    """The components path is chosen by node+edge size: small inputs
+    take the driver union-find, large (forced via max_local_nodes=0)
+    take distributed pointer jumping — with an identical report."""
+    import obsidian_parser_ray.pipelines.analyzer as mod
+
+    rows = _synth_rows(60)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.string()),
+                "spans": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+    exp = _oracle_report(rows)
+
+    # default guard: LOCAL path must run; distributed must NOT
+    def _boom(*a, **k):
+        raise AssertionError("distributed path taken below the guard")
+
+    monkeypatch.setattr(mod, "connected_components", _boom)
+    assert analyze(docs, linker_concurrency=2) == exp
+    monkeypatch.undo()
+
+    # forced over the guard: DISTRIBUTED path must run; local must NOT
+    def _boom2(*a, **k):
+        raise AssertionError("local path taken above the guard")
+
+    monkeypatch.setattr(mod, "connected_components_local", _boom2)
+    assert (
+        analyze(docs, linker_concurrency=2, max_local_nodes=0) == exp
+    )

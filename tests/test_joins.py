@@ -289,3 +289,171 @@ def test_salted_full_join_rejected(ray_session):
     with pytest.raises(ValueError, match="salt"):
         hash_join_unique(_left(), _right(), left_key="k", right_key="kk",
                          how="full", salt=4)
+
+
+def _mn_sides():
+    """Duplicate keys on BOTH sides, plus nulls and a name collision."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    lk = rng.integers(0, 12, 200).astype("float64")
+    lk[rng.choice(200, 10, replace=False)] = np.nan
+    rk = rng.integers(0, 15, 80).astype("float64")
+    rk[rng.choice(80, 6, replace=False)] = np.nan
+    left = pd.DataFrame({"k": lk, "lv": np.arange(200)})
+    right = pd.DataFrame(
+        {"k": rk, "rv": np.arange(80) * 10, "lv": np.arange(80) * 7}
+    )
+    return left, right
+
+
+def test_hash_join_mn_all_modes_match_duckdb(ray_session):
+    """M:N join with duplicate keys on both sides, null keys, and a
+    colliding value column — every mode vs the DuckDB twin."""
+    import duckdb
+
+    from obsidian_parser_ray.stages.joins import hash_join
+
+    left, right = _mn_sides()
+    con = duckdb.connect()
+    con.register("L", left)
+    con.register("R", right)
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].astype("float64")
+        return (
+            df.sort_values(list(df.columns))
+            .reset_index(drop=True).fillna(-9e9)
+        )
+
+    cases = {
+        "inner": "SELECT L.k, L.lv, rv, R.lv AS lv_r "
+                 "FROM L JOIN R ON L.k = R.k",
+        "left": "SELECT L.k, L.lv, rv, R.lv AS lv_r "
+                "FROM L LEFT JOIN R ON L.k = R.k",
+        "semi": "SELECT k, lv FROM L WHERE k IN "
+                "(SELECT k FROM R WHERE k IS NOT NULL)",
+        "anti": "SELECT k, lv FROM L WHERE k NOT IN "
+                "(SELECT k FROM R WHERE k IS NOT NULL) OR k IS NULL",
+        "full": "SELECT COALESCE(L.k, R.k) AS k, L.lv, rv, "
+                "R.lv AS lv_r FROM L FULL JOIN R ON L.k = R.k",
+    }
+    for how, sql in cases.items():
+        got = hash_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(3),
+            left_key="k", how=how, num_partitions=8,
+        ).to_pandas()
+        exp = con.execute(sql).fetchdf()
+        assert norm(got).equals(norm(exp)), how
+
+
+def test_hash_join_salted_hub_key_identical(ray_session):
+    """A 90%-hub key under salt must produce row-identical results for
+    every left-driven mode — including the M:N expansion."""
+    import numpy as np
+
+    from obsidian_parser_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(5)
+    lkeys = ["hub"] * 450 + [f"k{i}" for i in rng.integers(0, 20, 50)]
+    rkeys = ["hub"] * 5 + [f"k{i}" for i in range(15)]
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(lkeys),
+                  "v": pa.array(range(len(lkeys)), type=pa.int64())})
+    ).repartition(5)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(rkeys),
+                  "w": pa.array(range(len(rkeys)), type=pa.int64())})
+    ).repartition(2)
+    for how in ("inner", "left", "semi", "anti"):
+        plain = (
+            hash_join(left, right, left_key="k", how=how,
+                      num_partitions=8)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        salted = (
+            hash_join(left, right, left_key="k", how=how,
+                      num_partitions=8, salt=4)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        if how == "inner":
+            assert (plain["k"] == "hub").sum() == 450 * 5
+        pd.testing.assert_frame_equal(
+            plain.sort_values(sorted(plain.columns))
+            .reset_index(drop=True),
+            salted.sort_values(sorted(salted.columns))
+            .reset_index(drop=True),
+        ), how
+
+
+def test_hash_join_equals_unique_join_on_unique_right(ray_session):
+    """On a right side that IS unique per key, hash_join and
+    hash_join_unique must agree in every mode."""
+    from obsidian_parser_ray.stages.joins import hash_join
+
+    for how in ("inner", "left", "semi", "anti", "full"):
+        mn = (
+            hash_join(_left(), _right(), left_key="k", right_key="kk",
+                      how=how, num_partitions=4)
+            .to_pandas()
+        )
+        uq = (
+            hash_join_unique(_left(), _right(), left_key="k",
+                             right_key="kk", how=how, num_partitions=4)
+            .to_pandas()
+        )
+        cols = sorted(mn.columns)
+        pd.testing.assert_frame_equal(
+            mn[cols].sort_values(cols).reset_index(drop=True),
+            uq[cols].sort_values(cols).reset_index(drop=True),
+        ), how
+
+
+def test_hash_join_unique_raises_on_duplicate_right_keys(ray_session):
+    """A violated uniqueness invariant must FAIL, not silently drop
+    the extra right rows."""
+    dup_right = rd.from_arrow(
+        pa.table({
+            "kk": pa.array(["a", "a", "b"], pa.string()),
+            "w": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        })
+    )
+    for how in ("inner", "left"):
+        with pytest.raises(Exception, match="duplicate"):
+            hash_join_unique(
+                _left(), dup_right, left_key="k", right_key="kk",
+                how=how,
+            ).to_pandas()
+    # semi/anti are presence checks: any right side is legal
+    got = hash_join_unique(
+        _left(), dup_right, left_key="k", right_key="kk", how="semi"
+    ).to_pandas()
+    assert sorted(got["k"]) == ["a", "a", "b"]
+    # and the opt-out restores the old first-wins behavior
+    got = hash_join_unique(
+        _left(), dup_right, left_key="k", right_key="kk",
+        validate_unique=False,
+    ).to_pandas()
+    assert len(got) == 3
+
+
+def test_hash_join_empty_sides(ray_session):
+    from obsidian_parser_ray.stages.joins import hash_join
+
+    empty_r = rd.from_arrow(
+        pa.table({"kk": pa.array([], pa.string()),
+                  "w": pa.array([], pa.float64())})
+    )
+    assert hash_join(_left(), empty_r, left_key="k", right_key="kk",
+                     how="inner").count() == 0
+    assert hash_join(_left(), empty_r, left_key="k", right_key="kk",
+                     how="anti").count() == 5
+    out = hash_join(_left(), empty_r, left_key="k", right_key="kk",
+                    how="left").to_pandas()
+    assert len(out) == 5 and out["w"].isna().all()
+    full = hash_join(_left(), empty_r, left_key="k", right_key="kk",
+                     how="full").to_pandas()
+    assert len(full) == 5
