@@ -1885,14 +1885,16 @@ def _q_doc_pack(sf_dir: str):
 
 
 def _q_media_decode_real(sf_dir: str):
-    """REAL three-codec decode, value-checked: every payload is an
-    actual encoded file (PNG or baseline JPEG for images, PCM WAV for
-    audio, split by md5 of the asset id — stages/multimodal.py
-    synth_real_media_batch; codecs in stages/png.py + stages/jpeg.py +
+    """REAL four-codec decode, value-checked: every payload is an
+    actual encoded file (PNG, baseline JPEG or progressive SOF2 JPEG
+    for images, PCM WAV for audio, split by md5 of the asset id —
+    stages/multimodal.py synth_real_media_batch; codecs in
+    stages/png.py + stages/jpeg.py + stages/jpeg_progressive.py +
     stages/wav.py), decoded with strict=True — no fake fallback — so
     the only way width/height/duration come back right is a real
-    header+payload decode.  The SQL oracle recomputes the planted
-    values from md5(asset_id)."""
+    header+payload decode (incl. the spectral-selection/
+    successive-approximation scan loop).  The SQL oracle recomputes
+    the planted values from md5(asset_id)."""
     from obsidian_parser_ray import synth_vault
     from obsidian_parser_ray.stages.multimodal import (
         decode_media,

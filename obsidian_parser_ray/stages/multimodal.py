@@ -94,17 +94,21 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
 
 def synth_real_media_batch(batch: pa.Table) -> pa.Table:
     """Deterministic REAL-codec media table from asset-id strings:
-    every payload is an actual encoded file — PNG or baseline JPEG for
-    images, PCM WAV for audio, chosen by the id's md5 — whose planted
-    dimensions/duration derive from the same md5 bytes the SQL oracle
-    can recompute.  Unlike :func:`synth_media_batch` (random bytes +
-    metadata passthrough), the only way a decoder recovers the right
-    width/height/duration here is to REALLY parse the codec's headers
-    and payload — the media_decode_real driver query value-checks all
-    three real decode paths end-to-end (``meta_json`` is deliberately
-    left empty).  Type split mirrors :func:`synth_media_batch`:
-    ``md5[0] % 2 == 0`` → image, else audio."""
+    every payload is an actual encoded file — PNG, baseline JPEG or
+    PROGRESSIVE (SOF2) JPEG for images, PCM WAV for audio, chosen by
+    the id's md5 — whose planted dimensions/duration derive from the
+    same md5 bytes the SQL oracle can recompute.  Unlike
+    :func:`synth_media_batch` (random bytes + metadata passthrough),
+    the only way a decoder recovers the right width/height/duration
+    here is to REALLY parse the codec's headers and payload — the
+    media_decode_real driver query value-checks all four real decode
+    paths end-to-end (``meta_json`` is deliberately left empty).
+    Type split mirrors :func:`synth_media_batch`:
+    ``md5[0] % 2 == 0`` → image, else audio; image format is
+    ``md5[10] % 3`` (0 PNG, 1 baseline, 2 progressive — byte 10 chosen
+    so the driver gate's asset-id space hits all three)."""
     from .jpeg import encode_jpeg_baseline
+    from .jpeg_progressive import encode_jpeg_progressive
     from .png import encode_png
     from .wav import encode_wav_pcm16
 
@@ -119,10 +123,15 @@ def synth_real_media_batch(batch: pa.Table) -> pa.Table:
             hh = 16 + h[3] % 64
             shape = (hh, w) if h[7] % 2 == 0 else (hh, w, 3)
             img = rng.randint(0, 256, shape).astype(np.uint8)
-            payloads.append(
-                encode_png(img) if h[5] % 2 == 0
-                else encode_jpeg_baseline(img, quality=85)
-            )
+            fmt = h[10] % 3
+            if fmt == 0:
+                payloads.append(encode_png(img))
+            elif fmt == 1:
+                payloads.append(encode_jpeg_baseline(img, quality=85))
+            else:
+                payloads.append(
+                    encode_jpeg_progressive(img, quality=85)
+                )
         else:
             types.append("audio")
             # 8 kHz → frames = ms × 8 exactly, so the decoded duration
@@ -188,14 +197,20 @@ class MediaDecoder:
         self.schema = features_schema(embed_dim)
 
     def _decode_impl(self, media_type: str, payload: bytes, meta: dict):
-        # REAL decode path: PNG and baseline JPEG images are decoded
-        # with the pure-stdlib codecs (stages/png.py, stages/jpeg.py) —
+        # REAL decode path: PNG, baseline JPEG (SOF0/1) AND progressive
+        # JPEG (SOF2) images are decoded with the pure-stdlib codecs
+        # (stages/png.py, stages/jpeg.py, stages/jpeg_progressive.py) —
         # true dimensions, perceptual average-hash, pixel-histogram
-        # embedding.  Other payloads (progressive JPEG, audio) fall
-        # through to the deterministic fake (strict=True raises
-        # instead: those codecs aren't in this container).
+        # embedding.  Remaining fall-through payloads (arithmetic-coded
+        # JPEG, compressed audio) hit the deterministic fake
+        # (strict=True raises instead: those codecs aren't in this
+        # container).
         if media_type == "image":
             from .jpeg import decode_jpeg_baseline, is_jpeg
+            from .jpeg_progressive import (
+                decode_jpeg_progressive,
+                is_progressive_jpeg,
+            )
             from .png import average_hash, decode_png, is_png
 
             img = None
@@ -203,9 +218,12 @@ class MediaDecoder:
                 img = decode_png(payload)
             elif is_jpeg(payload):
                 try:
-                    img = decode_jpeg_baseline(payload)
+                    if is_progressive_jpeg(payload):
+                        img = decode_jpeg_progressive(payload)
+                    else:
+                        img = decode_jpeg_baseline(payload)
                 except ValueError:
-                    img = None  # progressive/arithmetic → fake/strict
+                    img = None  # arithmetic/hierarchical → fake/strict
             if img is not None:
                 h_px, w_px = img.shape[:2]
                 hist = np.bincount(
@@ -238,9 +256,10 @@ class MediaDecoder:
                     return 0, 0, dur, energy_hash(samples), emb / norm
         if self.strict:
             raise NotImplementedError(
-                "strict decode: only PNG, baseline JPEG and PCM WAV are "
-                "decodable without PIL/torchaudio/ffmpeg in this "
-                f"container — payload is {media_type!r} and none of those"
+                "strict decode: only PNG, baseline/progressive JPEG "
+                "and PCM WAV are decodable without PIL/torchaudio/"
+                f"ffmpeg in this container — payload is {media_type!r} "
+                "and none of those"
             )
         # deterministic fake: byte-histogram "embedding" + meta passthrough
         hist = np.bincount(
