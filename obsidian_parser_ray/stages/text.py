@@ -1024,7 +1024,7 @@ def token_search(ds, *, all_of=(), any_of=(), none_of=(),
 
 
 def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", hash_grams: bool = False):
     """Per-document n-gram novelty: the fraction of a doc's DISTINCT
     word n-grams whose FIRST appearance (by ascending doc id) is this
     document — the order-aware "how much is new?" measure behind
@@ -1043,6 +1043,15 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
        doc, so novel counts need no join against the gram table;
     3. totals LEFT JOIN novels at |docs| rows (explicit schemas — no
        probe execution), null → 0.
+
+    ``hash_grams=True`` shuffles 8-byte siphash64 gram keys instead of
+    the gram STRINGS — ~3× exchange-volume reduction at bench shape
+    (the gram strings dominate the exchange: ~3 words ≈ 20+ bytes vs
+    8) at a documented ~(distinct grams)²/2⁶⁵ collision risk, which
+    can only ever UNDER-count novelty by conflating two grams.  Exact
+    strings stay the default — the DuckDB oracle compares that mode;
+    the hash mode is the 100 TB scale path (parity-tested in
+    tests/test_text.py).
 
     Docs with < n tokens emit no grams and no output row.
     Output: (id_col, n_grams, n_novel, novelty).
@@ -1083,6 +1092,15 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
             }
             out_id.extend([i] * len(grams))
             out_gram.extend(grams)
+        if hash_grams:
+            from ..hashing import hash64_array
+
+            return pa.table({
+                id_col: pa.array(out_id, id_t),
+                "gram": pa.array(
+                    hash64_array(out_gram).view(np.int64), pa.int64()
+                ),
+            })
         return pa.table({
             id_col: pa.array(out_id, id_t),
             "gram": pa.array(out_gram, pa.string()),

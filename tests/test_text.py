@@ -506,6 +506,39 @@ class TestNgramNovelty:
         assert out["n_grams"].iloc[0] == 3
         assert out["n_novel"].iloc[0] == 3
 
+    def test_hash_mode_parity_with_exact_mode(self):
+        """hash_grams=True (8-byte siphash keys through the exchange)
+        must produce IDENTICAL results to the exact-string default on
+        a bench-corpus-shaped input (overlapping template sentences +
+        unique tails across many docs and partitions)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import ngram_novelty
+
+        rng = np.random.RandomState(17)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = []
+        for i in range(120):
+            tmpl = "the quick brown fox jumps over the lazy dog"
+            tail = " ".join(rng.choice(vocab, rng.randint(0, 12)))
+            texts.append((tmpl + " " + tail).strip() if i % 3 else tail)
+        t = pa.table({
+            "doc_id": pa.array(list(range(120)), pa.int64()),
+            "text": pa.array(texts),
+        })
+        ds = rd.from_arrow(t).repartition(6)
+        exact = (
+            ngram_novelty(ds)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        hashed = (
+            ngram_novelty(ds, hash_grams=True)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert exact.equals(hashed)
+
 
 class TestNoveltyProperty:
     """Invariant sweep: per-doc novel counts must total the corpus's
