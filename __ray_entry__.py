@@ -1800,6 +1800,46 @@ def _q_customer_supplier_mn(sf_dir: str):
     )
 
 
+def _q_doc_embed_knn(sf_dir: str):
+    """Pluggable embedding-INFERENCE stage (stages/embedding.py
+    embed_documents: actor pool, model loaded once per actor in
+    __init__, batched inference, output contract validated) feeding
+    the existing brute-force kNN operator.  The default model is the
+    deterministic md5 feature-hash encoder, so DuckDB recomputes every
+    dense vector from md5(token) and re-ranks — real vector values
+    checked end-to-end, not just shapes.  Zero-vector docs are
+    excluded on both sides (cosine undefined)."""
+    import numpy as np
+
+    from obsidian_parser_ray.stages.embedding import embed_documents
+    from obsidian_parser_ray.stages.similarity import knn_bruteforce
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialize once: queries AND candidates read the same vectors
+    emb = embed_documents(docs, dim=64).materialize()
+
+    def nonzero(t):
+        import pyarrow as pa
+
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        if not len(m):
+            return t
+        return t.filter(pa.array((m * m).sum(axis=1) > 0))
+
+    cand = emb.map_batches(nonzero, batch_format="pyarrow")
+    q_rows = sorted(
+        (r for r in cand.filter(expr="doc_id < 5").take_all()),
+        key=lambda r: r["doc_id"],
+    )
+    ids = [r["doc_id"] for r in q_rows]
+    vecs = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    res = knn_bruteforce(
+        cand, (ids, vecs), k=5, vec_col="embedding", id_col="doc_id",
+        exclude_self=True,
+    )
+    return res.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def _q_doc_pack(sf_dir: str):
     """Sequence packing (stages/chunking.py pack_sequences) as a
     CONSERVATION + CONSTRAINT gate: chunks → 256-token next-fit bins;
@@ -3218,6 +3258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_full_join": _q_customer_full_join,
         "orders_lineitem_mn": _q_orders_lineitem_mn,
         "customer_supplier_mn": _q_customer_supplier_mn,
+        "doc_embed_knn": _q_doc_embed_knn,
         "customer_rfm": _q_customer_rfm,
         "events_gap_median": _q_events_gap_median,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -4279,6 +4320,48 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         "customer_supplier_mn": """
 SELECT c_custkey, c_nationkey, s_suppkey
 FROM customer JOIN supplier ON c_nationkey = s_nationkey
+""",
+        # embedding-inference gate: dense md5 feature-hash vectors
+        # (same derivation as doc_hash_vectors, assembled dense) →
+        # cosine kNN ranks; zero vectors excluded on both sides
+        "doc_embed_knn": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(ws) AS w FROM w),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS dim_idx,
+         CASE WHEN ('0x' || substr(md5(w), 9, 1))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+),
+v AS (
+  SELECT doc_id, dim_idx, sum(sgn)::DOUBLE AS val
+  FROM b GROUP BY 1, 2
+),
+nz AS (SELECT doc_id FROM v GROUP BY doc_id HAVING sum(val*val) > 0),
+dims AS (SELECT unnest(range(64)) AS dim_idx),
+dense AS (
+  SELECT d.doc_id, dm.dim_idx, COALESCE(v.val, 0.0) AS val
+  FROM nz d CROSS JOIN dims dm
+  LEFT JOIN v ON v.doc_id = d.doc_id AND v.dim_idx = dm.dim_idx
+),
+vecs AS (
+  SELECT doc_id, array_agg(val ORDER BY dim_idx) AS vec
+  FROM dense GROUP BY doc_id
+)
+SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY q.doc_id
+         ORDER BY list_cosine_similarity(q.vec, n.vec) DESC, n.doc_id
+       )::BIGINT AS rank
+FROM vecs q JOIN vecs n ON n.doc_id <> q.doc_id
+WHERE q.doc_id < 5
+QUALIFY rank <= 5
 """,
         # packing gate: totals recomputed from the doc_chunks
         # derivation; the constraint booleans must both hold
