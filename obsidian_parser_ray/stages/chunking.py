@@ -150,24 +150,36 @@ def deterministic_sample_per_key(ds, *, key_col: str, id_col: str,
 
 def pack_sequences(chunks, *, capacity: int, token_col: str = "n_tokens",
                    id_col: str = "doc_id", order_col: str = "chunk_idx",
-                   num_partitions: int = 64):
+                   num_partitions: int = 64,
+                   strategy: str = "next_fit"):
     """Pack chunk rows into fixed-token-capacity training sequences —
     the last preprocessing step before batching a causal-LM corpus.
 
     Distributed shape: rows hash-partition by ``id_col`` (a document's
-    chunks co-locate and stay contiguous), each partition packs ITS
-    rows independently with deterministic NEXT-FIT over the
-    ``(id, order)`` sort order — bins are consecutive runs, found with
-    an O(n_bins log n) cumsum + searchsorted sweep (no per-row Python).
+    chunks co-locate), each partition packs ITS rows independently.
     Global bin ids are ``part * 2^32 + seq``, so no cross-partition
-    coordination exists at any scale.
+    coordination exists at any scale.  Two strategies:
 
-    Guarantees (each gate-checked by the ``doc_pack`` driver query):
+    * ``"next_fit"`` (default): deterministic next-fit over the
+      ``(id, order)`` sort order — bins are consecutive runs (a doc's
+      chunks stay contiguous within and across bins), found with an
+      O(n_bins log n) cumsum + searchsorted sweep (no per-row Python);
+    * ``"ffd"``: first-fit-decreasing — chunks sorted by token count
+      descending (stable over the same (id, order) order), each placed
+      in the lowest-numbered bin that fits.  Measurably higher fill at
+      the same contract, at the cost of doc-chunk contiguity within
+      bins and an O(n × bins) worst-case Python sweep per partition
+      (partitions are bounded by ``num_partitions``; the vectorized
+      next-fit stays the default for corpus-scale runs).
+
+    Guarantees in BOTH modes (gate-checked by the ``doc_pack`` driver
+    query in the default mode, pytest-checked in ffd):
 
     * every bin's fill ≤ ``capacity``, EXCEPT single-chunk bins whose
       one chunk alone exceeds capacity (they are emitted alone and
       flagged ``oversize`` rather than dropped — token counts are
-      preserved exactly);
+      preserved exactly; an oversize bin never receives a second
+      chunk in either mode);
     * token totals in == out (packing moves rows, never edits them);
     * next-fit on consecutive runs wastes < capacity per bin
       boundary: every non-final bin of a partition has
@@ -181,6 +193,11 @@ def pack_sequences(chunks, *, capacity: int, token_col: str = "n_tokens",
 
     from ..hashing import hash_bucket_array
 
+    if strategy not in ("next_fit", "ffd"):
+        raise ValueError(
+            f"strategy must be 'next_fit' or 'ffd', got {strategy!r}"
+        )
+
     def tag(t: pa.Table) -> pa.Table:
         ids = t[id_col]
         if isinstance(ids, pa.ChunkedArray):
@@ -192,20 +209,46 @@ def pack_sequences(chunks, *, capacity: int, token_col: str = "n_tokens",
         toks = g[token_col].combine_chunks().to_numpy()
         n = len(toks)
         part = int(g["part"][0].as_py())
-        cs = np.cumsum(toks.astype(np.int64))
-        bin_of = np.empty(n, dtype=np.int64)
-        fills = []
-        start = 0
-        seq = 0
-        while start < n:
-            base = cs[start - 1] if start else 0
-            j = int(np.searchsorted(cs, base + capacity, side="right"))
-            j = max(j, start + 1)  # an oversize chunk rides alone
-            bin_of[start:j] = seq
-            fills.append(int((cs[j - 1] - base)))
-            seq += 1
-            start = j
-        fills = np.asarray(fills, dtype=np.int64)
+        if strategy == "ffd":
+            order = np.argsort(-toks.astype(np.int64), kind="stable")
+            bins_rem: list = []   # remaining capacity per bin
+            fill_list: list = []
+            bin_of = np.empty(n, dtype=np.int64)
+            for idx in order:
+                ti = int(toks[idx])
+                placed = -1
+                if ti <= capacity:
+                    for b, rem in enumerate(bins_rem):
+                        if rem >= ti:
+                            placed = b
+                            break
+                if placed < 0:
+                    placed = len(bins_rem)
+                    # an oversize chunk opens a bin with negative
+                    # remainder: nothing else (not even a 0-token
+                    # chunk) can join it
+                    bins_rem.append(capacity - ti)
+                    fill_list.append(ti)
+                else:
+                    bins_rem[placed] -= ti
+                    fill_list[placed] += ti
+                bin_of[idx] = placed
+            fills = np.asarray(fill_list, dtype=np.int64)
+        else:
+            cs = np.cumsum(toks.astype(np.int64))
+            bin_of = np.empty(n, dtype=np.int64)
+            fill_list = []
+            start = 0
+            seq = 0
+            while start < n:
+                base = cs[start - 1] if start else 0
+                j = int(np.searchsorted(cs, base + capacity, side="right"))
+                j = max(j, start + 1)  # an oversize chunk rides alone
+                bin_of[start:j] = seq
+                fill_list.append(int((cs[j - 1] - base)))
+                seq += 1
+                start = j
+            fills = np.asarray(fill_list, dtype=np.int64)
         bin_fill = fills[bin_of]
         oversize = bin_fill > capacity
         out = g.drop_columns(["part"])

@@ -209,6 +209,82 @@ class TestPackSequences:
             got_bins = (mine["bin_id"] - (part << 32)).to_numpy()
             assert list(got_bins) == want_bins
 
+    def test_ffd_same_contract_higher_fill(self):
+        """strategy='ffd' keeps every pack_sequences invariant
+        (conservation, capacity, oversize-alone, determinism) and its
+        average non-oversize bin fill is >= next-fit's on a mixed-size
+        corpus (the point of the strategy)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.chunking import pack_sequences
+
+        rng = np.random.RandomState(3)
+        rows = []
+        for d in range(60):
+            for c in range(int(rng.randint(1, 7))):
+                rows.append((f"d{d:02d}", c, int(rng.randint(5, 200))))
+        rows.append(("dbig", 0, 700))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows]),
+                    "chunk_idx": pa.array([r[1] for r in rows], pa.int64()),
+                    "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+        ).repartition(5)
+        cap = 256
+        ffd = pack_sequences(
+            ds, capacity=cap, num_partitions=4, strategy="ffd"
+        ).to_pandas()
+        nf = pack_sequences(
+            ds, capacity=cap, num_partitions=4
+        ).to_pandas()
+
+        # identical contract checks as the next-fit test
+        assert len(ffd) == len(rows)
+        assert ffd["n_tokens"].sum() == sum(r[2] for r in rows)
+        for _, grp in ffd.groupby("bin_id"):
+            assert (grp["bin_fill"] == grp["n_tokens"].sum()).all()
+            if grp["oversize"].any():
+                assert len(grp) == 1
+            else:
+                assert grp["bin_fill"].iloc[0] <= cap
+        # deterministic
+        ffd2 = pack_sequences(
+            ds, capacity=cap, num_partitions=4, strategy="ffd"
+        ).to_pandas()
+        key = ["doc_id", "chunk_idx"]
+        assert (
+            ffd.sort_values(key).reset_index(drop=True)
+            .equals(ffd2.sort_values(key).reset_index(drop=True))
+        )
+        # fill improvement: fewer-or-equal bins → higher average fill
+        n_ffd = ffd.loc[~ffd["oversize"], "bin_id"].nunique()
+        n_nf = nf.loc[~nf["oversize"], "bin_id"].nunique()
+        assert n_ffd <= n_nf
+        fill_ffd = ffd.loc[~ffd["oversize"]].groupby("bin_id")[
+            "bin_fill"].first().mean()
+        fill_nf = nf.loc[~nf["oversize"]].groupby("bin_id")[
+            "bin_fill"].first().mean()
+        assert fill_ffd >= fill_nf
+
+    def test_ffd_rejects_unknown_strategy(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.chunking import pack_sequences
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(["a"]),
+            "chunk_idx": pa.array([0], pa.int64()),
+            "n_tokens": pa.array([5], pa.int64()),
+        }))
+        with pytest.raises(ValueError, match="strategy"):
+            pack_sequences(ds, capacity=10, strategy="best_fit")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSampleMixture:
