@@ -20,6 +20,9 @@ dedup's candidate↔signature join, dedup.py:380-401).
   expansion (numpy repeat arithmetic, no Python row loop).
 * :func:`broadcast_join_unique` — map-side variant for small unique
   right sides (falls back to the shuffle join over size guards).
+* :func:`broadcast_join` — map-side M:N variant: per-actor build-side
+  index, vectorized expansion per batch, same size guards (falls back
+  to :func:`hash_join`).
 
 Shuffle volume is |left| + |right| rows, the per-partition work is
 O(rows + matches) Arrow kernels, and empty partitions are simply
@@ -310,6 +313,51 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     )
 
 
+def _mn_index(rkeys_valid: pa.Array):
+    """Dictionary-encode + group the VALID right keys once: returns
+    ``(dictionary, order, counts, starts)`` — the reusable build-side
+    index of the M:N expansion (grouped row order, per-key run
+    lengths, run starts)."""
+    import numpy as np
+
+    enc = pc.dictionary_encode(rkeys_valid)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_groups = len(enc.dictionary)
+    order = np.argsort(codes, kind="stable")
+    counts = np.bincount(codes, minlength=n_groups)
+    starts = np.zeros(n_groups, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return enc.dictionary, order, counts, starts
+
+
+def _mn_match(lk: pa.Array, dictionary, order, counts, starts):
+    """Probe left keys against an :func:`_mn_index`: returns
+    ``(matched bool[n_left], l_take, r_take)`` — the row expansion
+    (left row repeated per match, paired valid-right row indices),
+    pure numpy repeat/offset arithmetic.  Null left keys never match
+    (the dictionary holds only valid keys)."""
+    import numpy as np
+
+    g = pc.index_in(lk, dictionary)
+    matched = pc.is_valid(g).to_numpy(zero_copy_only=False)
+    if not matched.any():
+        return matched, np.empty(0, np.int64), np.empty(0, np.int64)
+    g_np = (
+        pc.fill_null(g, -1).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    m_rows = np.flatnonzero(matched)
+    m_g = g_np[matched]
+    m_counts = counts[m_g]
+    total = int(m_counts.sum())
+    l_take = np.repeat(m_rows, m_counts)
+    off = np.zeros(len(m_counts), dtype=np.int64)
+    np.cumsum(m_counts[:-1], out=off[1:])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(off, m_counts)
+    r_take = order[np.repeat(starts[m_g], m_counts) + intra]
+    return matched, l_take, r_take
+
+
 def hash_join(left, right, *, left_key: str, right_key: str | None = None,
               how: str = "inner", suffix: str = "_r",
               num_partitions: int = 64, salt: int = 1,
@@ -388,28 +436,14 @@ def hash_join(left, right, *, left_key: str, right_key: str | None = None,
 
         pieces = []
         if rv.num_rows and lf.num_rows:
-            enc = pc.dictionary_encode(rv["_k"].combine_chunks())
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            n_groups = len(enc.dictionary)
-            # right rows grouped by code: one stable argsort of int32
-            order = np.argsort(codes, kind="stable")
-            counts = np.bincount(codes, minlength=n_groups)
-            starts = np.zeros(n_groups, dtype=np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            # left rows → group codes; the dictionary holds only
-            # VALID right keys, so a null left key maps to null here —
-            # SQL null-never-matches falls out for free
-            g = pc.index_in(lk, enc.dictionary)
-            matched = pc.is_valid(g).to_numpy(zero_copy_only=False)
-            g_np = (
-                pc.fill_null(g, -1)
-                .to_numpy(zero_copy_only=False).astype(np.int64)
+            # null left keys never match: the dictionary holds only
+            # VALID right keys, so SQL null-never-matches falls out
+            matched, l_take, r_take = _mn_match(
+                lk, *_mn_index(rv["_k"].combine_chunks())
             )
         else:
-            g_np = None
             matched = np.zeros(lf.num_rows, dtype=bool)
+            l_take = r_take = np.empty(0, np.int64)
 
         if how == "semi":
             if not matched.any():
@@ -428,19 +462,6 @@ def hash_join(left, right, *, left_key: str, right_key: str | None = None,
             )
 
         if matched.any():
-            m_rows = np.flatnonzero(matched)
-            m_g = g_np[matched]
-            m_counts = counts[m_g]
-            total = int(m_counts.sum())
-            # expansion: left row i repeats count[g_i] times; its right
-            # partners are order[starts[g_i] : starts[g_i]+count[g_i]]
-            l_take = np.repeat(m_rows, m_counts)
-            off = np.zeros(len(m_counts), dtype=np.int64)
-            np.cumsum(m_counts[:-1], out=off[1:])
-            intra = np.arange(total, dtype=np.int64) - np.repeat(
-                off, m_counts
-            )
-            r_take = order[np.repeat(starts[m_g], m_counts) + intra]
             le = lf.take(pa.array(l_take))
             cols = [le[n] for n in l_names]
             for f in r_value:
@@ -600,3 +621,161 @@ def broadcast_join_unique(left, right, *, left_key: str,
         )
 
     return left.map_batches(probe, batch_format="pyarrow")
+
+
+class _BroadcastMNProbe:
+    """Actor-pool probe for :func:`broadcast_join`: the build-side M:N
+    index (dictionary-encode + grouped order) is constructed ONCE per
+    actor in ``__init__`` from the plasma-shared right table, then
+    every batch pays only the numpy expansion."""
+
+    def __init__(self, r_ref, left_key: str, right_key: str, how: str,
+                 suffix: str):
+        import ray
+
+        r = ray.get(r_ref)  # zero-copy plasma read, once per actor
+        self.left_key = left_key
+        self.how = how
+        self.suffix = suffix
+        rk = r[right_key].combine_chunks()
+        valid = pc.is_valid(rk)
+        self.rv = r.filter(valid)
+        rv_keys = self.rv[right_key].combine_chunks()
+        self.index = _mn_index(rv_keys) if len(rv_keys) else None
+        self.r_value = [n for n in r.column_names if n != right_key]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        how = self.how
+        l_names = list(t.column_names)
+        lk = t[self.left_key]
+        if isinstance(lk, pa.ChunkedArray):
+            lk = lk.combine_chunks()
+        if self.index is not None and t.num_rows:
+            matched, l_take, r_take = _mn_match(lk, *self.index)
+        else:
+            matched = np.zeros(t.num_rows, dtype=bool)
+            l_take = r_take = np.empty(0, np.int64)
+        if how == "semi":
+            return t.filter(pa.array(matched))
+        if how == "anti":
+            return t.filter(pa.array(~matched))
+        rename = {
+            n: (n + self.suffix if n in set(l_names) else n)
+            for n in self.r_value
+        }
+        pieces = []
+        if matched.any():
+            le = t.take(pa.array(l_take))
+            cols = [le[n] for n in l_names]
+            names = list(l_names)
+            for n in self.r_value:
+                cols.append(pc.take(self.rv[n], pa.array(r_take)))
+                names.append(rename[n])
+            pieces.append(pa.Table.from_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in cols],
+                names=names,
+            ))
+        if how == "left" and not matched.all():
+            lo = t.filter(pa.array(~matched))
+            cols = [lo[n] for n in l_names]
+            names = list(l_names)
+            for n in self.r_value:
+                cols.append(pa.nulls(
+                    lo.num_rows, self.rv.schema.field(n).type
+                ))
+                names.append(rename[n])
+            pieces.append(pa.Table.from_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in cols],
+                names=names,
+            ))
+        if not pieces:
+            # typed empty: left columns + null-typed right value cols
+            cols = [t[n].slice(0, 0) for n in l_names]
+            names = list(l_names)
+            if how in ("inner", "left"):
+                for n in self.r_value:
+                    cols.append(pa.nulls(
+                        0, self.rv.schema.field(n).type
+                    ))
+                    names.append(rename[n])
+            return pa.Table.from_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in cols],
+                names=names,
+            )
+        return pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
+
+
+def broadcast_join(left, right, *, left_key: str,
+                   right_key: str | None = None, how: str = "inner",
+                   suffix: str = "_r",
+                   max_broadcast_rows: int = 2_000_000,
+                   max_broadcast_bytes: int = 512 << 20,
+                   num_partitions: int = 64, concurrency=(1, 8),
+                   batch_size: int | None = None):
+    """Map-side M:N equi-join against a SMALL right side with
+    DUPLICATE keys allowed — the broadcast twin of :func:`hash_join`
+    exactly as :func:`broadcast_join_unique` is the broadcast twin of
+    :func:`hash_join_unique`.
+
+    The right side ships to the object store once (``ray.put``); each
+    actor builds the M:N index (dictionary-encode + grouped order)
+    once in ``__init__`` and every batch pays only the vectorized
+    repeat/offset expansion — the left side is NEVER shuffled.  Over
+    the row/byte guards the call falls back to the shuffling
+    :func:`hash_join` (a deliberate decision, not a silent OOM).
+
+    ``how`` ∈ inner/left/semi/anti with :func:`hash_join` semantics
+    (SQL nulls: a null key never matches).  ``how="full"`` is not
+    offered map-side — right-only detection needs a global view of the
+    left; use :func:`hash_join` for full outer.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+        )
+    right_key = right_key or left_key
+
+    import ray
+
+    right = right.materialize()
+    r_schema = right.schema()
+    if r_schema is None:
+        if how == "anti":
+            return left
+        if how in ("semi", "inner"):
+            return left.limit(0)
+        raise ValueError(
+            "broadcast_join(how='left'): right side has no schema"
+        )
+    n_right = right.count()
+    if (n_right > max_broadcast_rows
+            or right.size_bytes() > max_broadcast_bytes):
+        return hash_join(
+            left, right, left_key=left_key, right_key=right_key,
+            how=how, suffix=suffix, num_partitions=num_partitions,
+        )
+    r_tbl = pa.concat_tables(
+        list(right.iter_batches(batch_format="pyarrow"))
+        or [pa.table({n: pa.nulls(0, t)
+                      for n, t in zip(r_schema.names, r_schema.types)})]
+    ).combine_chunks()
+    r_ref = ray.put(r_tbl)
+
+    return left.map_batches(
+        _BroadcastMNProbe,
+        fn_constructor_kwargs={
+            "r_ref": r_ref,
+            "left_key": left_key,
+            "right_key": right_key,
+            "how": how,
+            "suffix": suffix,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

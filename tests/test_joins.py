@@ -457,3 +457,59 @@ def test_hash_join_empty_sides(ray_session):
     full = hash_join(_left(), empty_r, left_key="k", right_key="kk",
                      how="full").to_pandas()
     assert len(full) == 5
+
+
+def test_broadcast_join_mn_matches_hash_join(ray_session):
+    """Map-side M:N broadcast_join must agree with the shuffling
+    hash_join in every mode on nulls + duplicate keys + collisions."""
+    from obsidian_parser_ray.stages.joins import broadcast_join, hash_join
+
+    left, right = _mn_sides()
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(3)
+    for how in ("inner", "left", "semi", "anti"):
+        bj = broadcast_join(lds, rds, left_key="k", how=how).to_pandas()
+        hj = hash_join(lds, rds, left_key="k", how=how,
+                       num_partitions=8).to_pandas()
+        cols = sorted(bj.columns)
+        assert cols == sorted(hj.columns), how
+        a = (bj[cols].sort_values(cols).reset_index(drop=True)
+             .fillna(-9e9))
+        b = (hj[cols].sort_values(cols).reset_index(drop=True)
+             .fillna(-9e9))
+        pd.testing.assert_frame_equal(a, b), how
+
+
+def test_broadcast_join_falls_back_over_threshold(ray_session):
+    from obsidian_parser_ray.stages.joins import broadcast_join
+
+    left, right = _mn_sides()
+    out = broadcast_join(
+        rd.from_pandas(left), rd.from_pandas(right), left_key="k",
+        max_broadcast_rows=10,  # force the hash_join fallback
+    ).to_pandas()
+    direct = broadcast_join(
+        rd.from_pandas(left), rd.from_pandas(right), left_key="k",
+    ).to_pandas()
+    cols = sorted(out.columns)
+    pd.testing.assert_frame_equal(
+        out[cols].sort_values(cols).reset_index(drop=True).fillna(-9e9),
+        direct[cols].sort_values(cols).reset_index(drop=True)
+        .fillna(-9e9),
+    )
+
+
+def test_broadcast_join_empty_right(ray_session):
+    from obsidian_parser_ray.stages.joins import broadcast_join
+
+    empty_r = rd.from_arrow(
+        pa.table({"kk": pa.array([], pa.string()),
+                  "w": pa.array([], pa.float64())})
+    )
+    assert broadcast_join(_left(), empty_r, left_key="k",
+                          right_key="kk").count() == 0
+    assert broadcast_join(_left(), empty_r, left_key="k",
+                          right_key="kk", how="anti").count() == 5
+    out = broadcast_join(_left(), empty_r, left_key="k",
+                         right_key="kk", how="left").to_pandas()
+    assert len(out) == 5 and out["w"].isna().all()
