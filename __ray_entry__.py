@@ -1925,16 +1925,17 @@ def _q_doc_pack(sf_dir: str):
 
 
 def _q_media_decode_real(sf_dir: str):
-    """REAL four-codec decode, value-checked: every payload is an
+    """REAL five-codec decode, value-checked: every payload is an
     actual encoded file (PNG, baseline JPEG or progressive SOF2 JPEG
-    for images, PCM WAV for audio, split by md5 of the asset id —
-    stages/multimodal.py synth_real_media_batch; codecs in
-    stages/png.py + stages/jpeg.py + stages/jpeg_progressive.py +
-    stages/wav.py), decoded with strict=True — no fake fallback — so
-    the only way width/height/duration come back right is a real
-    header+payload decode (incl. the spectral-selection/
-    successive-approximation scan loop).  The SQL oracle recomputes
-    the planted values from md5(asset_id)."""
+    for images, PCM WAV for audio, ISO BMFF/MP4 container for video,
+    split by md5 of the asset id — stages/multimodal.py
+    synth_real_media_batch; codecs in stages/png.py + stages/jpeg.py
+    + stages/jpeg_progressive.py + stages/wav.py + stages/mp4.py),
+    decoded with strict=True — no fake fallback — so the only way
+    width/height/duration come back right is a real header+payload
+    decode (incl. the SOF2 scan loop and the moov/mvhd/tkhd box
+    walk).  The SQL oracle recomputes the planted values from
+    md5(asset_id)."""
     from obsidian_parser_ray import synth_vault
     from obsidian_parser_ray.stages.multimodal import (
         decode_media,
@@ -4264,10 +4265,14 @@ h AS (
   FROM assets
 )
 SELECT asset_id,
-       CASE WHEN b0 % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-       CASE WHEN b0 % 2 = 0 THEN 16 + b2 % 64 ELSE 0 END::BIGINT AS width,
-       CASE WHEN b0 % 2 = 0 THEN 16 + b3 % 64 ELSE 0 END::BIGINT AS height,
-       CASE WHEN b0 % 2 = 0 THEN 0 ELSE 500 + b4 * 20 END::BIGINT AS duration_ms
+       CASE b0 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CASE WHEN b0 % 3 = 1 THEN 0 ELSE 16 + b2 % 64 END::BIGINT
+         AS width,
+       CASE WHEN b0 % 3 = 1 THEN 0 ELSE 16 + b3 % 64 END::BIGINT
+         AS height,
+       CASE WHEN b0 % 3 = 0 THEN 0 ELSE 500 + b4 * 20 END::BIGINT
+         AS duration_ms
 FROM h
 """,
         # gaps between consecutive events per user; median() over

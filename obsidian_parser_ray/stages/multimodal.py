@@ -101,14 +101,16 @@ def synth_real_media_batch(batch: pa.Table) -> pa.Table:
     :func:`synth_media_batch` (random bytes + metadata passthrough),
     the only way a decoder recovers the right width/height/duration
     here is to REALLY parse the codec's headers and payload — the
-    media_decode_real driver query value-checks all four real decode
+    media_decode_real driver query value-checks all five real decode
     paths end-to-end (``meta_json`` is deliberately left empty).
-    Type split mirrors :func:`synth_media_batch`:
-    ``md5[0] % 2 == 0`` → image, else audio; image format is
-    ``md5[10] % 3`` (0 PNG, 1 baseline, 2 progressive — byte 10 chosen
-    so the driver gate's asset-id space hits all three)."""
+    Type split: ``md5[0] % 3`` (0 image, 1 audio, 2 video — the video
+    member is an ISO BMFF container with planted dims + duration);
+    image format is ``md5[10] % 3`` (0 PNG, 1 baseline, 2 progressive
+    — bytes chosen so the driver gate's asset-id space hits every
+    type AND every image format)."""
     from .jpeg import encode_jpeg_baseline
     from .jpeg_progressive import encode_jpeg_progressive
+    from .mp4 import encode_minimal_mp4
     from .png import encode_png
     from .wav import encode_wav_pcm16
 
@@ -117,7 +119,8 @@ def synth_real_media_batch(batch: pa.Table) -> pa.Table:
     for a in ids:
         h = hashlib.md5(a.encode()).digest()
         rng = np.random.RandomState(int.from_bytes(h[6:10], "little"))
-        if h[0] % 2 == 0:
+        kind = h[0] % 3
+        if kind == 0:
             types.append("image")
             w = 16 + h[2] % 64
             hh = 16 + h[3] % 64
@@ -132,7 +135,7 @@ def synth_real_media_batch(batch: pa.Table) -> pa.Table:
                 payloads.append(
                     encode_jpeg_progressive(img, quality=85)
                 )
-        else:
+        elif kind == 1:
             types.append("audio")
             # 8 kHz → frames = ms × 8 exactly, so the decoded duration
             # reproduces the planted value with no rounding slack
@@ -141,6 +144,12 @@ def synth_real_media_batch(batch: pa.Table) -> pa.Table:
                 -20000, 20000, ms * 8
             ).astype(np.int16)
             payloads.append(encode_wav_pcm16(samples, sample_rate=8000))
+        else:
+            types.append("video")
+            payloads.append(encode_minimal_mp4(
+                width=16 + h[2] % 64, height=16 + h[3] % 64,
+                duration_ms=500 + h[4] * 20,
+            ))
         metas.append("{}")
     return pa.Table.from_arrays(
         [
@@ -254,12 +263,38 @@ class MediaDecoder:
                     emb = feats @ self.proj
                     norm = float(np.linalg.norm(emb)) or 1.0
                     return 0, 0, dur, energy_hash(samples), emb / norm
+        elif media_type == "video":
+            # REAL video path is CONTAINER-level: ISO BMFF box walk
+            # (stages/mp4.py) recovers true dimensions + duration from
+            # moov/mvhd/tkhd.  Frame decode needs ffmpeg (absent), so
+            # the embedding is the payload byte histogram and the hash
+            # is the content md5 — metadata real, frames out of scope.
+            from .mp4 import is_mp4, probe_mp4
+
+            if is_mp4(payload):
+                try:
+                    meta_v = probe_mp4(payload)
+                except ValueError:
+                    meta_v = None
+                if meta_v is not None:
+                    hist = np.bincount(
+                        np.frombuffer(payload, dtype=np.uint8),
+                        minlength=256,
+                    ).astype(np.float32)
+                    emb = hist @ self.proj
+                    norm = float(np.linalg.norm(emb)) or 1.0
+                    return (
+                        meta_v["width"], meta_v["height"],
+                        meta_v["duration_ms"],
+                        hashlib.md5(payload).hexdigest()[:16],
+                        emb / norm,
+                    )
         if self.strict:
             raise NotImplementedError(
-                "strict decode: only PNG, baseline/progressive JPEG "
-                "and PCM WAV are decodable without PIL/torchaudio/"
-                f"ffmpeg in this container — payload is {media_type!r} "
-                "and none of those"
+                "strict decode: only PNG, baseline/progressive JPEG, "
+                "PCM WAV and MP4-container probing are decodable "
+                "without PIL/torchaudio/ffmpeg in this container — "
+                f"payload is {media_type!r} and none of those"
             )
         # deterministic fake: byte-histogram "embedding" + meta passthrough
         hist = np.bincount(
