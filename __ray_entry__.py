@@ -1925,17 +1925,18 @@ def _q_doc_pack(sf_dir: str):
 
 
 def _q_media_decode_real(sf_dir: str):
-    """REAL five-codec decode, value-checked: every payload is an
+    """REAL six-codec decode, value-checked: every payload is an
     actual encoded file (PNG, baseline JPEG or progressive SOF2 JPEG
-    for images, PCM WAV for audio, ISO BMFF/MP4 container for video,
-    split by md5 of the asset id — stages/multimodal.py
-    synth_real_media_batch; codecs in stages/png.py + stages/jpeg.py
-    + stages/jpeg_progressive.py + stages/wav.py + stages/mp4.py),
-    decoded with strict=True — no fake fallback — so the only way
-    width/height/duration come back right is a real header+payload
-    decode (incl. the SOF2 scan loop and the moov/mvhd/tkhd box
-    walk).  The SQL oracle recomputes the planted values from
-    md5(asset_id)."""
+    for images, PCM16 or compressed IMA-ADPCM WAV for audio, ISO
+    BMFF/MP4 container for video, split by md5 of the asset id —
+    stages/multimodal.py synth_real_media_batch; codecs in
+    stages/png.py + stages/jpeg.py + stages/jpeg_progressive.py +
+    stages/wav.py + stages/mp4.py), decoded with strict=True — no
+    fake fallback — so the only way width/height/duration come back
+    right is a real header+payload decode (incl. the SOF2 scan loop,
+    the ADPCM block recurrence + fact-chunk trim, and the
+    moov/mvhd/tkhd box walk).  The SQL oracle recomputes the planted
+    values from md5(asset_id)."""
     from obsidian_parser_ray import synth_vault
     from obsidian_parser_ray.stages.multimodal import (
         decode_media,

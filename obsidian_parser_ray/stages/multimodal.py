@@ -105,14 +105,17 @@ def synth_real_media_batch(batch: pa.Table) -> pa.Table:
     paths end-to-end (``meta_json`` is deliberately left empty).
     Type split: ``md5[0] % 3`` (0 image, 1 audio, 2 video — the video
     member is an ISO BMFF container with planted dims + duration);
-    image format is ``md5[10] % 3`` (0 PNG, 1 baseline, 2 progressive
-    — bytes chosen so the driver gate's asset-id space hits every
-    type AND every image format)."""
+    image format is ``md5[10] % 3`` (0 PNG, 1 baseline, 2 progressive)
+    and audio format is ``md5[11] % 2`` (0 uncompressed PCM16, 1
+    IMA-ADPCM 0x11 — lossy 4-bit, but the ``fact`` chunk keeps the
+    decoded frame count, hence the planted duration, EXACT) — bytes
+    chosen so the driver gate's asset-id space hits every type AND
+    every format variant."""
     from .jpeg import encode_jpeg_baseline
     from .jpeg_progressive import encode_jpeg_progressive
     from .mp4 import encode_minimal_mp4
     from .png import encode_png
-    from .wav import encode_wav_pcm16
+    from .wav import encode_wav_adpcm, encode_wav_pcm16
 
     ids = batch["asset_id"].to_pylist()
     types, payloads, metas = [], [], []
@@ -143,7 +146,14 @@ def synth_real_media_batch(batch: pa.Table) -> pa.Table:
             samples = rng.randint(
                 -20000, 20000, ms * 8
             ).astype(np.int16)
-            payloads.append(encode_wav_pcm16(samples, sample_rate=8000))
+            if h[11] % 2 == 0:
+                payloads.append(
+                    encode_wav_pcm16(samples, sample_rate=8000)
+                )
+            else:
+                payloads.append(
+                    encode_wav_adpcm(samples, sample_rate=8000)
+                )
         else:
             types.append("video")
             payloads.append(encode_minimal_mp4(
@@ -211,7 +221,7 @@ class MediaDecoder:
         # (stages/png.py, stages/jpeg.py, stages/jpeg_progressive.py) —
         # true dimensions, perceptual average-hash, pixel-histogram
         # embedding.  Remaining fall-through payloads (arithmetic-coded
-        # JPEG, compressed audio) hit the deterministic fake
+        # JPEG, perceptual audio codecs) hit the deterministic fake
         # (strict=True raises instead: those codecs aren't in this
         # container).
         if media_type == "image":
@@ -242,9 +252,11 @@ class MediaDecoder:
                 norm = float(np.linalg.norm(emb)) or 1.0
                 return w_px, h_px, 0, average_hash(img), emb / norm
         elif media_type == "audio":
-            # REAL audio path: RIFF/PCM WAV via stages/wav.py — true
-            # duration, segment-RMS embedding, energy hash.  Compressed
-            # codecs (MP3/AAC/Opus) fall through to fake/strict.
+            # REAL audio path: RIFF WAV via stages/wav.py — PCM
+            # (8/16/32-bit int, float32) AND compressed IMA-ADPCM
+            # (format 0x11) — true duration, segment-RMS embedding,
+            # energy hash.  Perceptual codecs (MP3/AAC/Opus) fall
+            # through to fake/strict.
             from .wav import (
                 decode_wav,
                 energy_hash,

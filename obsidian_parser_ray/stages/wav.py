@@ -1,13 +1,24 @@
-"""WAV (RIFF/PCM) audio codec — pure stdlib + numpy.
+"""WAV (RIFF/PCM + IMA-ADPCM) audio codec — pure stdlib + numpy.
 
 The audio analogue of :mod:`.png` / :mod:`.jpeg`: uncompressed PCM WAV
 is the baseline interchange format every audio pipeline meets, and it
 is fully decodable without ffmpeg/torchaudio.  The encoder writes
 16-bit PCM RIFF files; the decoder handles 8/16/32-bit integer PCM and
 32-bit float PCM, mono or multi-channel, tolerating extra chunks
-(LIST/fact/cue) before or after ``data``.  Compressed codecs (MP3,
-AAC, Opus) are out of scope — :class:`..multimodal.MediaDecoder`
-treats them as undecodable (fake fallback or strict raise).
+(LIST/fact/cue) before or after ``data``.
+
+REAL compressed audio: IMA/DVI ADPCM (WAVE format code 0x11, the
+4-bit predictive codec of the public IMA reference algorithm) is
+encoded by :func:`encode_wav_adpcm` and decoded inside
+:func:`decode_wav`.  Every ADPCM block is independently decodable
+(predictor + step index in the block header), so the decoder runs the
+sample recurrence VECTORIZED ACROSS BLOCKS — one numpy sweep of
+``samples_per_block`` steps regardless of clip length, the same
+lockstep trick a 100 TB audio scan would use per Arrow batch.
+Exact frame counts come from the ``fact`` chunk (encoder pads the
+last block; decoder trims back).  Perceptual codecs (MP3, AAC, Opus)
+remain out of scope — :class:`..multimodal.MediaDecoder` treats them
+as undecodable (fake fallback or strict raise).
 
 Feature extraction for the media pipeline lives here too:
 :func:`segment_energies` (fixed-count RMS energy profile — the audio
@@ -51,30 +62,44 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE bytes → (float64 samples in [-1, 1] of shape
-    (n_frames, channels), sample_rate).  PCM 8/16/32-bit int and
-    32-bit float supported; raises ``ValueError`` otherwise."""
+    (n_frames, channels), sample_rate).  PCM 8/16/32-bit int,
+    32-bit float and mono IMA ADPCM (0x11) supported; raises
+    ``ValueError`` otherwise."""
     if not is_wav(payload):
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
     fmt = None
     data = None
+    fact_frames = None
+    block_align = 0
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         body = payload[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
-            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack(
+            audio_fmt, ch, rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
             if audio_fmt == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
                 audio_fmt = struct.unpack("<H", body[24:26])[0]
             fmt = (audio_fmt, ch, rate, bits)
+        elif tag == b"fact" and size >= 4:
+            fact_frames = struct.unpack("<I", body[:4])[0]
         elif tag == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, ch, rate, bits = fmt
+    if audio_fmt == 0x11:  # IMA/DVI ADPCM
+        if ch != 1 or bits != 4:
+            raise ValueError(
+                f"only mono 4-bit IMA ADPCM supported (ch={ch}, bits={bits})"
+            )
+        x = _decode_ima_blocks(data, block_align)
+        if fact_frames is not None:
+            x = x[:fact_frames]
+        return (x.astype(np.float64) / 32768.0)[:, None], rate
     if audio_fmt == 1:  # integer PCM
         if bits == 8:
             x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
@@ -90,6 +115,137 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported WAV format code {audio_fmt}/{bits}")
     n = (len(x) // ch) * ch
     return x[:n].reshape(-1, ch), rate
+
+
+# IMA reference step-size table (89 entries) and index-adjust table —
+# both from the public IMA ADPCM specification (also RFC 3551 §4.5.1
+# lineage); indexed by the 3 magnitude bits of each nibble.
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step_samples(pred, index, mag, sign):
+    """One lockstep IMA ADPCM reconstruction step over a vector of
+    independent blocks: (predictor, step index, 3-bit magnitudes,
+    sign bits) → updated (predictor, index).  Shared by encoder and
+    decoder so both sides replay the identical integer recurrence."""
+    step = _IMA_STEPS[index]
+    vpdiff = (step >> 3)
+    vpdiff = vpdiff + np.where(mag & 4, step, 0)
+    vpdiff = vpdiff + np.where(mag & 2, step >> 1, 0)
+    vpdiff = vpdiff + np.where(mag & 1, step >> 2, 0)
+    pred = np.clip(pred + np.where(sign, -vpdiff, vpdiff), -32768, 32767)
+    index = np.clip(index + _IMA_INDEX_ADJ[mag], 0, 88)
+    return pred, index
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """(n,) int16 mono samples → RIFF/WAVE IMA-ADPCM (format 0x11).
+
+    Block layout per the IMA-in-WAV convention: 4-byte header
+    (predictor int16 = sample 0, step index uint8, reserved) then
+    ``block_align - 4`` bytes of 4-bit codes, low nibble first →
+    ``(block_align - 4) * 2 + 1`` samples per block.  The last block
+    is padded by repeating the final sample; the true frame count is
+    recorded in the ``fact`` chunk so decode is exact.  Quantization
+    runs vectorized across blocks; each block's initial step index is
+    seeded from its OWN mean |delta| (stored in the block header, so
+    blocks stay independently decodable — the property that makes the
+    lockstep sweep possible on both sides)."""
+    samples = np.asarray(samples)
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav_adpcm expects 1-D int16 samples")
+    if len(samples) == 0:
+        raise ValueError("empty signal")
+    spb = (block_align - 4) * 2 + 1
+    n = len(samples)
+    nblocks = (n + spb - 1) // spb
+    x = np.full(nblocks * spb, samples[-1], dtype=np.int64)
+    x[:n] = samples
+    x = x.reshape(nblocks, spb)
+    pred = x[:, 0].copy()
+    # seed each block's step near its mean |delta| — avoids the slow
+    # (+8/sample up, -1/sample down) re-adaptation from step 7 that a
+    # zero seed would cost at every block boundary
+    mean_delta = np.abs(np.diff(x, axis=1)).mean(axis=1)
+    index_seed = np.clip(
+        np.searchsorted(_IMA_STEPS, mean_delta), 0, 88
+    ).astype(np.int64)
+    index = index_seed.copy()
+    nibbles = np.empty((nblocks, spb - 1), dtype=np.uint8)
+    for t in range(spb - 1):
+        diff = x[:, t + 1] - pred
+        sign = diff < 0
+        diff = np.abs(diff)
+        # 3-bit magnitude: delta bit k set iff diff >= step >> k
+        step = _IMA_STEPS[index]
+        mag = np.zeros(nblocks, dtype=np.int64)
+        for bit, sh in ((4, 0), (2, 1), (1, 2)):
+            thr = step >> sh
+            hit = diff >= thr
+            mag = mag | np.where(hit, bit, 0)
+            diff = diff - np.where(hit, thr, 0)
+        pred, index = _ima_step_samples(pred, index, mag, sign)
+        nibbles[:, t] = (mag | np.where(sign, 8, 0)).astype(np.uint8)
+    packed = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
+    header = np.zeros((nblocks, 4), dtype=np.uint8)
+    header[:, 0:2] = (
+        x[:, 0].astype("<i2").view(np.uint8).reshape(nblocks, 2)
+    )
+    header[:, 2] = index_seed.astype(np.uint8)
+    data = np.concatenate([header, packed], axis=1).tobytes()
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    out = bytearray()
+    body_len = 8 + len(fmt) + 8 + 4 + 8 + len(data)
+    out += b"RIFF" + struct.pack("<I", 4 + body_len) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"fact" + struct.pack("<I", 4) + struct.pack("<I", n)
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return bytes(out)
+
+
+def _decode_ima_blocks(data: bytes, block_align: int) -> np.ndarray:
+    """IMA ADPCM data chunk → int16 samples (mono), all blocks decoded
+    in lockstep: the recurrence loops over the ``samples_per_block``
+    axis with numpy ops over the block axis, so wall time scales with
+    block LENGTH, not clip count."""
+    if block_align < 8:
+        raise ValueError(f"implausible ADPCM block_align {block_align}")
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        raise ValueError("ADPCM data shorter than one block")
+    arr = np.frombuffer(
+        data[: nblocks * block_align], dtype=np.uint8
+    ).reshape(nblocks, block_align)
+    pred = arr[:, 0:2].copy().view("<i2")[:, 0].astype(np.int64)
+    index = np.clip(arr[:, 2].astype(np.int64), 0, 88)
+    codes = arr[:, 4:]
+    spb = (block_align - 4) * 2 + 1
+    nib = np.empty((nblocks, spb - 1), dtype=np.int64)
+    nib[:, 0::2] = codes & 0x0F
+    nib[:, 1::2] = codes >> 4
+    out = np.empty((nblocks, spb), dtype=np.int64)
+    out[:, 0] = pred
+    for t in range(spb - 1):
+        pred, index = _ima_step_samples(
+            pred, index, nib[:, t] & 7, nib[:, t] & 8
+        )
+        out[:, t + 1] = pred
+    return out.reshape(-1).astype(np.int16)
 
 
 def duration_ms(payload: bytes) -> int:

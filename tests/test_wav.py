@@ -9,8 +9,11 @@ import numpy as np
 import pytest
 
 from obsidian_parser_ray.stages.wav import (
+    _IMA_INDEX_ADJ,
+    _IMA_STEPS,
     decode_wav,
     duration_ms,
+    encode_wav_adpcm,
     encode_wav_pcm16,
     energy_hash,
     is_wav,
@@ -86,6 +89,118 @@ class TestFormatVariants:
     def test_unsupported_codec_raises(self):
         with pytest.raises(ValueError, match="format code"):
             decode_wav(self._raw(85, 1, 8000, 16, b"\x00\x00"))  # MP3-in-WAV
+
+
+def _scalar_ima_decode(data: bytes, block_align: int) -> np.ndarray:
+    """Textbook one-sample-at-a-time IMA ADPCM decode (public IMA
+    reference recurrence) — the independent oracle the vectorized
+    lockstep decoder must match bit-exactly."""
+    out = []
+    nblocks = len(data) // block_align
+    for b in range(nblocks):
+        blk = data[b * block_align:(b + 1) * block_align]
+        pred = struct.unpack("<h", blk[0:2])[0]
+        index = min(max(blk[2], 0), 88)
+        out.append(pred)
+        nibbles = []
+        for byte in blk[4:]:
+            nibbles.append(byte & 0x0F)
+            nibbles.append(byte >> 4)
+        for nib in nibbles:
+            step = int(_IMA_STEPS[index])
+            vpdiff = step >> 3
+            if nib & 4:
+                vpdiff += step
+            if nib & 2:
+                vpdiff += step >> 1
+            if nib & 1:
+                vpdiff += step >> 2
+            pred = pred - vpdiff if nib & 8 else pred + vpdiff
+            pred = min(max(pred, -32768), 32767)
+            index = min(max(index + int(_IMA_INDEX_ADJ[nib & 7]), 0), 88)
+            out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+class TestAdpcm:
+    def _tone(self, n, seed=0, noise=0.0):
+        rng = np.random.RandomState(seed)
+        t = np.arange(n)
+        x = 12000 * np.sin(2 * np.pi * 440 * t / 8000)
+        if noise:
+            x = x + rng.normal(0, noise, n)
+        return np.clip(x, -32768, 32767).astype(np.int16)
+
+    def test_lockstep_decode_matches_scalar_reference(self):
+        # the vectorized across-blocks sweep must replay the exact
+        # integer recurrence of the per-sample reference decoder
+        x = self._tone(10000, seed=3, noise=800.0)
+        payload = encode_wav_adpcm(x, 8000, block_align=256)
+        dec, rate = decode_wav(payload)
+        assert rate == 8000
+        # locate the data chunk and replay it with the scalar oracle
+        pos, data = 12, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos:pos + 4]
+            size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+            if tag == b"data":
+                data = payload[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        ref = _scalar_ima_decode(data, 256)[: len(x)]
+        got = np.round(dec[:, 0] * 32768.0).astype(np.int16)
+        assert np.array_equal(got, ref)
+
+    def test_round_trip_error_bounded(self):
+        x = self._tone(16000)
+        dec, _ = decode_wav(encode_wav_adpcm(x, 8000))
+        ref = x.astype(np.float64) / 32768.0
+        rel = np.sqrt(np.mean((dec[:, 0] - ref) ** 2)) / np.sqrt(
+            np.mean(ref ** 2)
+        )
+        assert rel < 0.1  # 4-bit lossy, smooth tone tracks closely
+
+    def test_fact_chunk_frame_exactness(self):
+        # encoder pads the last block; fact chunk trims decode back
+        x = self._tone(6000, seed=1, noise=500.0)
+        for n in (1, 2, 505, 506, 1000, 5999):
+            dec, _ = decode_wav(encode_wav_adpcm(x[:n], 8000))
+            assert dec.shape == (n, 1)
+
+    def test_duration_exact_at_8khz(self):
+        for ms in (500, 501, 1234):
+            x = self._tone(ms * 8)
+            assert duration_ms(encode_wav_adpcm(x, 8000)) == ms
+
+    def test_compression_ratio(self):
+        x = self._tone(80000)
+        payload = encode_wav_adpcm(x, 8000)
+        assert 2 * len(x) / len(payload) > 3.5  # ~4:1 vs PCM16
+
+    def test_input_validation(self):
+        with pytest.raises(ValueError, match="int16"):
+            encode_wav_adpcm(np.zeros(8, np.float32))
+        with pytest.raises(ValueError, match="empty"):
+            encode_wav_adpcm(np.zeros(0, np.int16))
+
+    def test_media_decoder_strict_adpcm(self):
+        import pyarrow as pa
+
+        from obsidian_parser_ray.stages.multimodal import MediaDecoder
+
+        x = self._tone(16000, seed=2, noise=300.0)
+        t = pa.table(
+            {
+                "asset_id": pa.array(["clip.adpcm.wav"], pa.string()),
+                "media_type": pa.array(["audio"], pa.string()),
+                "payload": pa.array(
+                    [encode_wav_adpcm(x, 8000)], pa.binary()
+                ),
+                "meta_json": pa.array(["{}"], pa.string()),
+            }
+        )
+        out = MediaDecoder(strict=True)(t).to_pylist()[0]
+        assert out["duration_ms"] == 2000
+        assert abs(sum(v * v for v in out["embedding"]) - 1.0) < 1e-3
 
 
 class TestFeatures:
