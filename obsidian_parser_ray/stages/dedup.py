@@ -540,21 +540,72 @@ def ngram_jaccard_pairs(ds, *, text_col="text", id_col="doc_id",
     id_t = _id_type(ds, id_col)
 
     def explode_shingles(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        out_sh, out_id, out_n = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sh = ascii_word_shingles(text, shingle_k)
-            out_sh.extend(sh)
-            out_id.extend([doc_id] * len(sh))
-            out_n.extend([len(sh)] * len(sh))
-        sh_arr = pa.array(out_sh, pa.string())
+        # vectorized ascii_word_shingles over the whole block: Arrow
+        # \s+ split, sliced binary_join for the k-windows, ListArray
+        # binary_join for the short-doc (< k words → ONE whole-doc
+        # shingle) rule, per-doc distinct via Arrow group_by
+        import pyarrow.compute as pc
+
+        from .text import _flat_split
+
+        flat, lens = _flat_split(t[text_col], r"\s+")
+        total = len(flat)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        parts = []
+        width = total - shingle_k + 1
+        if width > 0:
+            grams = pc.binary_join_element_wise(
+                *[flat.slice(j, width) for j in range(shingle_k)], " "
+            )
+            valid = doc_of[:width] == doc_of[shingle_k - 1:]
+            if valid.any():
+                parts.append(pa.table({
+                    "_d": pa.array(doc_of[:width][valid]),
+                    "shingle": grams.filter(pa.array(valid)),
+                }))
+        short = np.flatnonzero((lens > 0) & (lens < shingle_k))
+        if len(short):
+            offsets = np.concatenate(
+                [[0], np.cumsum(lens)]
+            ).astype(np.int64)
+            lists = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), flat
+            )
+            joined = pc.binary_join(
+                pc.take(lists, pa.array(short)), " "
+            )
+            parts.append(pa.table({
+                "_d": pa.array(short.astype(np.int64)),
+                "shingle": pc.cast(joined, pa.string()),
+            }))
+        if not parts:
+            return pa.table({
+                "part": pa.array([], pa.int32()),
+                "shingle": pa.array([], pa.string()),
+                id_col: pa.array([], id_t),
+                "n_sh": pa.array([], pa.int64()),
+            })
+        d = (
+            pa.concat_tables(parts)
+            .group_by(["_d", "shingle"], use_threads=False)
+            .aggregate([])
+        )
+        dd = d["_d"].to_numpy(zero_copy_only=False)
+        n_sh = np.bincount(dd, minlength=t.num_rows)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sh_arr = d["shingle"]
+        if isinstance(sh_arr, pa.ChunkedArray):
+            sh_arr = sh_arr.combine_chunks()
         return pa.table(
             {
                 "part": hash_bucket_array(sh_arr, num_partitions),
                 "shingle": sh_arr,
-                id_col: pa.array(out_id, id_t),
-                "n_sh": pa.array(out_n, pa.int64()),
+                id_col: pc.take(ids, d["_d"]),
+                "n_sh": pa.array(
+                    n_sh[dd].astype(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -678,20 +729,61 @@ def ngram_contamination(docs, benchmark, *, text_col: str = "text",
 
     def explode(is_bench: bool):
         def fn(t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_pylist() if not is_bench else [None] * t.num_rows
-            texts = t[text_col].to_pylist()
-            out_g, out_id = [], []
-            for doc_id, text in zip(ids, texts):
-                grams = word_ngrams_exact(text, n)
-                out_g.extend(grams)
-                out_id.extend([doc_id] * len(grams))
-            g_arr = pa.array(out_g, pa.string())
+            # vectorized word_ngrams_exact over the whole block: one
+            # Arrow \s+ split, ONE sliced binary_join per gram window,
+            # per-doc distinct via single-threaded Arrow group_by
+            from .text import _flat_split
+
+            empty = pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "gram": pa.array([], pa.string()),
+                    id_col: pa.array([], id_t),
+                    "is_bench": pa.array([], pa.bool_()),
+                }
+            )
+            flat, lens = _flat_split(t[text_col], r"\s+")
+            total = len(flat)
+            if total < n:
+                return empty
+            doc_of = np.repeat(
+                np.arange(t.num_rows, dtype=np.int64), lens
+            )
+            width = total - n + 1
+            grams = pc.binary_join_element_wise(
+                *[flat.slice(j, width) for j in range(n)], " "
+            )
+            valid = doc_of[:width] == doc_of[n - 1:]
+            if not valid.any():
+                return empty
+            d = (
+                pa.table(
+                    {
+                        "_d": pa.array(doc_of[:width][valid]),
+                        "gram": grams.filter(pa.array(valid)),
+                    }
+                )
+                .group_by(["_d", "gram"], use_threads=False)
+                .aggregate([])
+            )
+            if is_bench:
+                out_ids = pa.nulls(d.num_rows, id_t)
+            else:
+                ids = t[id_col]
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                out_ids = pc.take(ids, d["_d"])
+            g_arr = d["gram"]
+            if isinstance(g_arr, pa.ChunkedArray):
+                g_arr = g_arr.combine_chunks()
             return pa.table(
                 {
                     "part": hash_bucket_array(g_arr, num_partitions),
                     "gram": g_arr,
-                    id_col: pa.array(out_id, id_t),
-                    "is_bench": pa.array([is_bench] * len(out_g), pa.bool_()),
+                    id_col: out_ids,
+                    "is_bench": pa.array(
+                        np.full(d.num_rows, is_bench), pa.bool_()
+                    ),
                 }
             )
 
@@ -1224,32 +1316,45 @@ def remove_repeated_ngrams(ds, *, n: int = 20, min_docs: int = 2,
     id_t = _id_type(ds, id_col)
 
     def gram_rows(t: pa.Table) -> pa.Table:
+        # block-flat twin of gram_hash_positions: tokenize the whole
+        # block in Arrow, hash EVERY token in ONE hash64_array call,
+        # run the windowed XOR-mix over the flat array and mask the
+        # cross-document windows — per-doc Python calls eliminated
+        from ..hashing import hash64_array
+        from .text import _flat_split
+
+        empty = pa.table(
+            {
+                "part": pa.array([], pa.int32()),
+                "gram_hash": pa.array([], pa.int64()),
+                id_col: pa.array([], id_t),
+                "pos": pa.array([], pa.int32()),
+            }
+        )
         ids = t[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        texts = t[text_col].to_pylist()
-        out_h, out_pos, out_parent = [], [], []
-        for i, x in enumerate(texts):
-            words = _ASCII_WORD_RE.findall(x)
-            h = gram_hash_positions(words, n)
-            if not len(h):
-                continue
-            out_h.append(h.astype(np.int64))  # int64 view for Arrow
-            out_pos.append(np.arange(len(h), dtype=np.int32))
-            out_parent.append(np.full(len(h), i, dtype=np.int64))
-        if not out_h:
-            return pa.table(
-                {
-                    "part": pa.array([], pa.int32()),
-                    "gram_hash": pa.array([], pa.int64()),
-                    id_col: pa.array([], id_t),
-                    "pos": pa.array([], pa.int32()),
-                }
-            )
-        hh = np.concatenate(out_h)
-        # id fan-out via ONE Arrow take (a Python list of ~words-per-
-        # block id copies was the dominant cost on long documents)
-        id_out = pc.take(ids, pa.array(np.concatenate(out_parent)))
+        flat, lens = _flat_split(t[text_col], r"\s+")
+        total = len(flat)
+        if total < n:
+            return empty
+        th = hash64_array(flat)
+        n_out = total - n + 1
+        acc = np.zeros(n_out, dtype=np.uint64)
+        for j in range(n):
+            if j >= len(_SHINGLE_MIX):  # pragma: no cover - n ≤ 8 in tests
+                mix = np.uint64(2 * j + 1)
+            else:
+                mix = _SHINGLE_MIX[j]
+            acc ^= th[j:j + n_out] * mix
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        valid = doc_of[:n_out] == doc_of[n - 1:]
+        if not valid.any():
+            return empty
+        gdoc = doc_of[:n_out][valid]
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pos = (np.flatnonzero(valid) - starts[gdoc]).astype(np.int32)
+        hh = acc[valid].astype(np.int64)
         return pa.table(
             {
                 "part": pa.array(
@@ -1258,8 +1363,8 @@ def remove_repeated_ngrams(ds, *, n: int = 20, min_docs: int = 2,
                     )
                 ),
                 "gram_hash": pa.array(hh),
-                id_col: id_out,
-                "pos": pa.array(np.concatenate(out_pos)),
+                id_col: pc.take(ids, pa.array(gdoc)),
+                "pos": pa.array(pos),
             }
         )
 

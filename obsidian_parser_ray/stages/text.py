@@ -43,6 +43,69 @@ BPE_SPLIT = re.compile(
 _ASCII_WORD = re.compile(r"\S+", re.ASCII)
 
 
+def _flat_split(col, split_pattern: str, *, pre_lower: bool = False,
+                post_ascii_lower: bool = False):
+    """Vectorized findall-equivalent tokenizer: ONE Arrow regex split
+    over the whole column instead of a per-doc Python ``findall`` loop
+    (that loop was the measured constant in every corpus-statistics
+    partial — the tokens never need to exist as Python objects).
+    ``findall(CLASS+)`` ≡ split on the complement ``[^CLASS]+`` with
+    boundary empties dropped (``+`` merges separator runs, so interior
+    empties cannot occur).  Returns ``(flat, lens)``: all tokens of
+    all rows concatenated in row order (``pa.StringArray``) and
+    tokens-per-row (``np.int64``); null rows count 0 tokens.
+
+    ``pre_lower`` lowercases the TEXT before splitting (parity with
+    ``findall(x.lower())`` — only sound when lowercasing cannot create
+    new separator/token chars, true for ``\\s``); ``post_ascii_lower``
+    lowercases the TOKENS after splitting (parity with
+    ``[tok.lower() for tok in findall(x)]`` over an ASCII token class
+    — lowering first would diverge on unicode chars whose lowercase
+    contains ASCII letters, e.g. U+212A → 'k')."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    if pre_lower:
+        col = pc.utf8_lower(col)
+    if split_pattern == r"\s+":
+        # dedicated kernel, measured 8× the RE2 split; same boundary-
+        # empty shape, and its ASCII-whitespace class ([ \t\n\v\f\r])
+        # matches Python re.ASCII \s exactly (RE2 \s lacks \v — the
+        # kernel is the BETTER parity twin of the original findall)
+        lists = pc.ascii_split_whitespace(col)
+    else:
+        lists = pc.split_pattern_regex(col, pattern=split_pattern)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    empty = pc.equal(pc.binary_length(flat), 0)
+    emp = empty.to_numpy(zero_copy_only=False)
+    cum = np.concatenate([[0], np.cumsum(emp)])
+    lens = np.diff(offsets) - (cum[offsets[1:]] - cum[offsets[:-1]])
+    flat = flat.filter(pc.invert(empty))
+    if post_ascii_lower:
+        flat = pc.ascii_lower(flat)
+    return flat, lens
+
+
+def _flat_lower_tokens(col):
+    """``_ASCII_WORD.findall(x.lower())`` per row, vectorized — the
+    ``\\S+``-over-lowercased-text token universe shared with the
+    DuckDB oracles' RE2 ``\\s+`` split."""
+    return _flat_split(col, r"\s+", pre_lower=True)
+
+
+def _flat_alnum_tokens(col):
+    """``[tok.lower() for tok in _TERM_RE.findall(x)]`` per row,
+    vectorized — the lowercased ASCII-alnum token universe of the
+    retrieval/novelty operators."""
+    return _flat_split(col, "[^A-Za-z0-9]+", post_ascii_lower=True)
+
+
 
 def count_punct(text: str) -> int:
     return sum(text.count(c) for c in PUNCT)
@@ -94,24 +157,46 @@ def text_profile(ds, *, text_col: str = "text", id_col: str = "doc_id",
     Columns: n_chars (unicode chars), n_bytes, n_words (whitespace),
     n_punct (chars in ``.,!?;:``), n_stop_en (exact lowercase matches
     of the English stopword list), n_bpe_tokens, fingerprint (md5 hex).
+
+    All counting columns are vectorized Arrow kernels; only the BPE
+    pre-tokenizer (alternation regex — no complement-split form) and
+    the md5 fingerprint remain per-doc Python.
     """
+    import pyarrow.compute as pc
+
+    stop_arr = pa.array(sorted(_STOP_SETS["en"]), pa.string())
 
     def profile(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        texts = txt.to_pylist()
+        n = t.num_rows
+        n_punct = None
+        for ch in PUNCT:
+            c = pc.count_substring(txt, ch)
+            n_punct = c if n_punct is None else pc.add(n_punct, c)
+        flat, lens = _flat_lower_tokens(txt)
+        n_stop = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            hit = pc.is_in(flat, value_set=stop_arr).to_numpy(
+                zero_copy_only=False
+            )
+            if hit.any():
+                doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+                n_stop = np.bincount(
+                    doc_of[hit], minlength=n
+                ).astype(np.int64)
+        _, n_words = _flat_split(txt, r"\s+")
         return pa.table(
             {
                 id_col: t[id_col],
-                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
-                "n_bytes": pa.array(
-                    [len(x.encode("utf-8")) for x in texts], pa.int64()
-                ),
-                "n_words": pa.array(
-                    [ascii_word_count(x) for x in texts], pa.int64()
-                ),
-                "n_punct": pa.array([count_punct(x) for x in texts], pa.int64()),
-                "n_stop_en": pa.array(
-                    [count_stopwords(x, "en") for x in texts], pa.int64()
-                ),
+                "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "n_bytes": pc.cast(pc.binary_length(txt), pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_punct": pc.cast(n_punct, pa.int64()),
+                "n_stop_en": pa.array(n_stop, pa.int64()),
                 "n_bpe_tokens": pa.array(
                     [bpe_token_count(x) for x in texts], pa.int64()
                 ),
@@ -209,23 +294,34 @@ def lang_id(ds, *, text_col: str = "text", id_col: str = "doc_id", concurrency=(
 def lang_stats(ds, *, lang_col: str = "lang", text_col: str = "text"):
     """Per-language corpus stats (oracle-checkable integers).
 
-    Pre-aggregated per batch (pandas groupby) before the tiny global
-    groupby — the standard partial-aggregate pattern.
+    Pre-aggregated per batch (vectorized Arrow kernels + group_by)
+    before the tiny global groupby — the standard partial-aggregate
+    pattern with no per-doc Python loop.
     """
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        df = pd.DataFrame(
-            {
-                lang_col: t[lang_col].to_pandas(),
-                "_n": 1,
-                "_chars": [len(x) for x in texts],
-                "_words": [ascii_word_count(x) for x in texts],
-            }
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        _, words = _flat_split(txt, r"\s+")
+        g = (
+            pa.table({
+                lang_col: t[lang_col],
+                "_n": pa.array(np.ones(t.num_rows, np.int64)),
+                "_chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(txt, "")), pa.int64()
+                ),
+                "_words": pa.array(words),
+            })
+            .group_by(lang_col, use_threads=False)
+            .aggregate([("_n", "sum"), ("_chars", "sum"),
+                        ("_words", "sum")])
         )
-        g = df.groupby(lang_col, as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns([
+            c[:-4] if c.endswith("_sum") else c for c in g.column_names
+        ])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
@@ -252,26 +348,29 @@ _TERM_RE = re.compile(r"[A-Za-z0-9]+")
 def term_frequencies(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      batch_size: int | None = 512):
     """Explode documents into ``(id, term, tf)`` rows (one per distinct
-    lowercased ASCII-alnum token per document)."""
+    lowercased ASCII-alnum token per document).  Fully vectorized: one
+    Arrow tokenize (:func:`_flat_alnum_tokens`) + one single-threaded
+    Arrow ``group_by`` on (row, term) — no per-doc Python loop."""
+    import pyarrow.compute as pc
 
     def explode(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        out_id: list = []
-        out_term: list = []
-        out_tf: list = []
-        for i, x in zip(ids, texts):
-            c = Counter(tok.lower() for tok in _TERM_RE.findall(x))
-            out_id.extend([i] * len(c))
-            out_term.extend(c.keys())
-            out_tf.extend(c.values())
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, lens = _flat_alnum_tokens(t[text_col])
+        doc_of = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), lens
+        )
+        g = (
+            pa.table({"_d": pa.array(doc_of), "term": flat})
+            .group_by(["_d", "term"], use_threads=False)
+            .aggregate([("term", "count")])
+        )
         return pa.table(
             {
-                id_col: pa.array(out_id, t.schema.field(id_col).type),
-                "term": pa.array(out_term, pa.string()),
-                "tf": pa.array(out_tf, pa.int64()),
+                id_col: pc.take(ids, g["_d"]),
+                "term": g["term"],
+                "tf": pc.cast(g["term_count"], pa.int64()),
             }
         )
 
@@ -348,30 +447,61 @@ def repetition_profile(ds, *, text_col: str = "text",
     (ASCII ``\\S+`` runs == RE2 ``\\s+`` split with empties dropped),
     and the duplicate fractions as exact integer micros
     (``(total - distinct) * 1e6 // total``; 0 for empty docs).
-    High dup_*_micro = boilerplate / template / scraper junk."""
+    High dup_*_micro = boilerplate / template / scraper junk.
+
+    Vectorized: one Arrow split per signal, distinct-per-doc via an
+    ``index_in``-coded ``np.unique`` over (doc, code) pairs — no
+    per-doc Python loop."""
+    import pyarrow.compute as pc
+
+    def _distinct_per_doc(flat, lens, n):
+        """tokens-per-row + flat tokens → distinct-tokens-per-row."""
+        if len(flat) == 0:
+            return np.zeros(n, dtype=np.int64)
+        codes = pc.index_in(flat, pc.unique(flat)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        width = codes.max() + 1
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pairs = np.unique(doc_of * width + codes)
+        return np.bincount(pairs // width, minlength=n).astype(np.int64)
 
     def profile(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        nl, ndl, nw, ndw, dlm, dwm = [], [], [], [], [], []
-        for x in texts:
-            lines = x.split("\n")
-            words = _ASCII_WORD.findall(x)
-            a, b = len(lines), len(set(lines))
-            c, d = len(words), len(set(words))
-            nl.append(a)
-            ndl.append(b)
-            nw.append(c)
-            ndw.append(d)
-            dlm.append((a - b) * 1_000_000 // a if a else 0)
-            dwm.append((c - d) * 1_000_000 // c if c else 0)
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = t.num_rows
+        # lines: literal '\n' split, empties KEPT ('' has 1 line)
+        line_lists = pc.split_pattern(pc.fill_null(txt, ""), "\n")
+        if isinstance(line_lists, pa.ChunkedArray):
+            line_lists = line_lists.combine_chunks()
+        flat_lines = line_lists.flatten()
+        off = line_lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_lines = np.diff(off - off[0])
+        nd_lines = _distinct_per_doc(flat_lines, n_lines, n)
+        # words: \S+ runs, NOT lowercased (distinct is case-sensitive)
+        flat_words, n_words = _flat_split(txt, r"\s+")
+        nd_words = _distinct_per_doc(flat_words, n_words, n)
+        dlm = np.where(
+            n_lines > 0,
+            (n_lines - nd_lines) * 1_000_000 // np.maximum(n_lines, 1),
+            0,
+        )
+        dwm = np.where(
+            n_words > 0,
+            (n_words - nd_words) * 1_000_000 // np.maximum(n_words, 1),
+            0,
+        )
         return pa.table({
             id_col: t[id_col],
-            "n_lines": pa.array(nl, pa.int64()),
-            "n_distinct_lines": pa.array(ndl, pa.int64()),
-            "n_words": pa.array(nw, pa.int64()),
-            "n_distinct_words": pa.array(ndw, pa.int64()),
-            "dup_line_micro": pa.array(dlm, pa.int64()),
-            "dup_word_micro": pa.array(dwm, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_distinct_lines": pa.array(nd_lines, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct_words": pa.array(nd_words, pa.int64()),
+            "dup_line_micro": pa.array(dlm.astype(np.int64), pa.int64()),
+            "dup_word_micro": pa.array(dwm.astype(np.int64), pa.int64()),
         })
 
     return ds.map_batches(profile, batch_format="pyarrow",
@@ -588,8 +718,6 @@ def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
 
     import pyarrow.compute as pc
 
-    from obsidian_parser_ray.stages.dedup import _ASCII_WORD_RE
-
     # pass 1: FREQUENT vocabulary — a pair can only reach min_count if
     # BOTH its words occur >= min_count times globally, so pruning the
     # vocab at that floor is provably lossless AND bounds the driver
@@ -597,14 +725,11 @@ def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
     # Rare tokens keep their POSITIONS (coded −1) so window distances
     # across them are unchanged.
     def token_counts(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for x in t[text_col].to_pylist():
-            c.update(_ASCII_WORD_RE.findall(x.lower()))
+        flat, _ = _flat_lower_tokens(t[text_col])
+        vc = flat.value_counts()
         return pa.table(
-            {"w": pa.array(list(c.keys()), pa.string()),
-             "_n": pa.array(list(c.values()), pa.int64())}
+            {"w": vc.field("values"),
+             "_n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
     freq = (
@@ -626,23 +751,14 @@ def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
 
     def partial(t: pa.Table) -> pa.Table:
         v = ray.get(vocab_ref)
-        # tokenize the WHOLE block, then ONE index_in probe — a
-        # per-doc probe rebuilds the vocab hash table per call and
-        # dominates everything else
-        toks_per_doc = [
-            _ASCII_WORD_RE.findall(x.lower())
-            for x in t[text_col].to_pylist()
-        ]
-        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        # tokenize the WHOLE block in Arrow, then ONE index_in probe —
+        # a per-doc probe rebuilds the vocab hash table per call and
+        # dominates everything else; the tokens never materialize as
+        # Python strings at all
+        flat, lens = _flat_lower_tokens(t[text_col])
         total = int(lens.sum())
         packed_all = []
         if total >= 2:
-            import itertools
-
-            flat = pa.array(
-                itertools.chain.from_iterable(toks_per_doc),
-                pa.string(), size=total,
-            )
             idx = pc.index_in(flat, v)
             codes = pc.fill_null(idx, -1).to_numpy(
                 zero_copy_only=False
@@ -704,21 +820,18 @@ def token_frequencies(ds, *, text_col: str = "text"):
     """Global token frequencies ``(w, n)`` over lowercased
     ASCII-``\\S+`` words — the marginal counts under PMI/collocation
     scoring (pair with :func:`cooccurrence_counts`, whose tokenizer
-    this matches exactly).  Per-block Counter partials → one
+    this matches exactly).  Per-block vectorized ``value_counts``
+    partials (one Arrow split + count, no per-doc loop) → one
     groupby-sum."""
-    from collections import Counter
-
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from obsidian_parser_ray.stages.dedup import _ASCII_WORD_RE
-
     def partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for x in t[text_col].to_pylist():
-            c.update(_ASCII_WORD_RE.findall(x.lower()))
+        flat, _ = _flat_lower_tokens(t[text_col])
+        vc = flat.value_counts()
         return pa.table(
-            {"w": pa.array(list(c.keys()), pa.string()),
-             "_n": pa.array(list(c.values()), pa.int64())}
+            {"w": vc.field("values"),
+             "_n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
     return (
@@ -743,34 +856,40 @@ def hashed_doc_vectors(ds, *, text_col: str = "text",
     (fully-cancelled) dims dropped — assemble dense vectors downstream
     with a fixed-size scatter when a dense column is needed.
 
-    Per block: one Counter sweep per doc, md5 once per DISTINCT token
-    per block (cached), accumulation in a dense int64 (docs × dim)
-    scratch — no shuffle at all; the output is already keyed by doc.
+    Per block: one Arrow tokenize + ``index_in`` against the block's
+    DISTINCT tokens, md5 once per distinct token (the only Python loop
+    left, bounded by block vocabulary), then a single signed
+    ``bincount`` over ``doc × dim`` cells — no shuffle at all; the
+    output is already keyed by doc.
     """
     import hashlib
-    from collections import Counter
 
     import pyarrow.compute as pc
-
-    from obsidian_parser_ray.stages.dedup import _ASCII_WORD_RE
 
     def vectors(t: pa.Table) -> pa.Table:
         ids = t[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        texts = t[text_col].to_pylist()
-        n = len(texts)
+        n = t.num_rows
+        flat, lens = _flat_lower_tokens(t[text_col])
         acc = np.zeros((n, dim), dtype=np.int64)
-        cache: dict = {}
-        for i, x in enumerate(texts):
-            for w, c in Counter(_ASCII_WORD_RE.findall(x.lower())).items():
-                bs = cache.get(w)
-                if bs is None:
-                    h = hashlib.md5(w.encode("utf-8")).hexdigest()
-                    bs = (int(h[:8], 16) % dim,
-                          1 if int(h[8], 16) % 2 == 0 else -1)
-                    cache[w] = bs
-                acc[i, bs[0]] += bs[1] * c
+        if len(flat):
+            uniq = pc.unique(flat)
+            buckets = np.empty(len(uniq), dtype=np.int64)
+            signs = np.empty(len(uniq), dtype=np.int64)
+            for j, w in enumerate(uniq.to_pylist()):
+                h = hashlib.md5(w.encode("utf-8")).hexdigest()
+                buckets[j] = int(h[:8], 16) % dim
+                signs[j] = 1 if int(h[8], 16) % 2 == 0 else -1
+            codes = pc.index_in(flat, uniq).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            acc = np.bincount(
+                doc_of * dim + buckets[codes],
+                weights=signs[codes].astype(np.float64),
+                minlength=n * dim,
+            ).astype(np.int64).reshape(n, dim)
         doc_idx, dim_idx = np.nonzero(acc)
         return pa.table(
             {
@@ -823,22 +942,31 @@ def bm25_topk(ds, query_terms: list[str], *, k: int = 10,
     terms = [t.lower() for t in query_terms]
     tf_cols = [f"tf_{t}" for t in terms]
 
-    def explode(t: pa.Table) -> pa.Table:
-        from collections import Counter
+    term_arr = pa.array(terms, pa.string())
 
-        texts = t[text_col].to_pylist()
-        n = len(texts)
-        dl = np.zeros(n, dtype=np.int64)
-        tfs = {c: np.zeros(n, dtype=np.int64) for c in tf_cols}
-        for i, x in enumerate(texts):
-            toks = [tok.lower() for tok in _TERM_RE.findall(x)]
-            dl[i] = len(toks)
-            c = Counter(toks)
-            for term, col in zip(terms, tf_cols):
-                tfs[col][i] = c.get(term, 0)
-        out = {id_col: t[id_col], "dl": pa.array(dl)}
-        for col in tf_cols:
-            out[col] = pa.array(tfs[col])
+    def explode(t: pa.Table) -> pa.Table:
+        # one Arrow tokenize + ONE index_in probe against the bounded
+        # query-term list; per-(doc, term) counts fold in a single
+        # bincount — no per-doc Python loop
+        flat, lens = _flat_alnum_tokens(t[text_col])
+        n = t.num_rows
+        nt = len(terms)
+        tf_mat = np.zeros((n, nt), dtype=np.int64)
+        if len(flat):
+            codes = pc.fill_null(
+                pc.index_in(flat, term_arr), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = codes >= 0
+            if hit.any():
+                doc_of = np.repeat(
+                    np.arange(n, dtype=np.int64), lens
+                )
+                tf_mat = np.bincount(
+                    doc_of[hit] * nt + codes[hit], minlength=n * nt
+                ).astype(np.int64).reshape(n, nt)
+        out = {id_col: t[id_col], "dl": pa.array(lens)}
+        for j, col in enumerate(tf_cols):
+            out[col] = pa.array(tf_mat[:, j])
         return pa.table(out)
 
     per_doc = ds.map_batches(explode, batch_format="pyarrow",
@@ -1056,54 +1184,83 @@ def ngram_novelty(ds, *, n: int = 3, text_col: str = "text",
     Docs with < n tokens emit no grams and no output row.
     Output: (id_col, n_grams, n_novel, novelty).
     """
+    import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
 
     sch0 = ds.schema()
     id_t = dict(zip(sch0.names, sch0.types))[id_col]
+    gram_t = pa.int64() if hash_grams else pa.string()
+
+    def _distinct_grams(t: pa.Table):
+        """→ distinct (doc_row int64, gram string) pairs, vectorized:
+        Arrow tokenize, ONE sliced ``binary_join_element_wise`` over
+        the flat token array (gram j = tokens[j..j+n) — cross-doc
+        windows masked by comparing doc ids n-1 apart), per-doc dedup
+        via a single-threaded Arrow group_by.  Returns None when the
+        block yields no gram."""
+        flat, lens = _flat_alnum_tokens(t[text_col])
+        total = len(flat)
+        if total < n:
+            return None
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        width = total - n + 1
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(j, width) for j in range(n)], " "
+        )
+        valid = doc_of[:width] == doc_of[n - 1:]
+        if not valid.any():
+            return None
+        return (
+            pa.table({
+                "_d": pa.array(doc_of[:width][valid]),
+                "gram": grams.filter(pa.array(valid)),
+            })
+            .group_by(["_d", "gram"], use_threads=False)
+            .aggregate([])
+        )
 
     def totals(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        out_id: list = []
-        out_n: list = []
-        for i, x in zip(ids, texts):
-            toks = [tok.lower() for tok in _TERM_RE.findall(x or "")]
-            if len(toks) < n:
-                continue
-            g = {tuple(toks[j:j + n])
-                 for j in range(len(toks) - n + 1)}
-            out_id.append(i)
-            out_n.append(len(g))
+        d = _distinct_grams(t)
+        if d is None:
+            return pa.table({
+                id_col: pa.array([], id_t),
+                "n_grams": pa.array([], pa.int64()),
+            })
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        cnt = np.bincount(
+            d["_d"].to_numpy(zero_copy_only=False),
+            minlength=t.num_rows,
+        )
+        keep = np.flatnonzero(cnt)  # docs with ≥ n tokens
         return pa.table({
-            id_col: pa.array(out_id, id_t),
-            "n_grams": pa.array(out_n, pa.int64()),
+            id_col: pc.take(ids, pa.array(keep)),
+            "n_grams": pa.array(cnt[keep].astype(np.int64), pa.int64()),
         })
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        out_id: list = []
-        out_gram: list = []
-        for i, x in zip(ids, texts):
-            toks = [tok.lower() for tok in _TERM_RE.findall(x or "")]
-            grams = {
-                " ".join(toks[j:j + n])
-                for j in range(len(toks) - n + 1)
-            }
-            out_id.extend([i] * len(grams))
-            out_gram.extend(grams)
+        d = _distinct_grams(t)
+        if d is None:
+            return pa.table({
+                id_col: pa.array([], id_t),
+                "gram": pa.array([], gram_t),
+            })
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        gram = d["gram"]
+        if isinstance(gram, pa.ChunkedArray):
+            gram = gram.combine_chunks()
         if hash_grams:
             from ..hashing import hash64_array
 
-            return pa.table({
-                id_col: pa.array(out_id, id_t),
-                "gram": pa.array(
-                    hash64_array(out_gram).view(np.int64), pa.int64()
-                ),
-            })
+            gram = pa.array(
+                hash64_array(gram).view(np.int64), pa.int64()
+            )
         return pa.table({
-            id_col: pa.array(out_id, id_t),
-            "gram": pa.array(out_gram, pa.string()),
+            id_col: pc.take(ids, d["_d"]),
+            "gram": gram,
         })
 
     pruned = ds.select_columns([id_col, text_col])
