@@ -331,16 +331,65 @@ def parse_inline_tags(content: str) -> list[str]:
 _TAG_WORD_RE = re.compile(r"(?<![\S\x1c-\x1f])#([\S\x1c-\x1f]*)")
 
 
+# Trivial-frontmatter fast path: the overwhelmingly common shape is a
+# flat map of `key: scalar` lines, and full YAML loading is ~30% of
+# link-path extract CPU (profiled on the bench corpus).  A line
+# qualifies only when its value provably parses to the SAME value under
+# pyyaml's YAML-1.1 resolvers:
+#   * plain int with no leading zeros / '+' / '_' (leading-zero forms
+#     are OCTAL in YAML 1.1, so they fall back),
+#   * or a letter/underscore-led token of [A-Za-z0-9 _./-] that is not
+#     a bool word — no YAML-1.1 scalar resolver (int, float, octal,
+#     sexagesimal, timestamp, null, merge) can match a letter-led
+#     string, so these are always plain strings.
+# ANYTHING else (quotes, lists, nesting, floats, dates, '#', '&', ...)
+# falls back to the real loader, so error semantics and exotic values
+# are untouched — the fast path is value-parity-tested against pyyaml
+# in tests/test_parser_frontmatter.py.
+_FAST_FM_LINE = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_-]*): +([^\s].*?) *$"
+)
+_FAST_INT = re.compile(r"^-?(0|[1-9][0-9]*)$")
+_FAST_STR = re.compile(r"^[A-Za-z_][A-Za-z0-9 _./-]*$")
+_YAML_BOOL_WORDS = frozenset((
+    "yes", "no", "true", "false", "on", "off", "null",
+))
+
+
+def _parse_properties_fast(text: str):
+    """→ dict when the WHOLE block is trivially parseable, else None."""
+    props: dict = {}
+    for line in text.split("\n"):
+        if not line.strip():
+            continue
+        m = _FAST_FM_LINE.match(line)
+        if m is None:
+            return None
+        key, val = m.group(1), m.group(2)
+        if _FAST_INT.match(val):
+            props[key] = int(val)
+        elif _FAST_STR.match(val) and val.lower() not in _YAML_BOOL_WORDS:
+            props[key] = val
+        else:
+            return None
+    return props if props else None
+
+
 def parse_properties(properties_text: str | None) -> tuple[dict | None, str | None]:
     """YAML-parse a frontmatter block (note_in_memory.rs:163-187).
 
     Returns ``(mapping_or_None, error_message_or_None)``.  Invalid YAML
     or a non-mapping document is reported as an error string (the
     reference surfaces ``Error::Yaml`` per note; callers choose
-    skip-vs-fail — vault_open/mod.rs:358-429).
+    skip-vs-fail — vault_open/mod.rs:358-429).  Trivial flat maps take
+    the resolver-parity fast path above; everything else loads through
+    libyaml.
     """
     if properties_text is None:
         return None, None
+    fast = _parse_properties_fast(properties_text)
+    if fast is not None:
+        return fast, None
     if yaml is None:  # pragma: no cover
         return None, f"yaml-unavailable: {YAML_IMPORT_ERROR}"
     try:

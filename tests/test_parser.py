@@ -248,3 +248,86 @@ class TestScalars:
         p = parse_note(raw)
         assert p == ("body", "k: v")
         assert render_note("body", None) == "body"
+
+
+class TestFastFrontmatterParity:
+    """The trivial-frontmatter fast path must return EXACTLY what
+    libyaml returns, or decline (None) and fall back — asserted over
+    the resolver minefield (octal-looking ints, bool words, dates,
+    floats, quotes, lists, nesting)."""
+
+    CASES = [
+        "id: 123",
+        "id: 0",
+        "id: -45",
+        "key: value",
+        "a: hello world",
+        "x: file007",
+        "x: v1.2.3",
+        "x: a_b-c.d/e",
+        "a: one\nb: 2\n\nc: three",
+        "name: On_call",  # letter-led, not the bool word
+        # below must all FALL BACK (fast path declines)
+        "id: 007",          # YAML 1.1 octal
+        "id: +7",
+        "id: 0x1A",
+        "flag: yes",
+        "flag: Off",
+        "v: null",
+        "f: 1.5",
+        "d: 2024-01-02",    # timestamp resolver
+        "q: 'quoted'",
+        'q: "dq"',
+        "t: a: b",
+        "l: [1, 2]",
+        "tags:\n  - a\n  - b",
+        "k:\tv",
+        "c: has # comment",
+        "e: &anchor v",
+        "s: 1:30",          # sexagesimal
+        "u: ~",
+        "n: .inf",
+        "empty:",
+        "- item",
+        ": odd",
+    ]
+
+    def test_fast_path_matches_yaml(self):
+        import yaml as _y
+
+        from obsidian_parser_ray.parser import (
+            _YAML_LOADER,
+            _parse_properties_fast,
+            parse_properties,
+        )
+
+        for text in self.CASES:
+            fast = _parse_properties_fast(text)
+            try:
+                # the SAME loader production uses (libyaml CSafeLoader
+                # accepts a few inputs the pure-python loader rejects,
+                # e.g. tab after the colon)
+                ref = _y.load(text, Loader=_YAML_LOADER)
+            except Exception:
+                ref = "<error>"
+            if fast is not None:
+                assert ref == fast, f"fast path diverged on {text!r}: {fast} vs {ref}"
+            # parse_properties end-to-end equals the pure-yaml result
+            got, err = parse_properties(text)
+            if ref == "<error>":
+                assert got is None and err is not None, text
+            elif ref is None:
+                assert got == {} and err is None, text
+            elif not isinstance(ref, dict):
+                assert got is None and err == "yaml: not a mapping", text
+            else:
+                assert got == ref and err is None, text
+
+    def test_duplicate_keys_last_wins(self):
+        import yaml as _y
+
+        from obsidian_parser_ray.parser import parse_properties
+
+        text = "k: 1\nk: 2"
+        got, err = parse_properties(text)
+        assert err is None and got == _y.safe_load(text)
