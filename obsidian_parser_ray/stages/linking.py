@@ -173,24 +173,27 @@ def _slim_dict_batch(t: pa.Table) -> pa.Table:
     Parses only the frontmatter span per doc (for aliases) — skips
     content join, link/tag scan, hashing.  Lets the dictionary pass run
     as a cheap first sweep so the main extract→link→canonicalize
-    pipeline can stream with NO materialization barrier."""
-    from ..parser import frontmatter_aliases, note_name, parse_properties
+    pipeline can stream with NO materialization barrier.
 
-    ids = t["doc_id"].to_pylist()
-    spans_col = t["spans"].to_pylist()
-    aliases: list[list[str]] = []
-    for spans in spans_col:
-        fm = None
-        best = None
-        for s in spans or ():
-            if s["kind"] == "frontmatter" and (best is None or s["offset"] < best):
-                fm, best = s["text"], s["offset"]
-        props, _ = parse_properties(fm)
-        aliases.append(frontmatter_aliases(props))
+    Span selection is Arrow-flat (stages/scan.py): the text spans are
+    never materialized as Python objects, so the sweep's per-doc cost
+    is the YAML parse alone — the full-span ``to_pylist`` walk was the
+    memory-bus hot spot at high worker counts."""
+    from ..parser import frontmatter_aliases, parse_properties
+    from .scan import frontmatter_texts_per_doc, note_names_array
+
+    fm_texts = frontmatter_texts_per_doc(t)
+    aliases = [
+        frontmatter_aliases(parse_properties(fm)[0]) for fm in fm_texts
+    ]
+    ids = t["doc_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    ids = ids.cast(pa.string())
     slim = pa.table(
         {
-            "doc_id": pa.array(ids, pa.string()),
-            "note_name": pa.array([note_name(i) for i in ids], pa.string()),
+            "doc_id": ids,
+            "note_name": note_names_array(ids),
             "aliases": pa.array(aliases, pa.list_(pa.string())),
         }
     )
