@@ -577,6 +577,49 @@ def _byte_trigrams(text: str) -> np.ndarray:
     )
 
 
+def _flat_trigram_codes(col):
+    """Byte-trigram codes of a whole string column at once — the
+    column-level twin of :func:`_byte_trigrams` (same codes, same
+    per-document order).  ONE pass over the column's flat UTF-8 data
+    buffer computes every code; trigrams that would straddle a
+    document boundary are dropped by a vectorized per-document gather
+    (no per-doc Python loop, no per-doc ``encode`` — the strings never
+    materialize as Python objects).  Returns ``(codes: uint32[total],
+    counts: int64[n_rows])`` with ``counts[i] = max(0, bytes_i − 2)``;
+    null rows count 0."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "").cast(pa.large_utf8())
+    n = len(col)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + n + 1
+    ]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    b = data[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    counts = np.maximum(np.diff(offs) - 2, 0)
+    total = int(counts.sum())
+    if len(b) < 3 or total == 0:
+        return np.empty(0, np.uint32), counts
+    codes = b[:-2].astype(np.uint32)
+    codes <<= 8
+    codes |= b[1:-1]
+    codes <<= 8
+    codes |= b[2:]
+    # valid trigram starts of row i are offs[i] .. offs[i+1]-3; the
+    # only flat positions to drop are the ≤2 straddlers before each
+    # row boundary (offs[i]-2, offs[i]-1 — provably never inside any
+    # row's valid range), so one boolean mask replaces a full gather
+    mask = np.ones(len(codes), dtype=bool)
+    bounds = offs[1:]
+    bad = np.concatenate([bounds - 2, bounds - 1])
+    bad = bad[(bad >= 0) & (bad < len(codes))]
+    mask[bad] = False
+    return codes[mask], counts
+
+
 def train_char_lm(ds, *, text_col: str = "text", alpha: float = 1.0):
     """Distributed byte-trigram counts → dense log-probability table.
 
@@ -593,14 +636,15 @@ def train_char_lm(ds, *, text_col: str = "text", alpha: float = 1.0):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        codes = [ _byte_trigrams(x) for x in t[text_col].to_pylist() ]
-        codes = [c for c in codes if len(c)]
-        if not codes:
+        # one flat-buffer pass over the block (no per-doc encode loop)
+        # — identical code multiset to the per-doc _byte_trigrams walk
+        codes, _counts = _flat_trigram_codes(t[text_col])
+        if not len(codes):
             return pa.table(
                 {"tri": pa.array([], pa.int64()),
                  "_n": pa.array([], pa.int64())}
             )
-        tri, cnt = np.unique(np.concatenate(codes), return_counts=True)
+        tri, cnt = np.unique(codes, return_counts=True)
         return pa.table(
             {"tri": pa.array(tri.astype(np.int64)),
              "_n": pa.array(cnt.astype(np.int64))}
@@ -629,22 +673,34 @@ def char_lm_surprisal(ds, logp_ref, *, text_col: str = "text",
                       out_col: str = "surprisal_micro"):
     """Per-document mean byte-trigram surprisal (−mean log p), as an
     int64 MICRO value (⌊nats × 1e6⌋ — deterministic to compare and
-    threshold; float mean over a fixed-order per-doc array is
-    reproducible bit-for-bit).  Docs shorter than one trigram score
-    NULL-free 0.  ``logp_ref`` is the ``ray.put`` handle of
-    :func:`train_char_lm`'s table — fetched once per task from the
-    local object store."""
+    threshold; the per-doc mean is a float64 weighted ``bincount``
+    fold over the block's flat trigram codes, sequential and
+    order-fixed, hence reproducible bit-for-bit).  Docs shorter than
+    one trigram score NULL-free 0.  ``logp_ref`` is the ``ray.put``
+    handle of :func:`train_char_lm`'s table — fetched once per task
+    from the local object store."""
     import ray
 
     def score(t: pa.Table) -> pa.Table:
         logp = ray.get(logp_ref)
+        # one flat-buffer pass: codes for ALL docs, per-doc fold via
+        # a weighted bincount (float64 sequential accumulation) — no
+        # per-doc Python loop
+        codes, counts = _flat_trigram_codes(t[text_col])
         out = np.zeros(t.num_rows, dtype=np.int64)
-        for i, x in enumerate(t[text_col].to_pylist()):
-            tri = _byte_trigrams(x)
-            if len(tri):
-                out[i] = int(
-                    np.floor(-float(np.mean(logp[tri])) * 1_000_000)
-                )
+        if len(codes):
+            doc_idx = np.repeat(
+                np.arange(t.num_rows, dtype=np.int64), counts
+            )
+            sums = np.bincount(
+                doc_idx,
+                weights=logp[codes].astype(np.float64),
+                minlength=t.num_rows,
+            )
+            has = counts > 0
+            out[has] = np.floor(
+                -(sums[has] / counts[has]) * 1_000_000
+            ).astype(np.int64)
         return pa.table({id_col: t[id_col], out_col: pa.array(out)})
 
     return ds.map_batches(score, batch_format="pyarrow")

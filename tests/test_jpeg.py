@@ -162,7 +162,9 @@ class TestMediaDecoderIntegration:
         """synth_real_media_batch payloads decode (strict) to the
         md5-derived dimensions/durations — the invariant the SQL
         oracle of the media_decode_real driver query relies on — and
-        the fixture set exercises all three real codecs."""
+        the fixture set exercises every real codec variant (PNG,
+        baseline + progressive JPEG, PCM + IMA-ADPCM WAV, MP4
+        container probe)."""
         import hashlib
 
         import pyarrow as pa
@@ -172,7 +174,7 @@ class TestMediaDecoderIntegration:
             synth_real_media_batch,
         )
 
-        ids = [f"assets/img_{i}.png" for i in range(20)]
+        ids = [f"assets/img_{i}.png" for i in range(60)]
         media = synth_real_media_batch(
             pa.table({"asset_id": pa.array(ids, pa.string())})
         )
@@ -181,18 +183,27 @@ class TestMediaDecoderIntegration:
         codecs = set()
         for a in ids:
             h = hashlib.md5(a.encode()).digest()
-            if h[0] % 2 == 0:
+            kind = h[0] % 3
+            if kind == 0:
                 assert rows[a]["media_type"] == "image"
                 assert rows[a]["width"] == 16 + h[2] % 64
                 assert rows[a]["height"] == 16 + h[3] % 64
                 assert rows[a]["duration_ms"] == 0
-                codecs.add("png" if h[5] % 2 == 0 else "jpeg")
-            else:
+                codecs.add(("png", "jpeg", "jpeg_prog")[h[10] % 3])
+            elif kind == 1:
                 assert rows[a]["media_type"] == "audio"
                 assert rows[a]["duration_ms"] == 500 + h[4] * 20
                 assert rows[a]["width"] == 0 and rows[a]["height"] == 0
-                codecs.add("wav")
-        assert codecs == {"png", "jpeg", "wav"}  # all real codecs hit
+                codecs.add("wav_pcm" if h[11] % 2 == 0 else "wav_adpcm")
+            else:
+                assert rows[a]["media_type"] == "video"
+                assert rows[a]["width"] == 16 + h[2] % 64
+                assert rows[a]["height"] == 16 + h[3] % 64
+                assert rows[a]["duration_ms"] == 500 + h[4] * 20
+                codecs.add("mp4")
+        assert codecs == {
+            "png", "jpeg", "jpeg_prog", "wav_pcm", "wav_adpcm", "mp4",
+        }  # every real codec variant hit
 
 
 class TestJpegProperties:
