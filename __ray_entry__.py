@@ -1953,6 +1953,70 @@ def _q_media_decode_real(sf_dir: str):
     )
 
 
+def _q_media_thumbnails(sf_dir: str):
+    """REAL image resize, value-checked end to end: real-codec image
+    payloads (PNG / baseline JPEG / SOF2 JPEG) are decoded, box-filter
+    downsampled to fit 16 px (stages/multimodal.py resize_images,
+    strict — no fallback) and re-encoded as PNG; the query then
+    decodes each thumbnail PNG BACK and reports its true dimensions —
+    so source decode, integer thumb-dims arithmetic, resample AND PNG
+    re-encode must all be right for the md5-derived oracle values to
+    match."""
+    import pyarrow as pa
+
+    from obsidian_parser_ray import synth_vault
+    from obsidian_parser_ray.stages.multimodal import (
+        media_from_vault,
+        resize_images,
+        synth_real_media_batch,
+    )
+
+    media = media_from_vault(
+        synth_vault(sf_dir), synth=synth_real_media_batch
+    )
+    thumbs = resize_images(media, max_dim=16, strict=True)
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        from obsidian_parser_ray.stages.png import decode_png
+
+        ws, hs = [], []
+        for p in t["thumb"].to_pylist():
+            img = decode_png(p)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+        return pa.table({
+            "asset_id": t["asset_id"],
+            "src_w": t["src_w"],
+            "src_h": t["src_h"],
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+        })
+
+    return thumbs.map_batches(roundtrip, batch_format="pyarrow")
+
+
+def _q_media_frame_sample(sf_dir: str):
+    """REAL video frame sampling, value-checked per frame: every asset
+    becomes a motion-JPEG MP4 with genuine stsz/stco sample tables
+    (stages/mp4.py encode_mjpeg_mp4); the stage walks the tables,
+    extracts every 2nd frame byte-exactly and decodes it with the real
+    baseline-JPEG codec (stages/multimodal.py sample_video_frames,
+    strict).  Planted constant grays are multiples of the quality-85
+    DC quantizer step, so decoded dims AND the per-frame mean gray
+    match the md5-derived SQL oracle bit-for-bit."""
+    from obsidian_parser_ray import synth_vault
+    from obsidian_parser_ray.stages.multimodal import (
+        media_from_vault,
+        sample_video_frames,
+        synth_mjpeg_media_batch,
+    )
+
+    media = media_from_vault(
+        synth_vault(sf_dir), synth=synth_mjpeg_media_batch
+    )
+    return sample_video_frames(media, stride=2, strict=True)
+
+
 def _q_doc_decontaminate(sf_dir: str):
     """Train/test decontamination: distinct 5-gram overlap counts of
     training docs against a benchmark subset (doc_id % 29 == 0),
@@ -3245,6 +3309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_approx_users": _q_events_type_approx_users,
         "media_features": _q_media_features,
         "media_decode_real": _q_media_decode_real,
+        "media_thumbnails": _q_media_thumbnails,
+        "media_frame_sample": _q_media_frame_sample,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "doc_lm_quality": _q_doc_lm_quality,
@@ -4275,6 +4341,59 @@ SELECT asset_id,
        CASE WHEN b0 % 3 = 0 THEN 0 ELSE 500 + b4 * 20 END::BIGINT
          AS duration_ms
 FROM h
+""",
+        # real resize: image assets only (md5[0]%3=0); thumb dims are
+        # the same integer-floor arithmetic thumb_dims() applies, and
+        # the query decodes the thumbnail PNG back so the values can
+        # only match if the full decode→resample→re-encode path ran
+        "media_thumbnails": r"""
+WITH assets AS (
+  SELECT DISTINCT 'assets/img_' || (doc_id % 10) || '.png' AS asset_id
+  FROM documents WHERE doc_id % 6 = 0
+),
+h AS (
+  SELECT asset_id,
+         ('0x' || substr(md5(asset_id), 1, 2))::INT AS b0,
+         16 + ('0x' || substr(md5(asset_id), 5, 2))::INT % 64 AS w,
+         16 + ('0x' || substr(md5(asset_id), 7, 2))::INT % 64 AS hh
+  FROM assets
+)
+SELECT asset_id,
+       w::BIGINT AS src_w, hh::BIGINT AS src_h,
+       CASE WHEN greatest(w, hh) <= 16 THEN w
+            ELSE greatest(1, (w * 16) // greatest(w, hh)) END::BIGINT
+         AS width,
+       CASE WHEN greatest(w, hh) <= 16 THEN hh
+            ELSE greatest(1, (hh * 16) // greatest(w, hh)) END::BIGINT
+         AS height
+FROM h WHERE b0 % 3 = 0
+""",
+        # real MJPEG frame sampling: every 2nd frame of each asset's
+        # 2 + md5[5]%6 frames; gray is the planted constant
+        # 63 + 5*((md5[4]+i) % 26), reproduced EXACTLY by the real
+        # JPEG round trip (multiples of the q85 DC quantizer step)
+        "media_frame_sample": r"""
+WITH assets AS (
+  SELECT DISTINCT 'assets/img_' || (doc_id % 10) || '.png' AS asset_id
+  FROM documents WHERE doc_id % 6 = 0
+),
+h AS (
+  SELECT asset_id,
+         16 + ('0x' || substr(md5(asset_id), 5, 2))::INT % 64 AS w,
+         16 + ('0x' || substr(md5(asset_id), 7, 2))::INT % 64 AS hh,
+         ('0x' || substr(md5(asset_id), 9, 2))::INT AS b4,
+         2 + ('0x' || substr(md5(asset_id), 11, 2))::INT % 6 AS n
+  FROM assets
+),
+f AS (
+  SELECT asset_id, w, hh, b4,
+         unnest(generate_series(0, n - 1)) AS frame_index
+  FROM h
+)
+SELECT asset_id, frame_index::BIGINT AS frame_index,
+       w::BIGINT AS width, hh::BIGINT AS height,
+       (63 + 5 * ((b4 + frame_index) % 26))::BIGINT AS gray
+FROM f WHERE frame_index % 2 = 0
 """,
         # gaps between consecutive events per user; median() over
         # BIGINT gaps interpolates exactly like numpy on sorted ints

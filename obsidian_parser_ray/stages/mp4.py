@@ -151,3 +151,169 @@ def encode_minimal_mp4(*, width: int, height: int,
     trak = _box(b"trak", _box(b"tkhd", tkhd_body) + mdia)
     moov = _box(b"moov", _box(b"mvhd", mvhd_body) + trak)
     return ftyp + moov
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG in ISO BMFF: real sample tables, real frame extraction
+# ---------------------------------------------------------------------------
+
+def encode_mjpeg_mp4(frames: list, *, width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """JPEG frame payloads → a structurally valid motion-JPEG MP4.
+
+    Real ISO/IEC 14496-12 sample-table plumbing: ``ftyp`` + ``mdat``
+    (the concatenated JPEG frames) + ``moov`` whose track carries a
+    ``'jpeg'`` VisualSampleEntry and genuine ``stts`` (one run of
+    ``len(frames)`` samples at ``timescale // fps`` ticks), ``stsc``
+    (one sample per chunk), ``stsz`` (per-frame byte sizes) and
+    ``stco`` (absolute file offsets into ``mdat``) boxes —
+    :func:`sample_frames` recovers every frame byte-exactly by walking
+    those tables, exactly as a real demuxer would.  Timescale is 1000
+    so ``probe_mp4`` reports ``duration_ms = len(frames)*1000//fps``
+    exactly.
+    """
+    if not frames:
+        raise ValueError("encode_mjpeg_mp4 needs at least one frame")
+    n = len(frames)
+    duration_ms = n * 1000 // fps
+    matrix = bytes.fromhex(
+        "000100000000000000000000"
+        "000000000001000000000000"
+        "000000000000000040000000"
+    )
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) +
+                b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(frames))
+    # absolute frame offsets: ftyp + mdat box header, then cumulative
+    base = len(ftyp) + 8
+    offsets, pos = [], base
+    for f in frames:
+        offsets.append(pos)
+        pos += len(f)
+
+    mvhd_body = (
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1000) + struct.pack(">I", duration_ms)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 2 + b"\x00" * 8 + matrix + b"\x00" * 24
+        + struct.pack(">I", 2)
+    )
+    tkhd_body = (
+        b"\x00\x00\x00\x07" + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1) + b"\x00" * 4
+        + struct.pack(">I", duration_ms) + b"\x00" * 8
+        + struct.pack(">HH", 0, 0) + struct.pack(">HH", 0, 0) + matrix
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    mdhd_body = (
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1000) + struct.pack(">I", duration_ms)
+        + struct.pack(">HH", 0x55C4, 0)          # language 'und'
+    )
+    hdlr = _box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12
+        + b"VideoHandler\x00",
+    )
+    # VisualSampleEntry 'jpeg' (§12.1.3): 6 reserved + dref index,
+    # then the fixed 70-byte visual body
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)           # frame_count
+        + b"\x00" * 32                                 # compressorname
+        + struct.pack(">Hh", 24, -1),                  # depth, pre_def
+    )
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1)
+                + sample_entry)
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">I", 1)
+                + struct.pack(">II", n, 1000 // fps))
+    stsc = _box(b"stsc", b"\x00" * 4 + struct.pack(">I", 1)
+                + struct.pack(">III", 1, 1, 1))
+    stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">I", 0)
+                + struct.pack(">I", n)
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stco = _box(b"stco", b"\x00" * 4 + struct.pack(">I", n)
+                + b"".join(struct.pack(">I", o) for o in offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    dref = _box(b"dref", b"\x00" * 4 + struct.pack(">I", 1)
+                + _box(b"url ", b"\x00\x00\x00\x01"))
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", _box(b"mdhd", mdhd_body) + hdlr + minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd_body) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd_body) + trak)
+    return ftyp + mdat + moov
+
+
+def _find_stbl(payload: bytes):
+    """Return (stsz_sizes, stco_offsets) of the first video track."""
+    for btype, body, bend in _boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _boxes(payload, body, bend):
+            if ctype != b"trak":
+                continue
+            path = [(b"mdia",), (b"minf",), (b"stbl",)]
+            lo, hi = cbody, cend
+            for want in path:
+                found = None
+                for t, b2, e2 in _boxes(payload, lo, hi):
+                    if t in want:
+                        found = (b2, e2)
+                        break
+                if found is None:
+                    break
+                lo, hi = found
+            else:
+                sizes = offsets = None
+                for t, b2, e2 in _boxes(payload, lo, hi):
+                    if t == b"stsz":
+                        fixed, cnt = struct.unpack(
+                            ">II", payload[b2 + 4:b2 + 12]
+                        )
+                        if fixed:
+                            sizes = [fixed] * cnt
+                        else:
+                            sizes = list(struct.unpack(
+                                f">{cnt}I",
+                                payload[b2 + 12:b2 + 12 + 4 * cnt],
+                            ))
+                    elif t == b"stco":
+                        cnt = struct.unpack(
+                            ">I", payload[b2 + 4:b2 + 8]
+                        )[0]
+                        offsets = list(struct.unpack(
+                            f">{cnt}I",
+                            payload[b2 + 8:b2 + 8 + 4 * cnt],
+                        ))
+                if sizes is not None and offsets is not None:
+                    return sizes, offsets
+    raise ValueError("no track with stsz/stco sample tables")
+
+
+def sample_frames(payload: bytes, *, stride: int = 1,
+                  limit: int | None = None) -> list:
+    """Extract every ``stride``-th sample's bytes by walking the
+    ``stsz``/``stco`` tables (one sample per chunk, the layout
+    :func:`encode_mjpeg_mp4` writes) — the container-level half of
+    video frame sampling, byte-exact, no codec work.  Returns
+    ``[(sample_index, frame_bytes), ...]``; ``limit`` caps the count
+    (a frame-sample stage never needs every frame of every video)."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    sizes, offsets = _find_stbl(payload)
+    if len(sizes) != len(offsets):
+        raise ValueError("stsz/stco sample-count mismatch")
+    out = []
+    for i in range(0, len(sizes), stride):
+        if limit is not None and len(out) >= limit:
+            break
+        o, s = offsets[i], sizes[i]
+        if o + s > len(payload):
+            raise ValueError(f"sample {i} exceeds payload")
+        out.append((i, payload[o:o + s]))
+    return out

@@ -1,22 +1,33 @@
-"""Multimodal (image/audio) plumbing: opaque binary payload columns with
-typed metadata, decoded/featurized by actor-pool stages.
+"""Multimodal (image/audio/video) plumbing: opaque binary payload
+columns with typed metadata, decoded/featurized by batch stages.
 
 The media table schema::
 
-    asset_id: string, media_type: string ('image'|'audio'),
+    asset_id: string, media_type: string ('image'|'audio'|'video'),
     payload: binary, meta_json: string
 
-:class:`MediaDecoder` decodes 8-bit non-interlaced PNG and baseline
-(SOF0) JPEG images FOR REAL with the pure-stdlib codecs in :mod:`.png`
-/ :mod:`.jpeg` (true dimensions, perceptual average-hash,
-pixel-histogram embedding).  Remaining formats (progressive JPEG,
-audio) need PIL / torchaudio / ffmpeg, which are NOT in this
-container: ``strict=False`` (default) falls back to a deterministic
-fake decode derived from the payload bytes, ``strict=True`` raises
-``NotImplementedError`` for them (the production hook — drop a real
-library into ``_decode_impl``).  The surrounding plumbing — schema,
-Arrow binary round-trip, small-batch actor-pool sizing, output
-layout — is shared by both paths and tested.
+The four stages of the brief's multimodal family, all REAL:
+
+* **decode / feature-extract** — :class:`MediaDecoder` decodes PNG,
+  baseline (SOF0) AND progressive (SOF2) JPEG, PCM + IMA-ADPCM WAV,
+  and probes ISO BMFF/MP4 containers with the pure-stdlib codecs in
+  :mod:`.png` / :mod:`.jpeg` / :mod:`.jpeg_progressive` / :mod:`.wav`
+  / :mod:`.mp4` (true dimensions/durations, perceptual hashes,
+  histogram/energy embeddings).
+* **resize** — :func:`resize_images`: real decode → exact vectorized
+  box-filter downsample → real PNG re-encode.
+* **frame-sample** — :func:`sample_video_frames`: real ``stsz``/
+  ``stco`` sample-table walk over motion-JPEG MP4s, byte-exact frame
+  extraction, real JPEG decode per sampled frame.
+
+Formats beyond those (arithmetic-coded JPEG, perceptual audio codecs
+like MP3/AAC/Opus, non-MJPEG video codecs) need PIL / torchaudio /
+ffmpeg, which are NOT in this container: ``strict=False`` (default)
+falls back to a deterministic fake decode derived from the payload
+bytes, ``strict=True`` raises ``NotImplementedError`` for them (the
+production hook — drop a real library into ``_decode_impl``).  The
+surrounding plumbing — schema, Arrow binary round-trip, small-batch
+sizing, output layout — is shared by both paths and tested.
 
 Scale notes: binary payloads make rows wide → the stage runs with a
 small ``batch_size`` (payload bytes × batch_size × concurrency must
@@ -368,4 +379,227 @@ def decode_media(media, *, strict: bool = False, batch_size: int = 64,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image resize (real, vectorized box filter)
+# ---------------------------------------------------------------------------
+
+def box_downsample(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact area-average (box-filter) downsample, fully vectorized.
+
+    Output pixel ``(i, j)`` is the integer mean (floor division — a
+    fixed, reproducible rounding rule) of the source rectangle
+    ``rows [floor(i*H/out_h), floor((i+1)*H/out_h)) ×
+    cols [floor(j*W/out_w), floor((j+1)*W/out_w))`` — the standard
+    integer-edge area bucketing.  Two ``np.add.reduceat`` passes (rows
+    then cols) over an int64 accumulator; no per-pixel Python loop.
+    Works for (H, W) and (H, W, C) uint8; requires out dims ≤ src dims
+    (downsample only — a training-data thumbnail stage never upsamples).
+    """
+    h, w = img.shape[:2]
+    if not (0 < out_h <= h and 0 < out_w <= w):
+        raise ValueError("box_downsample is downsample-only")
+    r_edges = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    c_edges = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    r_cnt = np.diff(np.append(r_edges, h))
+    c_cnt = np.diff(np.append(c_edges, w))
+    acc = np.add.reduceat(img.astype(np.int64), r_edges, axis=0)
+    acc = np.add.reduceat(acc, c_edges, axis=1)
+    cnt = r_cnt[:, None] * c_cnt[None, :]
+    if img.ndim == 3:
+        cnt = cnt[:, :, None]
+    return (acc // cnt).astype(np.uint8)
+
+
+def thumb_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Aspect-preserving thumbnail dims: unchanged when both fit,
+    else the long side becomes ``max_dim`` and the short side scales
+    by the same integer-floor ratio (never below 1).  Pure integer
+    arithmetic so a SQL oracle reproduces it exactly."""
+    m = max(w, h)
+    if m <= max_dim:
+        return w, h
+    return max(1, (w * max_dim) // m), max(1, (h * max_dim) // m)
+
+
+def resize_images(media, *, max_dim: int = 16, strict: bool = False,
+                  batch_size: int = 64):
+    """Media table → PNG thumbnail table (REAL decode → box filter →
+    REAL re-encode), the standard vision-pipeline preprocessing stage.
+
+    Each ``image`` row's payload is sniffed and decoded with the real
+    pure-stdlib codecs (PNG / baseline JPEG / progressive SOF2 JPEG),
+    area-averaged down to fit ``max_dim`` (:func:`box_downsample`,
+    aspect preserved via :func:`thumb_dims`), and re-encoded as PNG.
+    Non-image rows and (when ``strict=False``) undecodable payloads
+    are dropped; ``strict=True`` raises on an undecodable image — the
+    driver-gate mode.
+
+    Stateless per row (no model, no compiled state) → a plain
+    ``map_batches`` task stage, not an actor pool; small
+    ``batch_size`` bounds heap for wide binary rows exactly like
+    :func:`decode_media`.
+
+    Output: ``(asset_id, src_w, src_h, width, height, thumb)`` where
+    ``thumb`` is the encoded PNG and (width, height) its dimensions.
+    No reference analog (the reference has no media handling); extends
+    the beyond-reference multimodal family (brief: decode /
+    feature-extract / **resize** / frame-sample).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg_baseline, is_jpeg
+        from .jpeg_progressive import (
+            decode_jpeg_progressive,
+            is_progressive_jpeg,
+        )
+        from .png import decode_png, encode_png, is_png
+
+        ids, sw, sh, tw, th, thumbs = [], [], [], [], [], []
+        mt = t["media_type"].to_pylist()
+        for a, m, p in zip(
+            t["asset_id"].to_pylist(), mt, t["payload"].to_pylist()
+        ):
+            if m != "image":
+                continue
+            img = None
+            if is_png(p):
+                img = decode_png(p)
+            elif is_jpeg(p):
+                try:
+                    img = (decode_jpeg_progressive(p)
+                           if is_progressive_jpeg(p)
+                           else decode_jpeg_baseline(p))
+                except ValueError:
+                    img = None
+            if img is None:
+                if strict:
+                    raise ValueError(
+                        f"resize_images(strict): undecodable image {a!r}"
+                    )
+                continue
+            h_px, w_px = img.shape[:2]
+            ow, oh = thumb_dims(w_px, h_px, max_dim)
+            small = box_downsample(img, oh, ow)
+            ids.append(a)
+            sw.append(w_px)
+            sh.append(h_px)
+            tw.append(ow)
+            th.append(oh)
+            thumbs.append(encode_png(small))
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "src_w": pa.array(sw, pa.int64()),
+            "src_h": pa.array(sh, pa.int64()),
+            "width": pa.array(tw, pa.int64()),
+            "height": pa.array(th, pa.int64()),
+            "thumb": pa.array(thumbs, pa.binary()),
+        })
+
+    return media.map_batches(
+        kernel, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (real MJPEG container walk + real JPEG decode)
+# ---------------------------------------------------------------------------
+
+def synth_mjpeg_media_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic motion-JPEG media table: every asset becomes a
+    REAL MJPEG MP4 (:func:`~.mp4.encode_mjpeg_mp4`) of ``2 + md5[5]%6``
+    constant-gray frames at planted dims ``(16+md5[2]%64) ×
+    (16+md5[3]%64)``; frame ``i``'s gray is ``63 + 5*((md5[4]+i)%26)``
+    — multiples of 5 around 128, so the quality-85 DC quantizer (step
+    5) reproduces every pixel EXACTLY and the frame-sample gate can
+    value-check decoded grays bit-for-bit.  Same md5 derivation the
+    SQL oracle recomputes."""
+    from .jpeg import encode_jpeg_baseline
+    from .mp4 import encode_mjpeg_mp4
+
+    ids = batch["asset_id"].to_pylist()
+    payloads = []
+    for a in ids:
+        h = hashlib.md5(a.encode()).digest()
+        w = 16 + h[2] % 64
+        hh = 16 + h[3] % 64
+        n = 2 + h[5] % 6
+        frames = [
+            encode_jpeg_baseline(
+                np.full((hh, w), 63 + 5 * ((h[4] + i) % 26), np.uint8),
+                quality=85,
+            )
+            for i in range(n)
+        ]
+        payloads.append(encode_mjpeg_mp4(frames, width=w, height=hh))
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array(["video"] * len(ids), pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(["{}"] * len(ids), pa.string()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def sample_video_frames(media, *, stride: int = 2,
+                        max_frames: int | None = None,
+                        strict: bool = False, batch_size: int = 16):
+    """Media table → per-frame feature rows: every ``stride``-th frame
+    of each video is located by a REAL ISO BMFF sample-table walk
+    (``stsz``/``stco`` via :func:`~.mp4.sample_frames`) and decoded by
+    the REAL baseline-JPEG codec — the frame-sample stage of a
+    multimodal training pipeline (brief: decode / feature-extract /
+    resize / **frame-sample**).
+
+    Non-video rows are dropped; a video whose container or frames
+    don't parse is dropped when ``strict=False`` and raises when
+    ``strict=True`` (the driver-gate mode).  Stateless per row → a
+    plain ``map_batches`` task stage; ``batch_size`` is small because
+    one input row explodes into ``n_frames`` decoded images.
+
+    Output: ``(asset_id, frame_index, width, height, gray)`` — decoded
+    dims and the rounded mean gray level of each sampled frame.
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg_baseline
+        from .mp4 import is_mp4, sample_frames
+
+        ids, idxs, ws, hs, gs = [], [], [], [], []
+        for a, m, p in zip(
+            t["asset_id"].to_pylist(),
+            t["media_type"].to_pylist(),
+            t["payload"].to_pylist(),
+        ):
+            if m != "video":
+                continue
+            try:
+                if not is_mp4(p):
+                    raise ValueError("not ISO BMFF")
+                for i, fb in sample_frames(
+                    p, stride=stride, limit=max_frames
+                ):
+                    img = decode_jpeg_baseline(fb)
+                    h_px, w_px = img.shape[:2]
+                    ids.append(a)
+                    idxs.append(i)
+                    ws.append(w_px)
+                    hs.append(h_px)
+                    gs.append(int(round(float(img.mean()))))
+            except ValueError:
+                if strict:
+                    raise
+                continue
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "frame_index": pa.array(idxs, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "gray": pa.array(gs, pa.int64()),
+        })
+
+    return media.map_batches(
+        kernel, batch_format="pyarrow", batch_size=batch_size
     )

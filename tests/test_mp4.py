@@ -141,3 +141,65 @@ class TestStrictVideoPath:
         })
         with pytest.raises(NotImplementedError):
             MediaDecoder(strict=True)(t)
+
+
+class TestMjpegSampleTables:
+    def test_frame_round_trip_byte_exact(self):
+        """sample_frames recovers every frame byte-exactly from the
+        stsz/stco tables, at every stride."""
+        import numpy as np
+
+        from obsidian_parser_ray.stages.jpeg import encode_jpeg_baseline
+        from obsidian_parser_ray.stages.mp4 import (
+            encode_mjpeg_mp4,
+            probe_mp4,
+            sample_frames,
+        )
+
+        rng = np.random.RandomState(7)
+        frames = [
+            encode_jpeg_baseline(
+                rng.randint(0, 256, (24, 16)).astype(np.uint8)
+            )
+            for _ in range(5)
+        ]
+        mp4 = encode_mjpeg_mp4(frames, width=16, height=24, fps=10)
+        # container metadata probes like any other MP4
+        assert probe_mp4(mp4) == {
+            "width": 16, "height": 24, "duration_ms": 500,
+        }
+        for stride in (1, 2, 3):
+            got = sample_frames(mp4, stride=stride)
+            assert [i for i, _ in got] == list(range(0, 5, stride))
+            for i, fb in got:
+                assert fb == frames[i]
+        # limit caps the count
+        assert [i for i, _ in sample_frames(mp4, limit=2)] == [0, 1]
+
+    def test_constant_gray_decodes_exactly(self):
+        """Grays that are multiples of the q85 DC quantizer step (5)
+        around 128 survive the JPEG round trip bit-for-bit — the
+        invariant the media_frame_sample oracle relies on."""
+        import numpy as np
+
+        from obsidian_parser_ray.stages.jpeg import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+
+        for g in range(63, 189, 5):
+            img = np.full((20, 33), g, np.uint8)  # non-multiple-of-8
+            out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=85))
+            assert (out == g).all(), g
+
+    def test_sample_frames_rejects_plain_mp4(self):
+        import pytest
+
+        from obsidian_parser_ray.stages.mp4 import (
+            encode_minimal_mp4,
+            sample_frames,
+        )
+
+        payload = encode_minimal_mp4(width=8, height=8, duration_ms=100)
+        with pytest.raises(ValueError):
+            sample_frames(payload)

@@ -59,3 +59,182 @@ class TestPipeline:
             f"assets/img_{i}.png" for i in (0, 2, 4, 6, 8)
         ]
         assert feats["phash"].nunique() == len(feats)
+
+
+class TestResizeImages:
+    def test_box_downsample_matches_reference_loop(self):
+        """Vectorized reduceat kernel == the per-pixel definition on
+        random shapes, grayscale and RGB."""
+        import numpy as np
+
+        from obsidian_parser_ray.stages.multimodal import (
+            box_downsample,
+            thumb_dims,
+        )
+
+        def ref(img, oh, ow):
+            h, w = img.shape[:2]
+            out = np.zeros((oh, ow) + img.shape[2:], np.uint8)
+            for i in range(oh):
+                r0, r1 = (i * h) // oh, ((i + 1) * h) // oh
+                for j in range(ow):
+                    c0, c1 = (j * w) // ow, ((j + 1) * w) // ow
+                    blk = img[r0:r1, c0:c1].astype(np.int64)
+                    out[i, j] = (
+                        blk.reshape(-1, *img.shape[2:]).sum(0)
+                        // ((r1 - r0) * (c1 - c0))
+                    )
+            return out
+
+        rng = np.random.RandomState(3)
+        for _ in range(25):
+            h, w = rng.randint(1, 70, 2)
+            shape = (h, w) if rng.rand() < 0.5 else (h, w, 3)
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            ow, oh = thumb_dims(w, h, 16)
+            assert (box_downsample(img, oh, ow) == ref(img, oh, ow)).all()
+
+    def test_constant_image_stays_constant(self):
+        import numpy as np
+
+        from obsidian_parser_ray.stages.multimodal import box_downsample
+
+        img = np.full((57, 31, 3), 77, np.uint8)
+        assert (box_downsample(img, 9, 5) == 77).all()
+
+    def test_thumb_dims_contract(self):
+        from obsidian_parser_ray.stages.multimodal import thumb_dims
+
+        assert thumb_dims(10, 12, 16) == (10, 12)       # fits: unchanged
+        assert thumb_dims(64, 32, 16) == (16, 8)        # long side pinned
+        assert thumb_dims(32, 64, 16) == (8, 16)
+        assert thumb_dims(400, 3, 16) == (16, 1)        # never below 1
+
+    def test_resize_stage_round_trip(self, ray_session):
+        """Stage output thumbnails decode back to the contract dims
+        and to the exact box-filter pixels of the decoded source."""
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.multimodal import (
+            box_downsample,
+            resize_images,
+            synth_real_media_batch,
+            thumb_dims,
+        )
+        from obsidian_parser_ray.stages.jpeg import decode_jpeg_baseline, is_jpeg
+        from obsidian_parser_ray.stages.jpeg_progressive import (
+            decode_jpeg_progressive,
+            is_progressive_jpeg,
+        )
+        from obsidian_parser_ray.stages.png import decode_png, is_png
+
+        ids = [f"assets/img_{i}.png" for i in range(30)]
+        media_t = synth_real_media_batch(
+            pa.table({"asset_id": pa.array(ids, pa.string())})
+        )
+        out = resize_images(
+            rd.from_arrow(media_t), max_dim=16, strict=True
+        ).take_all()
+        src = {
+            a: p for a, m, p in zip(
+                media_t["asset_id"].to_pylist(),
+                media_t["media_type"].to_pylist(),
+                media_t["payload"].to_pylist(),
+            ) if m == "image"
+        }
+        assert {r["asset_id"] for r in out} == set(src)
+        for r in out:
+            p = src[r["asset_id"]]
+            if is_png(p):
+                img = decode_png(p)
+            elif is_progressive_jpeg(p):
+                img = decode_jpeg_progressive(p)
+            else:
+                assert is_jpeg(p)
+                img = decode_jpeg_baseline(p)
+            h, w = img.shape[:2]
+            assert (r["src_w"], r["src_h"]) == (w, h)
+            ow, oh = thumb_dims(w, h, 16)
+            assert (r["width"], r["height"]) == (ow, oh)
+            thumb = decode_png(r["thumb"])
+            want = box_downsample(img, oh, ow)
+            # PNG round trip is lossless: pixels must be identical
+            assert thumb.shape == want.shape
+            assert (thumb == want).all()
+
+    def test_strict_raises_on_garbage_image(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.multimodal import resize_images
+
+        t = pa.table({
+            "asset_id": pa.array(["x"]),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([b"\x01" * 50], pa.binary()),
+            "meta_json": pa.array(["{}"]),
+        })
+        with pytest.raises(Exception):
+            resize_images(rd.from_arrow(t), strict=True).take_all()
+        # non-strict drops the row instead
+        assert resize_images(rd.from_arrow(t), strict=False).count() == 0
+
+
+class TestSampleVideoFrames:
+    def test_sampled_grays_and_dims(self, ray_session):
+        """Every 2nd frame of every synthesized MJPEG asset decodes to
+        the planted md5-derived dims and exact gray."""
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.multimodal import (
+            sample_video_frames,
+            synth_mjpeg_media_batch,
+        )
+
+        ids = [f"assets/img_{i}.png" for i in range(8)]
+        media_t = synth_mjpeg_media_batch(
+            pa.table({"asset_id": pa.array(ids, pa.string())})
+        )
+        rows = sample_video_frames(
+            rd.from_arrow(media_t), stride=2, strict=True
+        ).take_all()
+        by_asset = {}
+        for r in rows:
+            by_asset.setdefault(r["asset_id"], []).append(r)
+        for a in ids:
+            h = hashlib.md5(a.encode()).digest()
+            n = 2 + h[5] % 6
+            got = sorted(by_asset[a], key=lambda r: r["frame_index"])
+            assert [r["frame_index"] for r in got] == list(range(0, n, 2))
+            for r in got:
+                assert r["width"] == 16 + h[2] % 64
+                assert r["height"] == 16 + h[3] % 64
+                assert r["gray"] == 63 + 5 * ((h[4] + r["frame_index"]) % 26)
+
+    def test_non_video_rows_dropped(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.multimodal import (
+            sample_video_frames,
+            synth_real_media_batch,
+        )
+
+        ids = [f"assets/img_{i}.png" for i in range(12)]
+        media_t = synth_real_media_batch(
+            pa.table({"asset_id": pa.array(ids, pa.string())})
+        )
+        # synth_real videos are metadata-only MP4s (no sample tables)
+        # → strict=False drops them along with image/audio rows
+        out = sample_video_frames(
+            rd.from_arrow(media_t), strict=False
+        ).count()
+        assert out == 0
