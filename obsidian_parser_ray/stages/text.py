@@ -1409,23 +1409,27 @@ def build_term_index(ds, index_dir: str, *, text_col: str = "text",
     from ..hashing import hash_bucket_array
 
     def explode(t: pa.Table) -> pa.Table:
-        from collections import Counter
+        # vectorized twin of the per-doc
+        # Counter(_TERM_RE.findall(x)) loop: one Arrow regex split
+        # over the block, then one C++ hash aggregation for the
+        # per-(doc, term) tf — the tokens never exist as Python
+        # objects
+        import pyarrow.compute as pc
 
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        out_id: list = []
-        out_term: list = []
-        out_tf: list = []
-        for i, x in zip(ids, texts):
-            c = Counter(tok.lower() for tok in _TERM_RE.findall(x or ""))
-            out_id.extend([i] * len(c))
-            out_term.extend(c.keys())
-            out_tf.extend(c.values())
-        terms = pa.array(out_term, pa.string())
+        flat, lens = _flat_alnum_tokens(t[text_col])
+        ids = t[id_col].take(
+            pa.array(np.repeat(np.arange(t.num_rows), lens), pa.int64())
+        )
+        g = (
+            pa.table({id_col: ids, "term": flat})
+            .group_by([id_col, "term"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        terms = g["term"].combine_chunks()
         return pa.table({
-            id_col: pa.array(out_id, t.schema.field(id_col).type),
+            id_col: g[id_col],
             "term": terms,
-            "tf": pa.array(out_tf, pa.int64()),
+            "tf": pc.cast(g["count_all"], pa.int64()),
             "bucket": hash_bucket_array(terms, num_buckets),
         })
 
