@@ -1120,19 +1120,34 @@ def char_pair_counts(ds, *, text_col: str = "text", k: int = 50):
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        blob = b"\x00".join(
-            (s or "").encode("utf-8", "surrogatepass") for s in texts
-        )
-        if len(blob) < 2:
+        # pairs straight off the column's flat UTF-8 data buffer (the
+        # buffer IS the docs' byte concatenation) — no per-doc encode
+        # loop, no joined copy; row-straddling pairs are dropped by a
+        # boundary mask, and pairs containing a genuine NUL byte are
+        # dropped exactly as the NUL-separator formulation did
+        import pyarrow.compute as pc
+
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "").cast(pa.large_utf8())
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        b = data[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        if len(b) < 2:
             return pa.table({
                 "code": pa.array([], pa.int32()),
                 "n": pa.array([], pa.int64()),
             })
-        a = np.frombuffer(blob, dtype=np.uint8)
-        hi, lo = a[:-1], a[1:]
-        valid = (hi != 0) & (lo != 0)
-        codes = hi[valid].astype(np.int32) * 256 + lo[valid]
+        hi, lo = b[:-1], b[1:]
+        mask = (hi != 0) & (lo != 0)
+        bad = offs[1:] - 1  # pair starting at a row's last byte
+        bad = bad[(bad >= 0) & (bad < len(mask))]
+        mask[bad] = False
+        codes = hi[mask].astype(np.int32) * 256 + lo[mask]
         counts = np.bincount(codes, minlength=65536)
         nz = np.flatnonzero(counts)
         return pa.table({
