@@ -219,21 +219,57 @@ def quality_score_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
     integer form is bit-reproducible by the DuckDB oracle (identical
     IEEE-754 op order on both sides, then an exact floor), so the
     driver hash-compares this op end to end.  Word count here is the
-    ASCII-whitespace count (RE2 ``\\s+`` parity)."""
-    texts = t[text_col].to_pylist()
-    scores, micros = [], []
-    for x in texts:
-        n_words = ascii_word_count(x) or 1
-        len_score = min(1.0, n_words / 50.0) * (1.0 if n_words < 2000 else 0.5)
-        punct_ratio = count_punct(x) / max(1, len(x))
-        punct_score = 1.0 if punct_ratio < 0.1 else 0.5
-        stop_ratio = count_stopwords(x) / n_words
-        stop_score = min(1.0, stop_ratio * 5)
-        raw = (len_score + punct_score + stop_score) / 3
-        scores.append(round(raw, 6))
-        micros.append(int(np.floor(raw * 1000000.0)))
+    ASCII-whitespace count (RE2 ``\\s+`` parity).
+
+    Vectorized: token/punct/stopword counts are Arrow kernels (the
+    same ``_flat_*`` helpers as :func:`text_profile`) and the score
+    arithmetic is elementwise float64 numpy — binary64 op-for-op
+    identical to the scalar formulation (each step is a single IEEE
+    operation per element, in the same order).  Only the final
+    ``round(raw, 6)`` stays a scalar loop: Python's float round is
+    correctly-rounded decimal, which ``np.round``'s scale-and-round
+    is not guaranteed to reproduce in the last ulp."""
+    import pyarrow.compute as pc
+
+    txt = t[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    n = t.num_rows
+
+    _, lens = _flat_split(txt, r"\s+")
+    nw = np.where(lens == 0, 1, lens).astype(np.float64)
+
+    n_punct = None
+    for ch in PUNCT:
+        c = pc.count_substring(txt, ch)
+        n_punct = c if n_punct is None else pc.add(n_punct, c)
+    n_punct = n_punct.to_numpy(zero_copy_only=False).astype(np.float64)
+    n_chars = np.maximum(
+        1, pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+
+    flat, tlens = _flat_lower_tokens(txt)
+    n_stop = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        stop_arr = pa.array(sorted(_STOP_SETS["en"]), pa.string())
+        hit = pc.is_in(flat, value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        )
+        if hit.any():
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), tlens)
+            n_stop = np.bincount(doc_of[hit], minlength=n)
+
+    len_score = np.minimum(1.0, nw / 50.0) * np.where(nw < 2000, 1.0, 0.5)
+    punct_score = np.where(n_punct / n_chars < 0.1, 1.0, 0.5)
+    stop_score = np.minimum(1.0, (n_stop / nw) * 5)
+    raw = (len_score + punct_score + stop_score) / 3
+    scores = [round(float(r), 6) for r in raw]
+    micros = np.floor(raw * 1000000.0).astype(np.int64)
     t = t.append_column("quality", pa.array(scores, pa.float64()))
-    return t.append_column("quality_micro", pa.array(micros, pa.int64()))
+    return t.append_column(
+        "quality_micro", pa.array(micros, pa.int64())
+    )
 
 
 class LangId:
