@@ -307,11 +307,48 @@ class LangId:
         return best
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
+        # vectorized twin of predict() over the whole batch: one
+        # lowered whitespace split, one is_in + bincount per language
+        # (value sets are actor state), argmax with predict()'s exact
+        # strictly-greater / sorted-code tie-break, then the script
+        # overrides as two Arrow RE2 sweeps (CJK wins over Cyrillic,
+        # same check order as predict)
+        import pyarrow.compute as pc
+
+        txt = t[self.text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        n = t.num_rows
+        langs = sorted(self.tables)
+        flat, lens = _flat_lower_tokens(txt)
+        scores = np.zeros((n, len(langs)), np.int64)
+        if len(flat):
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            for j, lang in enumerate(langs):
+                hit = pc.is_in(
+                    flat,
+                    value_set=pa.array(sorted(self.tables[lang]),
+                                       pa.string()),
+                ).to_numpy(zero_copy_only=False)
+                if hit.any():
+                    scores[:, j] = np.bincount(doc_of[hit], minlength=n)
+        best_idx = scores.argmax(axis=1) if langs else np.zeros(n, np.int64)
+        best_score = scores[np.arange(n), best_idx] if langs else np.zeros(n)
+        pred = np.array(langs + ["und"], dtype=object)[best_idx]
+        pred[best_score == 0] = "und"
+        cyr = pc.match_substring_regex(txt, self.cyr.pattern).to_numpy(
+            zero_copy_only=False
+        )
+        cjk = pc.match_substring_regex(txt, self.cjk.pattern).to_numpy(
+            zero_copy_only=False
+        )
+        pred[cyr] = "ru"
+        pred[cjk] = "zh"
         return pa.table(
             {
                 self.id_col: t[self.id_col],
-                "pred_lang": pa.array([self.predict(x) for x in texts], pa.string()),
+                "pred_lang": pa.array(list(pred), pa.string()),
             }
         )
 
