@@ -687,3 +687,129 @@ class TestTermIndex:
                          num_buckets=4)
         with pytest.raises(ValueError, match="pure-negation"):
             search_term_index(idx, none_of=("vector",))
+
+
+class TestVectorizedKernelParity:
+    """Lock the late-r4 flat-buffer/Arrow kernels to their scalar
+    reference formulations — any divergence is a correctness bug, not
+    a perf regression."""
+
+    def _adversarial_texts(self):
+        return [
+            "", " ", "a", "ab", "abc", None,
+            "the quick brown fox",
+            "unicode: héllo wörld … 中文 привет",
+            "\n\n\nlines\nlines\n",
+            "punct!!! ... ;;; :::",
+            "x" * 5000,
+            "the " * 3000,                      # >2000 words
+            "\x00embedded\x00nul",              # genuine NULs
+            "tab\tand  runs   of space",
+        ]
+
+    def test_flat_trigram_codes_match_per_doc_walk(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from obsidian_parser_ray.stages.text import (
+            _byte_trigrams,
+            _flat_trigram_codes,
+        )
+
+        texts = self._adversarial_texts()
+        col = pa.array(texts, pa.string())
+        codes, counts = _flat_trigram_codes(col)
+        # per-row counts match, and the flat code sequence equals the
+        # per-doc walks concatenated in row order (same codes, same
+        # order — not just the same multiset)
+        want_parts = [_byte_trigrams(x or "") for x in texts]
+        assert list(counts) == [len(w) for w in want_parts]
+        want = (np.concatenate(want_parts)
+                if any(len(w) for w in want_parts)
+                else np.empty(0, np.uint32))
+        assert codes.dtype == np.uint32
+        assert np.array_equal(codes, want.astype(np.uint32))
+
+    def test_quality_scores_bit_equal_scalar_formulation(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from obsidian_parser_ray.stages.text import (
+            ascii_word_count,
+            count_punct,
+            count_stopwords,
+            quality_score_batch,
+        )
+
+        texts = [x for x in self._adversarial_texts() if x is not None]
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        out = quality_score_batch(t)
+        for i, x in enumerate(texts):
+            n_words = ascii_word_count(x) or 1
+            len_score = (min(1.0, n_words / 50.0)
+                         * (1.0 if n_words < 2000 else 0.5))
+            punct_ratio = count_punct(x) / max(1, len(x))
+            punct_score = 1.0 if punct_ratio < 0.1 else 0.5
+            stop_ratio = count_stopwords(x) / n_words
+            stop_score = min(1.0, stop_ratio * 5)
+            raw = (len_score + punct_score + stop_score) / 3
+            assert out["quality"][i].as_py() == round(raw, 6), x[:40]
+            assert out["quality_micro"][i].as_py() == int(
+                np.floor(raw * 1000000.0)
+            ), x[:40]
+
+    def test_langid_batch_matches_scalar_predict(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from obsidian_parser_ray.stages.text import LangId
+
+        li = LangId()
+        fixed = [
+            "the quick brown fox and the lazy dog",
+            "der und die das ist ein",
+            "", "xyzzy plugh qwerty",
+            "这是中文 the and of",
+            "привет мир the and",
+            "这是 привет",                       # CJK beats Cyrillic
+            "THE AND OF IS",
+            "el la de que y en un the and",
+        ]
+        rng = np.random.RandomState(11)
+        vocab = ["the", "and", "der", "die", "el", "la", "не", "и",
+                 "xyz", "of", "que", "en", "un", "ist", "ein", "das"]
+        fuzz = [" ".join(rng.choice(vocab, rng.randint(0, 25)))
+                for _ in range(200)]
+        texts = fixed + fuzz
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        got = li(t)["pred_lang"].to_pylist()
+        assert got == [li.predict(x) for x in texts]
+
+    def test_char_pair_partial_handles_nuls_and_boundaries(self, ray_session):
+        """Flat-buffer pair counting == brute-force per-doc pair
+        counting, with genuine NUL bytes excluded (the old NUL-join
+        formulation's semantics) and no cross-row pairs."""
+        from collections import Counter
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import char_pair_counts
+
+        texts = ["abab", "b\x00a", "", "a", "ba", "日本", "ab"]
+        want = Counter()
+        for x in texts:
+            bs = x.encode("utf-8")
+            for i in range(len(bs) - 1):
+                if bs[i] and bs[i + 1]:
+                    want[bytes(bs[i:i + 2]).decode("latin-1")] += 1
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+        out = char_pair_counts(ds.repartition(3), k=50).to_pandas()
+        got = dict(zip(out["pair"], out["n"]))
+        assert got == dict(want)
