@@ -2017,6 +2017,67 @@ def _q_media_frame_sample(sf_dir: str):
     return sample_video_frames(media, stride=2, strict=True)
 
 
+def _q_doc_media_join(sf_dir: str):
+    """Cross-modal join, value-checked end to end: media spans are
+    extracted from the vault (one (note, asset_id) row per media
+    span), the assets are strict-decoded through the real six-codec
+    path, and the decoded features are joined back to the notes with
+    the general M:N `hash_join` (stages/joins.py:361) — the standard
+    'which documents carry which media, and what is in that media'
+    enrichment of a multimodal training pipeline.  The SQL oracle
+    rebuilds the doc→asset mapping from the vault spec (doc_id%6==0 →
+    assets/img_{doc_id%10}.png) and the planted decode values from
+    md5(asset_id)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from obsidian_parser_ray import synth_vault
+    from obsidian_parser_ray.stages.joins import hash_join
+    from obsidian_parser_ray.stages.multimodal import (
+        decode_media,
+        media_from_vault,
+        synth_real_media_batch,
+    )
+
+    vault = synth_vault(sf_dir)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        offs = spans.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lens = np.diff(offs - offs[0])
+        notes = t["doc_id"].take(
+            pa.array(
+                np.repeat(np.arange(t.num_rows, dtype=np.int64), lens),
+                pa.int64(),
+            )
+        )
+        mask = pc.equal(flat.field("kind"), "media")
+        return pa.table({
+            "note": notes.filter(mask),
+            "asset_id": flat.field("media_ref").filter(mask),
+        })
+
+    feats = decode_media(
+        media_from_vault(vault, synth=synth_real_media_batch),
+        strict=True, concurrency=1,
+    ).select_columns(
+        ["asset_id", "media_type", "width", "height", "duration_ms"]
+    )
+    return hash_join(
+        vault.map_batches(pairs, batch_format="pyarrow"),
+        feats,
+        left_key="asset_id",
+        num_partitions=8,
+    )
+
+
 def _q_doc_decontaminate(sf_dir: str):
     """Train/test decontamination: distinct 5-gram overlap counts of
     training docs against a benchmark subset (doc_id % 29 == 0),
@@ -3311,6 +3372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_real": _q_media_decode_real,
         "media_thumbnails": _q_media_thumbnails,
         "media_frame_sample": _q_media_frame_sample,
+        "doc_media_join": _q_doc_media_join,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "doc_lm_quality": _q_doc_lm_quality,
@@ -4394,6 +4456,34 @@ SELECT asset_id, frame_index::BIGINT AS frame_index,
        w::BIGINT AS width, hh::BIGINT AS height,
        (63 + 5 * ((b4 + frame_index) % 26))::BIGINT AS gray
 FROM f WHERE frame_index % 2 = 0
+""",
+        # cross-modal join: vault media spans (doc_id%6==0 →
+        # assets/img_{doc_id%10}.png per the corpus spec) joined to
+        # the strict-decoded features, values from md5(asset_id)
+        "doc_media_join": r"""
+WITH pairs AS (
+  SELECT 'note_' || doc_id AS note,
+         'assets/img_' || (doc_id % 10) || '.png' AS asset_id
+  FROM documents WHERE doc_id % 6 = 0
+),
+h AS (
+  SELECT DISTINCT asset_id,
+         ('0x' || substr(md5(asset_id), 1, 2))::INT AS b0,
+         ('0x' || substr(md5(asset_id), 5, 2))::INT AS b2,
+         ('0x' || substr(md5(asset_id), 7, 2))::INT AS b3,
+         ('0x' || substr(md5(asset_id), 9, 2))::INT AS b4
+  FROM pairs
+)
+SELECT p.note, p.asset_id,
+       CASE b0 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CASE WHEN b0 % 3 = 1 THEN 0 ELSE 16 + b2 % 64 END::BIGINT
+         AS width,
+       CASE WHEN b0 % 3 = 1 THEN 0 ELSE 16 + b3 % 64 END::BIGINT
+         AS height,
+       CASE WHEN b0 % 3 = 0 THEN 0 ELSE 500 + b4 * 20 END::BIGINT
+         AS duration_ms
+FROM pairs p JOIN h USING (asset_id)
 """,
         # gaps between consecutive events per user; median() over
         # BIGINT gaps interpolates exactly like numpy on sorted ints
