@@ -2078,6 +2078,30 @@ def _q_doc_media_join(sf_dir: str):
     )
 
 
+def _q_media_image_neardup(sf_dir: str):
+    """Image near-duplicate pairs, value-checked: every asset is a
+    real PNG of its md5-group's shared base image plus a
+    mean-preserving two-pixel edit (stages/multimodal.py
+    synth_neardup_images_batch — same-group average-hashes are within
+    Hamming ≤ 2 BY CONSTRUCTION, cross-group hashes are independent),
+    so strict decode → perceptual hash → pigeonhole pairing
+    (stages/dedup.py hash64_neardup_pairs) must return exactly the
+    same-group pairs the SQL oracle derives from md5(asset_id)."""
+    from obsidian_parser_ray import synth_vault
+    from obsidian_parser_ray.stages.multimodal import (
+        image_neardup_pairs,
+        media_from_vault,
+        synth_neardup_images_batch,
+    )
+
+    media = media_from_vault(
+        synth_vault(sf_dir), synth=synth_neardup_images_batch
+    )
+    return image_neardup_pairs(
+        media, max_hamming=3, strict=True
+    ).select_columns(["id_a", "id_b"])
+
+
 def _q_doc_decontaminate(sf_dir: str):
     """Train/test decontamination: distinct 5-gram overlap counts of
     training docs against a benchmark subset (doc_id % 29 == 0),
@@ -3373,6 +3397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbnails": _q_media_thumbnails,
         "media_frame_sample": _q_media_frame_sample,
         "doc_media_join": _q_doc_media_join,
+        "media_image_neardup": _q_media_image_neardup,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "doc_lm_quality": _q_doc_lm_quality,
@@ -4484,6 +4509,22 @@ SELECT p.note, p.asset_id,
        CASE WHEN b0 % 3 = 0 THEN 0 ELSE 500 + b4 * 20 END::BIGINT
          AS duration_ms
 FROM pairs p JOIN h USING (asset_id)
+""",
+        # image near-dup: expected pairs are exactly 'same md5-derived
+        # base group' (the synth guarantees same-group ahash Hamming
+        # ≤ 2 and independent cross-group hashes)
+        "media_image_neardup": r"""
+WITH assets AS (
+  SELECT DISTINCT 'assets/img_' || (doc_id % 10) || '.png' AS asset_id
+  FROM documents WHERE doc_id % 6 = 0
+),
+b AS (
+  SELECT asset_id,
+         ('0x' || substr(md5(asset_id), 3, 2))::INT % 4 AS base
+  FROM assets
+)
+SELECT x.asset_id AS id_a, y.asset_id AS id_b
+FROM b x JOIN b y ON x.base = y.base AND x.asset_id < y.asset_id
 """,
         # gaps between consecutive events per user; median() over
         # BIGINT gaps interpolates exactly like numpy on sorted ints

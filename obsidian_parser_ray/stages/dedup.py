@@ -926,39 +926,48 @@ def _dedup_pairs(pairs, seed: pa.Table, agg):
     return pairs.groupby(["id_a", "id_b"]).aggregate(agg)
 
 
-def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
-                  max_bucket: int = 500, batch_size: int | None = 512,
-                  num_partitions: int = 64):
-    """Near-dup pairs by SimHash within Hamming ≤ max_hamming.
+def hash64_neardup_pairs(ds, *, hash_col: str, id_col="doc_id",
+                         max_hamming: int = 3, max_bucket: int = 500,
+                         batch_size: int | None = 512,
+                         num_partitions: int = 64):
+    """Near-dup pairs of PRE-COMPUTED 64-bit hashes within Hamming ≤
+    ``max_hamming`` — the pigeonhole pairing core shared by
+    :func:`simhash_pairs` (text) and
+    ``multimodal.image_neardup_pairs`` (perceptual image hashes).
 
-    Block-permutation trick: split the 64-bit hash into 4 16-bit
-    blocks; two hashes within Hamming ≤ 3 are GUARANTEED to share at
-    least one exact block (pigeonhole) → bucket groupby per block,
-    verify Hamming inside buckets.  ``max_hamming`` above 3 lowers the
-    recall guarantee (pairs must still collide on some block).
+    ``hash_col`` is an int64 column holding the bit-reinterpreted
+    uint64 hash.  Block-permutation trick: split the 64 bits into 4
+    16-bit blocks; two hashes within Hamming ≤ 3 are GUARANTEED to
+    share at least one exact block (pigeonhole) → bucket groupby per
+    block, exact Hamming verify inside buckets.  ``max_hamming``
+    above 3 lowers the recall guarantee (pairs must still collide on
+    some block).  Output: (id_a, id_b, hamming), id_a < id_b,
+    globally deduped with min hamming kept.
     """
     id_t = _id_type(ds, id_col)
 
-    def add_simhash(t: pa.Table) -> pa.Table:
-        hs = [simhash64(x) for x in t[text_col].to_pylist()]
-        ids = t[id_col].to_pylist()
-        rows_id, rows_block, rows_key, rows_hash = [], [], [], []
-        for doc_id, h in zip(ids, hs):
-            for blk in range(4):
-                key = (h >> (16 * blk)) & 0xFFFF
-                rows_id.append(doc_id)
-                rows_block.append(blk)
-                rows_key.append(key * 4 + blk)  # disambiguated bucket key
-                rows_hash.append(h - (1 << 63))  # store as signed int64
+    def add_blocks(t: pa.Table) -> pa.Table:
+        # vectorized 4-way explode: one row per (hash, 16-bit block)
+        h = t[hash_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ).view(np.uint64)
+        n = len(h)
+        ids = t[id_col].take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), 4),
+                     pa.int64())
+        )
+        blk = np.tile(np.arange(4, dtype=np.uint64), n)
+        hr = np.repeat(h, 4)
+        key = (
+            ((hr >> (blk << np.uint64(4))) & np.uint64(0xFFFF))
+            * np.uint64(4) + blk
+        ).astype(np.int64)  # disambiguated bucket key
         return pa.table(
             {
-                id_col: pa.array(rows_id, id_t),
-                "block": pa.array(rows_block, pa.int32()),
-                "block_key": pa.array(rows_key, pa.int32()),
-                "simhash": pa.array(rows_hash, pa.int64()),
-                "part": hash_bucket_array(
-                    np.asarray(rows_key, dtype=np.int64), num_partitions
-                ),
+                id_col: ids,
+                "block_key": pa.array(key.astype(np.int32), pa.int32()),
+                "simhash": pa.array(hr.view(np.int64), pa.int64()),
+                "part": hash_bucket_array(key, num_partitions),
             }
         )
 
@@ -990,7 +999,7 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
     from ray.data.aggregate import Min
 
     pairs = (
-        ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=batch_size)
+        ds.map_batches(add_blocks, batch_format="pyarrow", batch_size=batch_size)
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -998,6 +1007,33 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
         pairs,
         _empty_pairs(id_t, "hamming", pa.int64()),
         Min("hamming", alias_name="hamming"),
+    )
+
+
+def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3,
+                  max_bucket: int = 500, batch_size: int | None = 512,
+                  num_partitions: int = 64):
+    """Near-dup pairs by SimHash within Hamming ≤ max_hamming —
+    :func:`simhash64` per doc, then the shared pigeonhole pairing
+    (:func:`hash64_neardup_pairs`)."""
+
+    def add_simhash(t: pa.Table) -> pa.Table:
+        hs = np.fromiter(
+            (simhash64(x) for x in t[text_col].to_pylist()),
+            dtype=np.uint64, count=t.num_rows,
+        )
+        return pa.table({
+            id_col: t[id_col],
+            "_h64": pa.array(hs.view(np.int64), pa.int64()),
+        })
+
+    hashed = ds.map_batches(
+        add_simhash, batch_format="pyarrow", batch_size=batch_size
+    )
+    return hash64_neardup_pairs(
+        hashed, hash_col="_h64", id_col=id_col, max_hamming=max_hamming,
+        max_bucket=max_bucket, batch_size=batch_size,
+        num_partitions=num_partitions,
     )
 
 

@@ -603,3 +603,112 @@ def sample_video_frames(media, *, stride: int = 2,
     return media.map_batches(
         kernel, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate pairs (perceptual hash × pigeonhole pairing)
+# ---------------------------------------------------------------------------
+
+def synth_neardup_images_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic near-duplicate image table: every asset is a real
+    PNG of the shared 32×32 base image of its md5-derived group
+    (``md5[1] % 4``) plus a mean-preserving two-pixel perturbation
+    (+4 / −4 at md5-derived positions).  Because the perturbation
+    preserves the pixel sum and touches at most two 4×4 cells of the
+    8×8 average-hash grid, same-group assets are GUARANTEED within
+    Hamming ≤ 2 of each other while cross-group hashes are
+    independent random 64-bit patterns — so the expected near-dup
+    pair set is exactly 'same base group', SQL-derivable from
+    md5(asset_id)."""
+    from .png import encode_png
+
+    ids = batch["asset_id"].to_pylist()
+    payloads = []
+    bases = {}
+    for a in ids:
+        h = hashlib.md5(a.encode()).digest()
+        base = h[1] % 4
+        if base not in bases:
+            bases[base] = np.random.RandomState(7000 + base).randint(
+                50, 200, (32, 32)
+            ).astype(np.uint8)
+        img = bases[base].copy()
+        flat = img.reshape(-1)
+        p1 = h[6] % flat.size
+        p2 = (p1 + 1 + h[7] % (flat.size - 1)) % flat.size
+        flat[p1] += 4
+        flat[p2] -= 4
+        payloads.append(encode_png(img))
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array(["image"] * len(ids), pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(["{}"] * len(ids), pa.string()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def image_neardup_pairs(media, *, max_hamming: int = 3,
+                        strict: bool = False, batch_size: int = 64,
+                        num_partitions: int = 64):
+    """Near-duplicate image pairs: REAL decode → perceptual
+    average-hash → the shared 64-bit pigeonhole pairing
+    (:func:`~.dedup.hash64_neardup_pairs`) — the image twin of
+    SimHash text dedup, the crawl-dedup stage that removes re-hosted
+    / lightly-edited copies of the same picture.
+
+    Non-image rows and (``strict=False``) undecodable payloads are
+    dropped; ``strict=True`` raises.  Output: (id_a, id_b, hamming),
+    id_a < id_b.
+    """
+    from .dedup import hash64_neardup_pairs
+
+    def ahash64(t: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg_baseline, is_jpeg
+        from .jpeg_progressive import (
+            decode_jpeg_progressive,
+            is_progressive_jpeg,
+        )
+        from .png import average_hash, decode_png, is_png
+
+        ids, hs = [], []
+        for a, m, p in zip(
+            t["asset_id"].to_pylist(),
+            t["media_type"].to_pylist(),
+            t["payload"].to_pylist(),
+        ):
+            if m != "image":
+                continue
+            img = None
+            if is_png(p):
+                img = decode_png(p)
+            elif is_jpeg(p):
+                try:
+                    img = (decode_jpeg_progressive(p)
+                           if is_progressive_jpeg(p)
+                           else decode_jpeg_baseline(p))
+                except ValueError:
+                    img = None
+            if img is None:
+                if strict:
+                    raise ValueError(
+                        f"image_neardup_pairs(strict): undecodable {a!r}"
+                    )
+                continue
+            ids.append(a)
+            hs.append(int(average_hash(img), 16))
+        h = np.array(hs, dtype=np.uint64) if hs else np.empty(0, np.uint64)
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "_h64": pa.array(h.view(np.int64), pa.int64()),
+        })
+
+    hashed = media.map_batches(
+        ahash64, batch_format="pyarrow", batch_size=batch_size
+    )
+    return hash64_neardup_pairs(
+        hashed, hash_col="_h64", id_col="asset_id",
+        max_hamming=max_hamming, num_partitions=num_partitions,
+    )

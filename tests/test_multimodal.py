@@ -238,3 +238,85 @@ class TestSampleVideoFrames:
             rd.from_arrow(media_t), strict=False
         ).count()
         assert out == 0
+
+
+class TestImageNeardup:
+    def test_planted_groups_found_exactly(self, ray_session):
+        """Strict decode → ahash → pigeonhole pairing returns exactly
+        the same-base-group pairs on a 24-asset planted universe."""
+        import hashlib
+        from itertools import combinations
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.multimodal import (
+            image_neardup_pairs,
+            synth_neardup_images_batch,
+        )
+
+        ids = [f"imgs/pic_{i}" for i in range(24)]
+        media_t = synth_neardup_images_batch(
+            pa.table({"asset_id": pa.array(ids, pa.string())})
+        )
+        out = image_neardup_pairs(
+            rd.from_arrow(media_t), max_hamming=3, strict=True
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in out}
+        base = {a: hashlib.md5(a.encode()).digest()[1] % 4 for a in ids}
+        want = {
+            (a, b) for a, b in combinations(sorted(ids), 2)
+            if base[a] == base[b]
+        }
+        assert got == want
+        for r in out:
+            assert r["hamming"] <= 2  # the synth's construction bound
+
+    def test_hash64_pairing_on_raw_ints(self, ray_session):
+        """hash64_neardup_pairs over explicit hashes: Hamming ≤ 3
+        found (pigeonhole guarantee), > 3 excluded."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.dedup import hash64_neardup_pairs
+
+        base = np.uint64(0xDEADBEEFCAFEF00D)
+        hs = np.array([
+            base,
+            base ^ np.uint64(0b101),            # hamming 2 from base
+            base ^ (np.uint64(1) << np.uint64(63)),  # hamming 1
+            np.uint64(0x0123456789ABCDEF),      # far away
+        ], dtype=np.uint64)
+        t = pa.table({
+            "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "h": pa.array(hs.view(np.int64), pa.int64()),
+        })
+        out = hash64_neardup_pairs(
+            rd.from_arrow(t), hash_col="h", id_col="doc_id",
+            max_hamming=3,
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+        assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 3}
+
+    def test_non_image_and_strict_paths(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.multimodal import (
+            image_neardup_pairs,
+        )
+
+        t = pa.table({
+            "asset_id": pa.array(["x", "y"]),
+            "media_type": pa.array(["audio", "image"]),
+            "payload": pa.array([b"\x00" * 32, b"\x01" * 32], pa.binary()),
+            "meta_json": pa.array(["{}", "{}"]),
+        })
+        # non-strict: audio row and garbage image both dropped
+        assert image_neardup_pairs(
+            rd.from_arrow(t), strict=False
+        ).count() == 0
+        with pytest.raises(Exception):
+            image_neardup_pairs(rd.from_arrow(t), strict=True).take_all()
