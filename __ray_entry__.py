@@ -2128,6 +2128,38 @@ def _q_doc_decontaminate(sf_dir: str):
     )
 
 
+def _q_doc_line_dedup(sf_dir: str):
+    """C4-style global exact-line dedup (stages/dedup.py dedup_lines):
+    deterministic line structure is planted identically in Ray and SQL
+    (a corpus-wide shared footer — one winner —, a 7-group footer, an
+    always-kept short line, a per-doc unique line, plus the original
+    text as line 0 so real exact-dup docs dedup too), then every
+    duplicated line of length ≥ 3 is kept only at its minimal
+    (doc_id, line_no) occurrence.  clean_text, n_lines and n_removed
+    must hash-match the SQL row_number() twin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.dedup import dedup_lines
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.string())
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        g = pa.array((ids % 7).astype("U1"))
+        planted = pc.binary_join_element_wise(
+            t["text"], "\nshared footer alpha\ngroup footer ", g,
+            "\nok\nunique line ", d, "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": planted})
+
+    return dedup_lines(
+        docs.map_batches(plant, batch_format="pyarrow"), min_len=3
+    )
+
+
 def _q_doc_redact(sf_dir: str):
     """PII redaction, value-checked end to end: deterministic PII
     (email/IP/long-number derived from doc_id) is planted identically
@@ -3399,6 +3431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_media_join": _q_doc_media_join,
         "media_image_neardup": _q_media_image_neardup,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
+        "doc_line_dedup": _q_doc_line_dedup,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "doc_lm_quality": _q_doc_lm_quality,
         "doc_normalize": _q_doc_normalize,
@@ -4856,6 +4889,40 @@ SELECT w.doc_id,
 FROM words w
 LEFT JOIN kept k USING (doc_id)
 LEFT JOIN counts c USING (doc_id)
+""",
+        # C4-style line dedup: same planted line structure, winner =
+        # min (doc_id, line_no) via row_number(); lines shorter than 3
+        # chars never participate (rn pinned to 1); docs whose every
+        # line is removed still emit a row (coalesce to '')
+        "doc_line_dedup": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || chr(10) || 'shared footer alpha' || chr(10) ||
+         'group footer ' || (doc_id % 7) || chr(10) || 'ok' ||
+         chr(10) || 'unique line ' || doc_id AS text
+  FROM documents
+),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS j
+  FROM split
+),
+ranked AS (
+  SELECT doc_id, line, j,
+         CASE WHEN length(line) >= 3
+              THEN row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, j)
+              ELSE 1 END AS rn
+  FROM lines
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY j)
+                FILTER (WHERE rn = 1), '') AS clean_text,
+       count(*)::BIGINT AS n_lines,
+       (count(*) FILTER (WHERE rn > 1))::BIGINT AS n_removed
+FROM ranked
+GROUP BY doc_id
 """,
         # sliding-window n-grams (NO partial gram for docs shorter than
         # n words — word_ngrams_exact parity); hits = DISTINCT shared

@@ -1883,3 +1883,205 @@ def edit1_pairs(ds, *, column: str, num_partitions: int = 64):
         return t.filter(pa.array(keep))
 
     return candidates.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# C4-style global exact-line dedup (Raffel et al. 2020, §2.2 "we
+# discarded all but one of any three-sentence span occurring more than
+# once" — the line-granularity variant used by most open pipelines):
+# every exact line that occurs at more than one position corpus-wide
+# is kept only at its FIRST occurrence and removed everywhere else.
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                min_len: int = 1, num_partitions: int = 64):
+    """Global first-occurrence-wins line dedup; returns
+    ``(id, clean_text, n_lines, n_removed)`` for EVERY input row.
+
+    Documents are split on literal ``\\n``; a line participates in
+    dedup only if ``len(line) >= min_len`` characters (shorter lines —
+    blanks, separators — are always kept, else every blank line after
+    the corpus's first would vanish).  The winner of a duplicated line
+    is the minimal ``(doc_id, line_no)`` occurrence, so the output is
+    deterministic and order-insensitive to block layout.  Duplicates
+    WITHIN one document dedup too (global positions, the C4 contract).
+
+    Dataflow (two bounded exchanges, nothing driver-side; the same
+    shape as :func:`remove_repeated_ngrams`):
+
+    1. line explode (one Arrow ``split_pattern`` per block; only
+       participating lines leave the map) →
+       ``groupby(part=hash(line))``: all occurrences of a line
+       co-locate, so one partition-local sort by
+       ``(line, doc_id, line_no)`` + adjacent-run mask finds the
+       winners — losers ``(id, line_no)`` are the only rows emitted;
+    2. losers ∪ docs co-partitioned on the id → per-doc rebuild
+       (drop removed line indexes, rejoin with ``\\n``).
+
+    Scale: exchange 1 carries each participating line once (line-hash
+    partitioned — complete groups per partition, skew bounded by the
+    most-repeated line, which is exactly the boilerplate this op
+    exists to remove; a pathological single line repeated O(corpus)
+    times lands in one partition but its group work is a sort, not a
+    quadratic pairing).  Exchange 2 carries one row per REMOVED line
+    plus the doc rows.  Nothing is pinned driver-side.
+    """
+    import pyarrow.compute as pc
+
+    id_t = _id_type(ds, id_col)
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(texts, pattern="\n")
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pos = (np.arange(len(flat), dtype=np.int64)
+               - starts[doc_of]).astype(np.int32)
+        part_mask = pc.greater_equal(
+            pc.utf8_length(flat), pa.scalar(min_len, pa.int32())
+        ).to_numpy(zero_copy_only=False)
+        keep = pa.array(part_mask)
+        flat_kept = flat.filter(keep)
+        return pa.table(
+            {
+                "part": hash_bucket_array(flat_kept, num_partitions),
+                "line": flat_kept,
+                id_col: pc.take(ids, pa.array(doc_of[part_mask])),
+                "line_no": pa.array(pos[part_mask]),
+            }
+        )
+
+    def losers(g: pa.Table) -> pa.Table:
+        # all occurrences of every line in this partition are here;
+        # winner = first row of each (line) run under the
+        # (line, id, line_no) sort — everything else is removed
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("line", "ascending"),
+                (id_col, "ascending"),
+                ("line_no", "ascending"),
+            ],
+        )
+        s = g.take(idx)
+        lines = s["line"]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        m = len(lines)
+        if m == 0:
+            return pa.table(
+                {id_col: pa.array([], id_t),
+                 "line_no": pa.array([], pa.int32())}
+            )
+        first = np.ones(m, dtype=bool)
+        if m > 1:
+            first[1:] = pc.not_equal(
+                lines.slice(1), lines.slice(0, m - 1)
+            ).to_numpy(zero_copy_only=False)
+        lose = pa.array(~first)
+        return pa.table(
+            {id_col: s[id_col].filter(lose),
+             "line_no": s["line_no"].filter(lose)}
+        )
+
+    removals = (
+        ds.map_batches(line_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(losers, batch_format="pyarrow")
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        m = len(ids)
+        return pa.table(
+            {
+                "part": hash_bucket_array(ids, num_partitions),
+                "is_hit": pa.array([False] * m, pa.bool_()),
+                id_col: ids,
+                "text": t[text_col],
+                "line_no": pa.nulls(m, pa.int32()),
+            }
+        )
+
+    def hit_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        m = len(ids)
+        return pa.table(
+            {
+                "part": hash_bucket_array(ids, num_partitions),
+                "is_hit": pa.array([True] * m, pa.bool_()),
+                id_col: ids,
+                "text": pa.nulls(m, pa.string()),
+                "line_no": t["line_no"],
+            }
+        )
+
+    tagged = ds.select_columns([id_col, text_col]).map_batches(
+        doc_rows, batch_format="pyarrow"
+    ).union(removals.map_batches(hit_rows, batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [
+            (id_col, id_t),
+            ("clean_text", pa.string()),
+            ("n_lines", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def rewrite(g: pa.Table) -> pa.Table:
+        is_hit = g["is_hit"]
+        if isinstance(is_hit, pa.ChunkedArray):
+            is_hit = is_hit.combine_chunks()
+        docs_side = g.filter(pc.invert(is_hit))
+        if docs_side.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], f.type) for f in out_schema], schema=out_schema
+            )
+        hit_side = g.filter(is_hit)
+        drop_by_doc: dict = {}
+        for d, p in zip(
+            hit_side[id_col].to_pylist(), hit_side["line_no"].to_pylist()
+        ):
+            drop_by_doc.setdefault(d, set()).add(p)
+        ids_out, clean, n_lines, n_removed = [], [], [], []
+        for d, x in zip(
+            docs_side[id_col].to_pylist(), docs_side["text"].to_pylist()
+        ):
+            lines = x.split("\n")
+            dropped = drop_by_doc.get(d)
+            ids_out.append(d)
+            n_lines.append(len(lines))
+            if dropped:
+                clean.append(
+                    "\n".join(
+                        ln for i, ln in enumerate(lines) if i not in dropped
+                    )
+                )
+                n_removed.append(len(dropped))
+            else:
+                clean.append(x)
+                n_removed.append(0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids_out, id_t),
+                pa.array(clean, pa.string()),
+                pa.array(n_lines, pa.int64()),
+                pa.array(n_removed, pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return tagged.groupby("part").map_groups(rewrite, batch_format="pyarrow")

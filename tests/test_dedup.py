@@ -701,3 +701,77 @@ class TestEdit1Pairs:
             params=[names, names],
         ).fetchall()
         assert got == set(map(tuple, exp))
+
+
+class TestDedupLines:
+    def _brute(self, docs: dict, min_len: int = 1):
+        occ: dict = {}
+        for d in sorted(docs):
+            for i, ln in enumerate(docs[d].split("\n")):
+                if len(ln) >= min_len:
+                    occ.setdefault(ln, []).append((d, i))
+        drop = set()
+        for lst in occ.values():
+            drop.update(sorted(lst)[1:])
+        out = {}
+        for d, t in docs.items():
+            lines = t.split("\n")
+            kept = [ln for i, ln in enumerate(lines) if (d, i) not in drop]
+            removed = sum(1 for i in range(len(lines)) if (d, i) in drop)
+            out[d] = ("\n".join(kept), len(lines), removed)
+        return out
+
+    def _run(self, docs: dict, ray_session, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.dedup import dedup_lines
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": list(docs),
+                    "text": [docs[d] for d in docs],
+                }
+            )
+        )
+        out = dedup_lines(ds, **kw).to_pandas()
+        return {
+            r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+            for r in out.itertuples()
+        }
+
+    def test_matches_bruteforce_random(self, ray_session):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        pool = [f"line number {i} content" for i in range(12)]
+        pool += ["", "x", "shared footer boilerplate"]
+        docs = {
+            d: "\n".join(
+                pool[rng.randint(len(pool))]
+                for _ in range(rng.randint(1, 9))
+            )
+            for d in range(40)
+        }
+        got = self._run(docs, ray_session)
+        assert got == self._brute(docs)
+
+    def test_min_len_guard_and_within_doc(self, ray_session):
+        docs = {
+            1: "aa\nlong shared line\n\naa",
+            2: "long shared line\nbb\n",
+        }
+        # min_len=3: 'aa', 'bb', '' never participate; doc 1 wins the
+        # shared line (smaller doc_id); doc 1's second 'aa' survives
+        # (below the guard) — within-doc dedup applies only to
+        # participating lines
+        got = self._run(docs, ray_session, min_len=3)
+        assert got[1] == ("aa\nlong shared line\n\naa", 4, 0)
+        assert got[2] == ("bb\n", 3, 1)
+
+    def test_within_doc_dedup_and_empty(self, ray_session):
+        docs = {5: "dup line\ndup line\ndup line", 6: ""}
+        got = self._run(docs, ray_session)
+        assert got[5] == ("dup line", 3, 2)
+        assert got[6] == ("", 1, 0)
