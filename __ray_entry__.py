@@ -2160,6 +2160,59 @@ def _q_doc_line_dedup(sf_dir: str):
     )
 
 
+def _q_orders_zorder_box(sf_dir: str):
+    """Z-order clustered layout (stages/layout.py): orders re-written
+    as a Morton-interleaved (o_custkey, cents) parquet layout, then a
+    2-D box query answered through manifest pruning + residual filter.
+    Values must hash-match the full-scan SQL box; ``pruned_ok``
+    additionally gates that the ~0.5% box touched under half the file
+    partitions (the data-skipping claim itself)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.layout import (
+        read_zorder,
+        write_zorder,
+        zorder_plan,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["o_totalprice"],
+                                         pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = tempfile.mkdtemp(prefix="zorder_gate_") + "/orders_z"
+    write_zorder(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        out, ["o_custkey", "cents"], bits=10, num_files=64,
+    )
+    ranges = {"o_custkey": (100, 400), "cents": (1_000_000, 2_000_000)}
+    sel, total = zorder_plan(out, ranges)
+    pruned_ok = len(sel) < total / 2
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pruned_ok", pa.array([pruned_ok] * t.num_rows, pa.bool_())
+        )
+
+    return read_zorder(out, ranges).map_batches(
+        tag, batch_format="pyarrow"
+    )
+
+
 def _q_doc_redact(sf_dir: str):
     """PII redaction, value-checked end to end: deterministic PII
     (email/IP/long-number derived from doc_id) is planted identically
@@ -3493,6 +3546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bool_search": _q_doc_bool_search,
         "sales_qty_percentile": _q_sales_qty_percentile,
         "orders_seek_page": _q_orders_seek_page,
+        "orders_zorder_box": _q_orders_zorder_box,
         "doc_ngram_novelty": _q_doc_ngram_novelty,
         "customer_record_linkage": _q_customer_record_linkage,
         "sales_yoy": _q_sales_yoy,
@@ -5617,6 +5671,16 @@ WHERE o_totalprice < 150000.0
    OR (o_totalprice = 150000.0 AND o_orderkey > 1000)
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20
+""",
+        # full-scan twin of the pruned z-order box read; pruned_ok is
+        # the Ray side's file-skipping gate (constant TRUE here)
+        "orders_zorder_box": r"""
+SELECT o_orderkey, o_custkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+       TRUE AS pruned_ok
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 400
+  AND floor(o_totalprice * 100) BETWEEN 1000000 AND 2000000
 """,
         "doc_ngram_novelty": r"""
 WITH toks AS (
