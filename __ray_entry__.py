@@ -660,6 +660,40 @@ def _q_events_approx_users(sf_dir: str):
     )
 
 
+def _q_events_countmin_types(sf_dir: str):
+    """Count-Min sketch per-type frequency estimates as a TOLERANCE
+    GATE (stages/sketch.py CountMinSketch): exact per-type counts come
+    from a distributed groupby (SQL-checkable), and ``cm_ok`` asserts
+    per type that the sketch estimate is a true overestimate within
+    the Cormode–Muthukrishnan bound (4× slack on (e/width)·N).  The
+    oracle expects (type, exact, TRUE) — any sketch regression flips
+    a boolean and fails the hash compare."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from obsidian_parser_ray.stages.sketch import countmin_counts
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    exact = (
+        ev.groupby("event_type").aggregate(Count(alias_name="n")).take_all()
+    )
+    cm = countmin_counts(ev, "event_type", width=2048, depth=4)
+    types = [r["event_type"] for r in exact]
+    true = np.array([r["n"] for r in exact], dtype=np.int64)
+    est = cm.query(types)
+    total = int(true.sum())
+    bound = 4 * (np.e / 2048) * total
+    ok = (est >= true) & ((est - true) <= bound)
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "n": true,
+            "cm_ok": [bool(x) for x in ok],
+        }
+    )
+
+
 def _q_events_topk_users(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -3447,6 +3481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": _q_events_topk_users,
         "events_hist": _q_events_hist,
         "events_approx_users": _q_events_approx_users,
+        "events_countmin_types": _q_events_countmin_types,
         "lang_stats": _q_lang_stats,
         "doc_langid": _q_doc_langid,
         "doc_minhash_neardup": _q_doc_minhash_neardup,
@@ -3950,6 +3985,12 @@ WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
         "events_approx_users": (
             "SELECT count(DISTINCT user_id)::BIGINT AS n_distinct_exact,"
             " TRUE AS hll_within_5pct FROM events"
+        ),
+        # tolerance gate: exact per-type counts + the Count-Min
+        # overestimate-within-bound boolean per type
+        "events_countmin_types": (
+            "SELECT event_type, count(*)::BIGINT AS n, TRUE AS cm_ok"
+            " FROM events GROUP BY event_type"
         ),
         # recall gate: the exact >=0.5-Jaccard pair count is fully
         # SQL-computable (same shingle rules as doc_ngram_jaccard);

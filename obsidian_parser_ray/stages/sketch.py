@@ -801,3 +801,100 @@ def grouped_winsorize(ds, *, column: str, group_col: str,
         return t.append_column(out_col, w)
 
     return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable
+# fixed-memory frequency table: est(v) >= true(v) always, and
+# est(v) <= true(v) + (e/width)·N with prob. 1 − e^(−depth).
+# ---------------------------------------------------------------------------
+
+
+class CountMinSketch:
+    """depth × width counter matrix over the canonical 64-bit hashes.
+
+    Row d's index uses the same Kirsch–Mitzenmacher double-hash scheme
+    as :class:`BloomFilter` (``h1 + d·h2``, ``h2`` a splitmix64
+    avalanche of ``h1`` forced odd) — deterministic, no per-row
+    rehash.  Mergeable by elementwise addition, so per-block partials
+    compose exactly like the other sketches."""
+
+    def __init__(self, width: int = 2048, depth: int = 4,
+                 table: np.ndarray | None = None):
+        self.width = width
+        self.depth = depth
+        self.table = (
+            table if table is not None
+            else np.zeros((depth, width), dtype=np.int64)
+        )
+
+    def _rows(self, hashes: np.ndarray):
+        h1 = hashes.astype(np.uint64, copy=False)
+        h2 = h1 ^ (h1 >> np.uint64(30))
+        h2 = h2 * np.uint64(0xBF58476D1CE4E5B9)
+        h2 ^= h2 >> np.uint64(27)
+        h2 = h2 * np.uint64(0x94D049BB133111EB)
+        h2 ^= h2 >> np.uint64(31)
+        h2 |= np.uint64(1)
+        for d in range(self.depth):
+            yield ((h1 + np.uint64(d) * h2) % np.uint64(self.width)).astype(
+                np.int64
+            )
+
+    def add_counts(self, values: list, counts) -> None:
+        if not len(values):
+            return
+        h = _hash64_bytes(values)
+        c = np.asarray(counts, dtype=np.int64)
+        for d, idx in enumerate(self._rows(h)):
+            np.add.at(self.table[d], idx, c)
+
+    def query(self, values: list) -> np.ndarray:
+        """Point estimates (int64 array) — min over the depth rows."""
+        if not len(values):
+            return np.zeros(0, dtype=np.int64)
+        h = _hash64_bytes(values)
+        est = None
+        for d, idx in enumerate(self._rows(h)):
+            row = self.table[d][idx]
+            est = row if est is None else np.minimum(est, row)
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.width == other.width and self.depth == other.depth
+        return CountMinSketch(
+            self.width, self.depth, self.table + other.table
+        )
+
+
+def countmin_counts(ds, column: str, *, width: int = 2048, depth: int = 4,
+                    batch_size: int | None = None) -> CountMinSketch:
+    """Distributed Count-Min build: per-block EXACT value counts
+    (arrow ``value_counts``) folded into a partial sketch, partials
+    summed on the driver.  Traffic: one depth×width int64 table per
+    block (64 KiB at the defaults) — independent of block size or
+    cardinality, the whole point of the sketch at 100 TB scale."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = CountMinSketch(width, depth)
+        vc = pc.value_counts(t[column].combine_chunks())
+        sk.add_counts(
+            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+        )
+        return pa.table({"table": pa.array([sk.table.tobytes()])})
+
+    merged = CountMinSketch(width, depth)
+    for b in ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in b["table"].to_pylist():
+            merged = merged.merge(
+                CountMinSketch(
+                    width, depth,
+                    np.frombuffer(blob, dtype=np.int64).reshape(
+                        depth, width
+                    ).copy(),
+                )
+            )
+    return merged

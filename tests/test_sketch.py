@@ -454,3 +454,64 @@ class TestGroupedWinsorize:
         exp = exp.astype({"id": "int64", "v": "int64"})
         out = out.astype({"id": "int64", "v": "int64"})
         assert out.equals(exp)
+
+
+class TestCountMin:
+    def test_overestimates_and_bound(self):
+        import numpy as np
+
+        from obsidian_parser_ray.stages.sketch import CountMinSketch
+
+        rng = np.random.RandomState(5)
+        # zipf-ish: heavy keys + a long tail
+        vals = [f"k{i}" for i in rng.zipf(1.5, 20000) if i < 5000]
+        from collections import Counter
+
+        exact = Counter(vals)
+        sk = CountMinSketch(width=1024, depth=4)
+        sk.add_counts(list(exact.keys()), list(exact.values()))
+        keys = list(exact.keys())
+        est = sk.query(keys)
+        true = np.array([exact[k] for k in keys])
+        assert (est >= true).all()  # one-sided error, always
+        n = sum(exact.values())
+        # CM bound: overestimate <= (e/width)*N w.p. 1-e^-depth;
+        # assert a generous 4x slack on the MAX over all keys
+        assert (est - true).max() <= 4 * (np.e / 1024) * n
+
+    def test_merge_equals_single_pass(self):
+        import numpy as np
+
+        from obsidian_parser_ray.stages.sketch import CountMinSketch
+
+        a = CountMinSketch(width=256, depth=3)
+        b = CountMinSketch(width=256, depth=3)
+        whole = CountMinSketch(width=256, depth=3)
+        a.add_counts(["x", "y"], [3, 5])
+        b.add_counts(["y", "z"], [2, 7])
+        whole.add_counts(["x", "y", "z"], [3, 7, 7])
+        assert (a.merge(b).table == whole.table).all()
+
+    def test_distributed_build_matches_local(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.sketch import (
+            CountMinSketch,
+            countmin_counts,
+        )
+
+        rng = np.random.RandomState(9)
+        vals = [f"t{rng.randint(40)}" for _ in range(5000)]
+        ds = rd.from_arrow(pa.table({"v": vals})).repartition(6)
+        sk = countmin_counts(ds, "v", width=512, depth=4)
+        local = CountMinSketch(width=512, depth=4)
+        from collections import Counter
+
+        c = Counter(vals)
+        local.add_counts(list(c.keys()), list(c.values()))
+        assert (sk.table == local.table).all()
+        est = sk.query(list(c.keys()))
+        true = np.array([c[k] for k in c.keys()])
+        assert (est >= true).all()
