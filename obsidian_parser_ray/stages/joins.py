@@ -176,6 +176,80 @@ def _plan_shuffle_join(left, right, *, left_key: str, right_key: str,
     }
 
 
+def probe_salt(ds, key: str, *, num_partitions: int = 64, k: int = 64,
+               skew_factor: float = 2.0, max_salt: int = 16) -> int:
+    """Pick a join ``salt`` from the measured key skew of ``ds[key]``.
+
+    ONE column-pruned pass: per-block exact ``value_counts`` folded
+    into a Misra–Gries k-counter partial plus the block's row count,
+    merged driver-side (≤ k pairs + one int per block of traffic).
+    The MG estimate undercounts by at most ``n/(k+1)``, so
+    ``top_estimate + n/(k+1)`` upper-bounds the true hottest-key
+    count; if that bound exceeds ``skew_factor ×`` the mean partition
+    size, the returned salt splits the hot partition to roughly mean
+    size (capped at ``max_salt`` — salt replicates the join's right
+    side ×salt, so unbounded salt trades one straggler for a
+    broadcast).  Uniform keys return 1.
+
+    COST CAVEAT (same class as the schema-probe trap documented on
+    the joins): the pass executes ``ds``'s lineage once.  On a cheap
+    source read that is one extra column scan; on a lazy lineage
+    holding an all-to-all it re-runs that subtree — materialize first
+    or pass an explicit salt there.  This is why ``salt="auto"`` is
+    opt-in, never the default.
+    """
+    import math
+
+    from .sketch import MisraGries
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[key].combine_chunks())
+        sk = MisraGries(k)
+        sk.add_counts(
+            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+        )
+        vals = list(sk.counters.keys())
+        return pa.table(
+            {
+                "values": pa.array([vals], pa.list_(t[key].type)),
+                "counts": pa.array(
+                    [[sk.counters[v] for v in vals]], pa.list_(pa.int64())
+                ),
+                "rows": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    merged = MisraGries(k)
+    n_total = 0
+    for b in ds.select_columns([key]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for vals, cnts, rows in zip(
+            b["values"].to_pylist(), b["counts"].to_pylist(),
+            b["rows"].to_pylist(),
+        ):
+            merged.add_counts(vals, cnts)
+            n_total += rows
+    if n_total == 0 or not merged.counters:
+        return 1
+    upper = max(merged.counters.values()) + n_total // (k + 1)
+    per_part = max(1.0, n_total / num_partitions)
+    if upper <= skew_factor * per_part:
+        return 1
+    return min(max_salt, math.ceil(upper / per_part))
+
+
+def _resolve_salt(salt, left, left_key, num_partitions, how, fn_name):
+    if salt == "auto":
+        if how == "full":
+            raise ValueError(
+                f"{fn_name}(how='full') does not support salt='auto': "
+                "right-only detection needs cross-slot visibility"
+            )
+        return probe_salt(left, left_key, num_partitions=num_partitions)
+    return max(1, int(salt))
+
+
 def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None,
                      how: str = "inner", suffix: str = "_r",
                      num_partitions: int = 64, salt: int = 1,
@@ -210,6 +284,10 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
     row still meets its full right set); ``how="full"`` rejects
     ``salt > 1`` because right-only detection needs cross-slot
     visibility.  Cost: ``salt × |right|`` extra shuffle rows.
+    ``salt="auto"`` measures the left key skew first
+    (:func:`probe_salt` — one extra column-pruned pass over the left
+    lineage; opt-in for exactly that reason) and picks 1 for uniform
+    keys.
 
     ``left_schema`` / ``right_schema``: pass the known Arrow schema of
     a side whose lineage contains an all-to-all (groupby/sort) —
@@ -231,7 +309,8 @@ def hash_join_unique(left, right, *, left_key: str, right_key: str | None = None
             f"how must be 'inner', 'left', 'semi', 'anti' or 'full', "
             f"got {how!r}"
         )
-    salt = max(1, int(salt))
+    salt = _resolve_salt(salt, left, left_key, num_partitions, how,
+                         "hash_join_unique")
     if salt > 1 and how == "full":
         raise ValueError(
             "hash_join_unique(how='full') does not support salt > 1: "
@@ -390,6 +469,8 @@ def hash_join(left, right, *, left_key: str, right_key: str | None = None,
     ``salt > 1`` is identical to the unique join: left rows round-robin
     across slots, right rows replicate into every slot, full mode
     rejects it (right-only detection needs cross-slot visibility).
+    ``salt="auto"`` probes the left key skew first (:func:`probe_salt`
+    — one extra column-pruned pass; opt-in for exactly that reason).
     """
     import numpy as np
 
@@ -398,7 +479,8 @@ def hash_join(left, right, *, left_key: str, right_key: str | None = None,
             f"how must be 'inner', 'left', 'semi', 'anti' or 'full', "
             f"got {how!r}"
         )
-    salt = max(1, int(salt))
+    salt = _resolve_salt(salt, left, left_key, num_partitions, how,
+                         "hash_join")
     if salt > 1 and how == "full":
         raise ValueError(
             "hash_join(how='full') does not support salt > 1: "

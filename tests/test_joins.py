@@ -513,3 +513,65 @@ def test_broadcast_join_empty_right(ray_session):
     out = broadcast_join(_left(), empty_r, left_key="k",
                          right_key="kk", how="left").to_pandas()
     assert len(out) == 5 and out["w"].isna().all()
+
+
+class TestAutoSalt:
+    def test_probe_detects_hub_and_uniform(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.joins import probe_salt
+
+        # 90% hub key → hot-key bound far above mean partition size
+        hub = ["hub"] * 9000 + [f"k{i}" for i in range(1000)]
+        ds = rd.from_arrow(pa.table({"k": hub})).repartition(8)
+        s = probe_salt(ds, "k", num_partitions=16)
+        assert s > 1
+        uni = rd.from_arrow(
+            pa.table({"k": [f"k{i % 500}" for i in range(10000)]})
+        ).repartition(8)
+        assert probe_salt(uni, "k", num_partitions=16) == 1
+
+    def test_auto_equals_unsalted_results(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.joins import hash_join
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": ["hub"] * 500 + ["a", "b", "c"],
+                    "lv": list(range(503)),
+                }
+            )
+        ).repartition(4)
+        right = rd.from_arrow(
+            pa.table({"k": ["hub", "a", "z"], "rv": [10, 20, 30]})
+        )
+
+        def rows(ds):
+            return sorted(
+                (r["k"], r["lv"], r.get("rv"))
+                for r in ds.take_all()
+            )
+
+        plain = rows(
+            hash_join(left, right, left_key="k", how="left", salt=1)
+        )
+        auto = rows(
+            hash_join(left, right, left_key="k", how="left", salt="auto")
+        )
+        assert plain == auto
+        assert len(auto) == 503
+
+    def test_auto_rejected_for_full(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.joins import hash_join
+
+        ds = rd.from_arrow(pa.table({"k": ["a"], "v": [1]}))
+        with pytest.raises(ValueError, match="salt='auto'"):
+            hash_join(ds, ds, left_key="k", how="full", salt="auto")
