@@ -2162,6 +2162,33 @@ def _q_doc_decontaminate(sf_dir: str):
     )
 
 
+def _q_doc_domain_stats(sf_dir: str):
+    """Per-domain web statistics (stages/text.py domain_stats):
+    deterministic URLs (mixed-case hosts derived from doc_id) are
+    planted identically in Ray and SQL; hit counts and distinct-doc
+    counts per lowercased host must hash-match the unnest twin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from obsidian_parser_ray.stages.text import domain_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.string())
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        g5 = pa.array((ids % 5).astype("U1"))
+        g3 = pa.array((ids % 3).astype("U1"))
+        planted = pc.binary_join_element_wise(
+            t["text"], " https://W", g5, ".example.com/p/", d,
+            " http://MIRROR", g3, ".example.org", "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": planted})
+
+    return domain_stats(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def _q_doc_line_dedup(sf_dir: str):
     """C4-style global exact-line dedup (stages/dedup.py dedup_lines):
     deterministic line structure is planted identically in Ray and SQL
@@ -3520,6 +3547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_neardup": _q_media_image_neardup,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_line_dedup": _q_doc_line_dedup,
+        "doc_domain_stats": _q_doc_domain_stats,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "doc_lm_quality": _q_doc_lm_quality,
         "doc_normalize": _q_doc_normalize,
@@ -4984,6 +5012,29 @@ SELECT w.doc_id,
 FROM words w
 LEFT JOIN kept k USING (doc_id)
 LEFT JOIN counts c USING (doc_id)
+""",
+        # same planted URLs; a URL hit = whitespace token starting
+        # with http(s)://, domain = lowercased host capture
+        "doc_domain_stats": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' https://W' || (doc_id % 5) || '.example.com/p/' ||
+         doc_id || ' http://MIRROR' || (doc_id % 3) ||
+         '.example.org' AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+  FROM planted
+),
+urls AS (
+  SELECT doc_id, tok FROM toks WHERE regexp_matches(tok, '^https?://')
+)
+SELECT lower(regexp_extract(tok, '^https?://([^/]+)', 1)) AS domain,
+       count(*)::BIGINT AS n_hits,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM urls
+GROUP BY domain
 """,
         # C4-style line dedup: same planted line structure, winner =
         # min (doc_id, line_no) via row_number(); lines shorter than 3

@@ -813,3 +813,36 @@ class TestVectorizedKernelParity:
         out = char_pair_counts(ds.repartition(3), k=50).to_pandas()
         got = dict(zip(out["pair"], out["n"]))
         assert got == dict(want)
+
+
+class TestDomainStats:
+    def test_counts_and_lowercase_host(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import domain_stats
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "see https://A.example.com/x and http://b.org "
+                    "plus https://a.example.com/y",
+                    "nothing here",
+                    "http://b.org http://b.org/path ftp://skip.me "
+                    "https//not.a.url",
+                ],
+            }
+        )
+        out = domain_stats(rd.from_arrow(docs)).to_pandas()
+        got = {r.domain: (r.n_hits, r.n_docs) for r in out.itertuples()}
+        assert got == {"a.example.com": (2, 1), "b.org": (3, 2)}
+
+    def test_empty_and_urlless(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import domain_stats
+
+        docs = pa.table({"doc_id": [1], "text": ["plain words only"]})
+        assert domain_stats(rd.from_arrow(docs)).count() == 0
