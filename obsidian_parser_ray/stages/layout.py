@@ -62,7 +62,7 @@ def _quantize(v: np.ndarray, lo: float, hi: float, bits: int) -> np.ndarray:
 
 
 def write_zorder(ds, out_dir: str, cols: list[str], *, bits: int = 10,
-                 num_files: int = 64) -> dict:
+                 num_files: int = 64, stats_cols: list[str] = ()) -> dict:
     """Write ``ds`` as a z-order-clustered parquet layout under
     ``out_dir``; returns the manifest dict.
 
@@ -78,6 +78,14 @@ def write_zorder(ds, out_dir: str, cols: list[str], *, bits: int = 10,
     you'd size ``num_files`` so each partition is a few GB and let the
     sink emit multiple files per partition — pruning operates on the
     partition stats either way.
+
+    ``stats_cols``: extra columns whose per-partition min/max is
+    recorded in the manifest WITHOUT participating in the clustering
+    key (the Iceberg-style generalization — every stats column is
+    prunable, but only clustered columns prune WELL; a stats-only
+    column's values scatter across partitions, so its ranges are wide
+    and skip little.  The pruning-comparison test pins exactly this
+    contrast).
     """
     from ray.data.aggregate import Max, Min
 
@@ -121,13 +129,14 @@ def write_zorder(ds, out_dir: str, cols: list[str], *, bits: int = 10,
 
     import pyarrow.parquet as pq
 
+    all_stats = list(dict.fromkeys(list(cols) + list(stats_cols)))
     parts = {}
     for dname in sorted(os.listdir(data_dir)):
         if not dname.startswith("zf="):
             continue
         fid = int(dname.split("=", 1)[1])
-        mins = {c: None for c in cols}
-        maxs = {c: None for c in cols}
+        mins = {c: None for c in all_stats}
+        maxs = {c: None for c in all_stats}
         rows = 0
         for fname in os.listdir(os.path.join(data_dir, dname)):
             if not fname.endswith(".parquet"):
@@ -140,7 +149,7 @@ def write_zorder(ds, out_dir: str, cols: list[str], *, bits: int = 10,
                             for i in range(md.num_columns)]
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
-                for c in cols:
+                for c in all_stats:
                     st = g.column(schema_names.index(c)).statistics
                     if st is None or not st.has_min_max:
                         raise ValueError(
@@ -153,12 +162,13 @@ def write_zorder(ds, out_dir: str, cols: list[str], *, bits: int = 10,
                         maxs[c] = hi
         parts[fid] = {
             "rows": rows,
-            "min": {c: mins[c] for c in cols},
-            "max": {c: maxs[c] for c in cols},
+            "min": {c: mins[c] for c in all_stats},
+            "max": {c: maxs[c] for c in all_stats},
         }
 
     manifest = {
         "cols": list(cols),
+        "stats_cols": all_stats,
         "bits": bits,
         "num_files": nf,
         "bounds": {c: list(bounds[c]) for c in cols},
@@ -178,11 +188,12 @@ def zorder_plan(out_dir: str, ranges: dict) -> tuple[list[int], int]:
     the requested ``[lo, hi]`` (either bound may be None = open)."""
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         manifest = json.load(f)
-    unknown = set(ranges) - set(manifest["cols"])
+    stats_cols = manifest.get("stats_cols", manifest["cols"])
+    unknown = set(ranges) - set(stats_cols)
     if unknown:
         raise ValueError(
-            f"range columns {sorted(unknown)} not in clustered cols "
-            f"{manifest['cols']}"
+            f"range columns {sorted(unknown)} not in manifest stats "
+            f"columns {stats_cols}"
         )
     selected = []
     for k, p in manifest["partitions"].items():

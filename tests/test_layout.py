@@ -111,3 +111,43 @@ class TestZorderLayout:
         )
         write_zorder(small, out, ["x", "y"], bits=4, num_files=4)
         assert read_zorder(out, {"x": (None, None)}).count() == 2
+
+
+class TestStatsColsAndClusteringContrast:
+    def test_zorder_prunes_where_stats_only_cannot(
+        self, tmp_path, ray_session
+    ):
+        """The data-skipping claim itself: a y-range query prunes on
+        the z-ordered (x, y) layout but selects ~every partition on an
+        x-clustered layout that merely RECORDS y stats (y values
+        scatter, so every partition's y range is wide)."""
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.layout import (
+            read_zorder,
+            write_zorder,
+            zorder_plan,
+        )
+
+        rid, x, y = _corpus()
+        ds = rd.from_arrow(
+            pa.table({"rid": rid, "x": x, "y": y})
+        ).repartition(8)
+        z2 = str(tmp_path / "z2")
+        z1 = str(tmp_path / "z1")
+        write_zorder(ds, z2, ["x", "y"], bits=10, num_files=64)
+        write_zorder(ds, z1, ["x"], bits=10, num_files=64,
+                     stats_cols=["y"])
+        ranges = {"y": (100, 199)}
+        sel2, tot2 = zorder_plan(z2, ranges)
+        sel1, tot1 = zorder_plan(z1, ranges)
+        assert len(sel2) < tot2 / 2          # clustered: real skipping
+        assert len(sel1) > tot1 * 0.9        # stats-only: near-full scan
+        # both answer the query exactly
+        mask = (y >= 100) & (y <= 199)
+        exp = sorted(rid[mask].tolist())
+        for out_dir in (z2, z1):
+            got = sorted(
+                read_zorder(out_dir, ranges).to_pandas()["rid"].tolist()
+            )
+            assert got == exp
