@@ -694,6 +694,52 @@ def _q_events_countmin_types(sf_dir: str):
     )
 
 
+def _q_doc_top_words_by_lang(sf_dir: str):
+    """Per-language top-5 words through the grouped Misra–Gries
+    heavy-hitter sketch (stages/sketch.py grouped_frequent_items).
+    The corpus vocabulary (31 distinct words per lang) sits far below
+    k=64, so no counter ever evicts and the MG estimates are EXACT —
+    the sketch result must therefore hash-match the exact SQL
+    count/row_number twin, pinning the whole partial→merge algebra at
+    value level.  Ties break by word, deterministic both sides."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from obsidian_parser_ray.stages.sketch import grouped_frequent_items
+    from obsidian_parser_ray.stages.text import _flat_split
+
+    import numpy as np
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        langs = t["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        import pyarrow.compute as pc
+
+        flat, lens = _flat_split(t["text"], r"\s+")
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        return pa.table(
+            {"lang": pc.take(langs, pa.array(doc_of)), "word": flat}
+        )
+
+    hh = grouped_frequent_items(
+        docs.map_batches(words, batch_format="pyarrow"), "lang", "word",
+        k=64,
+    )
+    # bounded leaf (≤ |langs| × k rows): rank per lang, keep top 5
+    df = hh.to_pandas()
+    df = df.sort_values(
+        ["lang", "est_count", "word"], ascending=[True, False, True]
+    )
+    df["rk"] = df.groupby("lang").cumcount()
+    out = df[df.rk < 5].drop(columns=["rk"]).rename(
+        columns={"est_count": "n"}
+    )
+    return pd.DataFrame(out.reset_index(drop=True))
+
+
 def _q_events_topk_users(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -3509,6 +3555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hist": _q_events_hist,
         "events_approx_users": _q_events_approx_users,
         "events_countmin_types": _q_events_countmin_types,
+        "doc_top_words_by_lang": _q_doc_top_words_by_lang,
         "lang_stats": _q_lang_stats,
         "doc_langid": _q_doc_langid,
         "doc_minhash_neardup": _q_doc_minhash_neardup,
@@ -4014,6 +4061,26 @@ WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
             "SELECT count(DISTINCT user_id)::BIGINT AS n_distinct_exact,"
             " TRUE AS hll_within_5pct FROM events"
         ),
+        # grouped-MG heavy hitters in the no-eviction regime (31-word
+        # vocab << k=64) — sketch estimates are exact, so the twin is
+        # the exact count / row_number top-5 per lang
+        "doc_top_words_by_lang": r"""
+WITH w AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS word
+  FROM documents
+),
+c AS (
+  SELECT lang, word, count(*)::BIGINT AS n
+  FROM w WHERE word <> '' GROUP BY lang, word
+),
+r AS (
+  SELECT lang, word, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, word) AS rk
+  FROM c
+)
+SELECT lang, word, n FROM r WHERE rk <= 5
+""",
         # tolerance gate: exact per-type counts + the Count-Min
         # overestimate-within-bound boolean per type
         "events_countmin_types": (

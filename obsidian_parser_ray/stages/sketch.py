@@ -898,3 +898,73 @@ def countmin_counts(ds, column: str, *, width: int = 2048, depth: int = 4,
                 )
             )
     return merged
+
+
+def grouped_frequent_items(ds, key_col: str, value_col: str, *,
+                           k: int = 64,
+                           batch_size: int | None = None):
+    """Per-key heavy hitters: ``(key, value, est_count)`` rows, one
+    Misra–Gries k-counter PER KEY.
+
+    Per-block: exact (key, value) Arrow counts folded into one MG
+    partial per key (≤ k pairs per key per block of traffic); the
+    partials co-locate in a ``groupby(key)`` reduce and merge with the
+    standard MG counter algebra.  Estimates carry the per-key MG
+    guarantee (undercount ≤ n_key/(k+1), only true heavy hitters
+    survive), and are EXACT whenever a key's distinct-value count is
+    ≤ k (no evictions ever fire) — the gate query pins that regime.
+    The per-domain / per-language "top items" primitive at corpus
+    scale, where exact per-key value counts would be |keys|×|vocab|.
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"k": t[key_col], "v": t[value_col]})
+            .group_by(["k", "v"])
+            .aggregate([([], "count_all")])
+        )
+        keys, vals, cnts = [], [], []
+        kk = g["k"].to_pylist()
+        vv = g["v"].to_pylist()
+        nn = g["count_all"].to_pylist()
+        per_key: dict = {}
+        for key, v, n in zip(kk, vv, nn):
+            per_key.setdefault(key, MisraGries(k)).add_counts([v], [n])
+        for key, sk in per_key.items():
+            vs = list(sk.counters.keys())
+            keys.append(key)
+            vals.append(vs)
+            cnts.append([sk.counters[v] for v in vs])
+        return pa.table(
+            {
+                key_col: pa.array(keys, t[key_col].type),
+                "values": pa.array(vals, pa.list_(t[value_col].type)),
+                "counts": pa.array(cnts, pa.list_(pa.int64())),
+            }
+        )
+
+    out_fields = None
+
+    def merge(g: pa.Table) -> pa.Table:
+        sk = MisraGries(k)
+        for vs, cs in zip(g["values"].to_pylist(), g["counts"].to_pylist()):
+            sk.add_counts(vs, cs)
+        vs = sorted(sk.counters.keys())
+        key = g[key_col][0]
+        return pa.table(
+            {
+                key_col: pa.array([key.as_py()] * len(vs), g[key_col].type),
+                value_col: pa.array(vs, g["values"].type.value_type),
+                "est_count": pa.array(
+                    [sk.counters[v] for v in vs], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

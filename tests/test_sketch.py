@@ -515,3 +515,56 @@ class TestCountMin:
         est = sk.query(list(c.keys()))
         true = np.array([c[k] for k in c.keys()])
         assert (est >= true).all()
+
+
+class TestGroupedFrequentItems:
+    def test_exact_regime_full_parity(self, ray_session):
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.sketch import grouped_frequent_items
+
+        rng = np.random.RandomState(3)
+        rows = [
+            (f"k{i % 3}", f"v{rng.zipf(1.6)}")
+            for i in range(20000)
+        ]
+        rows = [(a, b) for a, b in rows if int(b[1:]) < 40]
+        ds = rd.from_arrow(
+            pa.table(
+                {"key": [a for a, _ in rows], "val": [b for _, b in rows]}
+            )
+        ).repartition(6)
+        out = grouped_frequent_items(ds, "key", "val", k=64).to_pandas()
+        exact = Counter(rows)
+        # distinct per key < k → no evictions → EXACT counts, full set
+        assert len(out) == len(exact)
+        for r in out.itertuples():
+            assert r.est_count == exact[(r.key, r.val)]
+
+    def test_eviction_regime_keeps_heavy_hitter(self, ray_session):
+        from collections import Counter
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.sketch import grouped_frequent_items
+
+        rows = [("g", "hot")] * 1000 + [
+            ("g", f"cold{i}") for i in range(200)
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {"key": [a for a, _ in rows], "val": [b for _, b in rows]}
+            )
+        ).repartition(4)
+        out = grouped_frequent_items(ds, "key", "val", k=4).to_pandas()
+        exact = Counter(rows)
+        hot = out[(out.key == "g") & (out.val == "hot")]
+        n_g = sum(exact.values())
+        assert len(hot) == 1
+        # MG guarantee: undercount ≤ n/(k+1)
+        assert hot.iloc[0].est_count >= 1000 - n_g // 5
