@@ -2274,7 +2274,7 @@ def _q_orders_zorder_box(sf_dir: str):
     Values must hash-match the full-scan SQL box; ``pruned_ok``
     additionally gates that the ~0.5% box touched under half the file
     partitions (the data-skipping claim itself)."""
-    import tempfile
+    import hashlib
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -2301,7 +2301,11 @@ def _q_orders_zorder_box(sf_dir: str):
             }
         )
 
-    out = tempfile.mkdtemp(prefix="zorder_gate_") + "/orders_z"
+    # deterministic per-input path: write_zorder's atomic-replace
+    # contract overwrites it on re-runs instead of leaking a fresh
+    # mkdtemp directory per query invocation
+    tag8 = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/zorder_gate_{tag8}/orders_z"
     write_zorder(
         orders.map_batches(to_cents, batch_format="pyarrow"),
         out, ["o_custkey", "cents"], bits=10, num_files=64,
@@ -5096,11 +5100,17 @@ toks AS (
 ),
 urls AS (
   SELECT doc_id, tok FROM toks WHERE regexp_matches(tok, '^https?://')
+),
+hosts AS (
+  SELECT doc_id,
+         lower(regexp_extract(tok, '^https?://([^/]+)', 1)) AS domain
+  FROM urls
 )
-SELECT lower(regexp_extract(tok, '^https?://([^/]+)', 1)) AS domain,
+SELECT domain,
        count(*)::BIGINT AS n_hits,
        count(DISTINCT doc_id)::BIGINT AS n_docs
-FROM urls
+FROM hosts
+WHERE domain <> ''
 GROUP BY domain
 """,
         # C4-style line dedup: same planted line structure, winner =

@@ -1938,6 +1938,9 @@ def dedup_lines(ds, *, text_col: str = "text", id_col: str = "doc_id",
         texts = t[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        # null text is treated as '' (one empty line, never a dedup
+        # participant under min_len >= 1) — matches the rewrite side
+        texts = pc.fill_null(texts, "")
         lists = pc.split_pattern(texts, pattern="\n")
         flat = pc.list_flatten(lists)
         lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
@@ -2060,6 +2063,7 @@ def dedup_lines(ds, *, text_col: str = "text", id_col: str = "doc_id",
         for d, x in zip(
             docs_side[id_col].to_pylist(), docs_side["text"].to_pylist()
         ):
+            x = "" if x is None else x
             lines = x.split("\n")
             dropped = drop_by_doc.get(d)
             ids_out.append(d)

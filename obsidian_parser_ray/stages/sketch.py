@@ -805,8 +805,15 @@ def grouped_winsorize(ds, *, column: str, group_col: str,
 
 # ---------------------------------------------------------------------------
 # Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable
-# fixed-memory frequency table: est(v) >= true(v) always, and
-# est(v) <= true(v) + (e/width)·N with prob. 1 − e^(−depth).
+# fixed-memory frequency table: est(v) >= true(v) ALWAYS (that bound
+# is structural and holds for any row hashes).  The classical
+# est(v) <= true(v) + (e/width)·N w.p. 1 − e^(−depth) tail assumes
+# pairwise-independent rows; the Kirsch–Mitzenmacher double-hashed
+# rows used here (h1 + d·h2 mod power-of-two width) are a standard
+# approximation of that family, not a member of it, so the formal
+# tail is weaker than the textbook statement — in practice the
+# overestimate behaves like the bound, and the gate query checks the
+# structural (never-under, within-CM-envelope) contract only.
 # ---------------------------------------------------------------------------
 
 
@@ -919,11 +926,12 @@ def grouped_frequent_items(ds, key_col: str, value_col: str, *,
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
-        g = (
-            pa.table({"k": t[key_col], "v": t[value_col]})
-            .group_by(["k", "v"])
-            .aggregate([([], "count_all")])
-        )
+        kv = pa.table({"k": t[key_col], "v": t[value_col]})
+        # null values would survive Arrow's group_by into the MG
+        # counters and break the deterministic merge sort (None vs str
+        # is unorderable) — a null is not an item, drop it here
+        kv = kv.filter(pc.is_valid(kv["v"]))
+        g = kv.group_by(["k", "v"]).aggregate([([], "count_all")])
         keys, vals, cnts = [], [], []
         kk = g["k"].to_pylist()
         vv = g["v"].to_pylist()

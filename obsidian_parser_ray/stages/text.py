@@ -1694,6 +1694,12 @@ def domain_stats(ds, *, text_col: str = "text", id_col: str = "doc_id"):
             )
         )
         docs = pc.take(ids, pa.array(doc_of[is_url]))
+        # scheme-only tokens ('http://') match the URL filter but
+        # extract no host — they are not domain hits; drop them so the
+        # SQL twin (which filters empty extracts) agrees
+        ok = pc.is_valid(hosts)
+        hosts = hosts.filter(ok)
+        docs = docs.filter(ok)
         # per-block pre-aggregation: (domain, doc) hit counts
         g = pa.table({"domain": hosts, id_col: docs}).group_by(
             ["domain", id_col]

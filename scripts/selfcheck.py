@@ -1,6 +1,7 @@
 """Mimics the driver's correctness gate: run every queries() entry and
 its oracle_sql() twin at a given sf, compare row count + schema +
-order-insensitive values.  Usage: python scripts/selfcheck.py [sf_dir]
+order-insensitive values.
+Usage: python scripts/selfcheck.py [sf_dir] [only=q1,q2,...]
 """
 
 from __future__ import annotations
@@ -68,6 +69,16 @@ def main():
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    only = None
+    for a in sys.argv[2:]:
+        if a.startswith("only="):
+            only = set(a[len("only="):].split(","))
+    if only:
+        missing = only - set(qs)
+        if missing:
+            print(f"FAIL unknown query names: {sorted(missing)}")
+            sys.exit(2)
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:

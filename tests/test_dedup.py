@@ -757,6 +757,32 @@ class TestDedupLines:
         got = self._run(docs, ray_session)
         assert got == self._brute(docs)
 
+    def test_null_text_rows_survive_as_empty(self, ray_session):
+        # ADVICE r4: null text used to NaN the explode lengths and
+        # crash the rebuild's .split; contract is null == ''
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.dedup import dedup_lines
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": pa.array(
+                        ["shared line\nkeep me", None,
+                         "shared line\nother"],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        out = dedup_lines(ds).to_pandas().set_index("doc_id")
+        assert out.loc[2].clean_text == ""
+        assert out.loc[2].n_lines == 1 and out.loc[2].n_removed == 0
+        assert out.loc[1].clean_text == "shared line\nkeep me"
+        assert out.loc[3].clean_text == "other"
+
     def test_min_len_guard_and_within_doc(self, ray_session):
         docs = {
             1: "aa\nlong shared line\n\naa",

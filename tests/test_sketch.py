@@ -545,6 +545,26 @@ class TestGroupedFrequentItems:
         for r in out.itertuples():
             assert r.est_count == exact[(r.key, r.val)]
 
+    def test_null_values_are_dropped(self, ray_session):
+        # ADVICE r4: null items used to reach the MG counters and make
+        # the deterministic merge sort raise (None vs str)
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.sketch import grouped_frequent_items
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "key": ["a", "a", "a", "b"],
+                    "val": pa.array(["x", None, "x", None], pa.string()),
+                }
+            )
+        ).repartition(2)
+        out = grouped_frequent_items(ds, "key", "val", k=8).to_pandas()
+        got = {(r.key, r.val): r.est_count for r in out.itertuples()}
+        assert got == {("a", "x"): 2}
+
     def test_eviction_regime_keeps_heavy_hitter(self, ray_session):
         from collections import Counter
 

@@ -846,3 +846,25 @@ class TestDomainStats:
 
         docs = pa.table({"doc_id": [1], "text": ["plain words only"]})
         assert domain_stats(rd.from_arrow(docs)).count() == 0
+
+    def test_scheme_only_token_is_not_a_hit(self, ray_session):
+        # 'http://' matches the URL prefix filter but extracts no
+        # host; it must yield no domain row (ADVICE r4: the null host
+        # used to pass through as a null-domain group)
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.text import domain_stats
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "broken http:// and https:// markers",
+                    "real https://ok.example.com/x plus http://",
+                ],
+            }
+        )
+        out = domain_stats(rd.from_arrow(docs)).to_pandas()
+        got = {r.domain: (r.n_hits, r.n_docs) for r in out.itertuples()}
+        assert got == {"ok.example.com": (1, 1)}
