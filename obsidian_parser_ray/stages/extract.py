@@ -210,6 +210,51 @@ _VEC_CHUNK_BYTES = 1 << 20   # target span-text bytes per flat-kernel chunk
                              # faster per element than 4-8 MB on this host)
 _VEC_CHUNK_MIN_ROWS = 64     # below this, chunking overhead dominates
 
+# auto path selection: decided once per worker process by
+# _probe_vectorized(), cached here
+_AUTO_VECTOR: bool | None = None
+
+
+def _probe_vectorized() -> bool:
+    """Pick rowwise vs vectorized ONCE per worker process by timing
+    both row-identical implementations on a small deterministic batch
+    (the bench-corpus document shape).
+
+    The right path is host-dependent: the flat-column scanner wins on
+    hardware with healthy streaming-kernel throughput, while on hosts
+    whose DRAM-resident element-wise kernels run 10-30x slower per
+    byte than L1-resident ones (scan.py header; this sandbox) the
+    per-doc loop — whose kernels are L1-resident — measures ~2x
+    faster.  Hardcoding either choice is wrong on the other class of
+    host, so the default measures once and caches (same auto-guard
+    pattern as the link-topology probe, pipelines/graph.py).
+    ``GRAFT_VECTOR_EXTRACT=1``/``0`` forces the path and skips the
+    probe entirely.  Cost: ~2 warm + 2 timed calls per path over
+    32 docs ≈ tens of ms, once per process.
+    """
+    global _AUTO_VECTOR
+    if _AUTO_VECTOR is None:
+        import time
+
+        from ..corpus import gen_bench_batch
+
+        ids = pa.table({"id": pa.array(range(32), pa.int64())})
+        batch = gen_bench_batch(ids, n_docs=32, links_per_doc=4, seed=7)
+
+        def best(fn) -> float:
+            fn(batch)  # warm: imports, regex compile, Arrow kernels
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(batch)
+                times.append(time.perf_counter() - t0)
+            return min(times)
+
+        row = ExtractNotes(vectorized=False)
+        vec = ExtractNotes(vectorized=True)
+        _AUTO_VECTOR = best(vec) < best(row)
+    return _AUTO_VECTOR
+
 
 class ExtractNotes:
     """Batched extractor.  Stateless — usable as a plain function too,
@@ -217,7 +262,9 @@ class ExtractNotes:
     pool when they add per-actor state (e.g. a compiled BPE).
 
     Two row-identical implementations, selected by ``vectorized``
-    (default: env ``GRAFT_VECTOR_EXTRACT=1``, else the per-doc loop):
+    (default: auto — a once-per-worker-process microprobe times both
+    on a deterministic batch and picks the winner for THIS host; env
+    ``GRAFT_VECTOR_EXTRACT=1``/``0`` forces):
 
     * ``_call_rowwise`` — the ``parse_doc`` loop.  Its per-doc kernels
       are already numpy/C (L1-resident word count, one encode feeding
@@ -225,14 +272,17 @@ class ExtractNotes:
       element-wise kernels measure only ~0.3-1 Gops/s against DRAM/L3
       vs 3-4 Gops/s L1-resident (scan.py header; probed 2026-08-19) —
       it is ~2x FASTER than the flat path on the bench-corpus shape
-      (5.7k vs 3.1k docs/s at 26 kB/doc), so it stays the default
-      here.
+      (5.7k vs 3.1k docs/s at 26 kB/doc), so the probe picks it here.
     * ``_call_vectorized`` — the flat-column twin: scanner mentions +
       batched content join / word count / md5, per-doc Python only
       for YAML and ``json.dumps``.  On hardware with healthy
       streaming throughput (where those same kernels run 10-30x
       faster per byte) this is the scaling path; parity is asserted
       by the differential tests either way.
+
+    The auto decision is made lazily at the first ``__call__`` so it
+    runs on the WORKER process (instances are constructed on the
+    driver and pickled into tasks), and is cached per process.
     """
 
     def __init__(self, keep_spans: bool = False, strict_lists: bool = False,
@@ -242,11 +292,19 @@ class ExtractNotes:
         if vectorized is None:
             import os
 
-            vectorized = os.environ.get("GRAFT_VECTOR_EXTRACT", "") == "1"
+            env = os.environ.get("GRAFT_VECTOR_EXTRACT", "")
+            if env == "1":
+                vectorized = True
+            elif env == "0":
+                vectorized = False
+            # else: stay None → probe on first __call__
         self.vectorized = vectorized
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.vectorized:
+        v = self.vectorized
+        if v is None:
+            v = self.vectorized = _probe_vectorized()
+        if v:
             return self._call_vectorized(batch)
         return self._call_rowwise(batch)
 

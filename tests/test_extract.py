@@ -244,3 +244,55 @@ def test_single_pass_build_equivalent_to_two_pass(ray_session):
         )
 
     assert triples(True) == triples(False)
+
+
+class TestAutoPathProbe:
+    """ExtractNotes default path selection: env forces, else the
+    once-per-process microprobe decides at first __call__."""
+
+    def _batch(self):
+        import pyarrow as pa
+
+        from obsidian_parser_ray.corpus import make_span, spans_table
+
+        return spans_table(
+            [("a", [make_span("text", "hi [[b]] #t", offset=0)]),
+             ("b", [make_span("text", "yo", offset=0)])]
+        )
+
+    def test_env_forces_path(self, monkeypatch):
+        from obsidian_parser_ray.stages.extract import ExtractNotes
+
+        monkeypatch.setenv("GRAFT_VECTOR_EXTRACT", "1")
+        assert ExtractNotes().vectorized is True
+        monkeypatch.setenv("GRAFT_VECTOR_EXTRACT", "0")
+        assert ExtractNotes().vectorized is False
+        monkeypatch.delenv("GRAFT_VECTOR_EXTRACT", raising=False)
+        assert ExtractNotes().vectorized is None  # auto until first call
+
+    def test_probe_decision_applied_both_ways(self, monkeypatch):
+        from obsidian_parser_ray.stages import extract
+
+        monkeypatch.delenv("GRAFT_VECTOR_EXTRACT", raising=False)
+        batch = self._batch()
+        outs = []
+        for forced in (True, False):
+            monkeypatch.setattr(
+                extract, "_probe_vectorized", lambda f=forced: f
+            )
+            e = extract.ExtractNotes()
+            assert e.vectorized is None
+            out = e(batch)
+            assert e.vectorized is forced  # decision cached on self
+            outs.append(out)
+        # row-identical regardless of which path the probe picked
+        assert outs[0].equals(outs[1])
+
+    def test_real_probe_runs_and_caches(self, monkeypatch):
+        from obsidian_parser_ray.stages import extract
+
+        monkeypatch.setattr(extract, "_AUTO_VECTOR", None)
+        v = extract._probe_vectorized()
+        assert isinstance(v, bool)
+        assert extract._AUTO_VECTOR is v
+        assert extract._probe_vectorized() is v  # cached
