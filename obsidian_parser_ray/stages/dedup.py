@@ -353,8 +353,6 @@ def minhash_lsh_pairs(
     if candidates not in ("pairs", "star"):
         raise ValueError(f"candidates must be 'pairs' or 'star', got {candidates!r}")
     star = candidates == "star"
-    from ray.data.aggregate import Max
-
     id_t = _id_type(ds, id_col)
     sig_words = num_hashes
 
@@ -486,7 +484,7 @@ def minhash_lsh_pairs(
         .groupby("part")
         .map_groups(bucket_verified_pairs, batch_format="pyarrow")
     )
-    return _dedup_pairs(pairs, empty, Max("est_jaccard", alias_name="est_jaccard"))
+    return _dedup_pairs(pairs, empty, "est_jaccard", "max")
 
 
 import re as _re
@@ -910,20 +908,56 @@ def _empty_pairs(id_t: pa.DataType, value_col: str, value_type) -> pa.Table:
     )
 
 
-def _dedup_pairs(pairs, seed: pa.Table, agg):
+def _dedup_pairs(pairs, seed: pa.Table, value_col: str, agg_fn: str,
+                 num_partitions: int = 64):
     """Global (id_a, id_b) dedup with an empty-result guard.
 
     Candidate pairs are orders of magnitude smaller than the corpus, so
-    materializing them before the tiny dedup groupby is cheap and lets
-    us short-circuit the empty case (Ray's groupby-aggregate loses the
+    materializing them before the dedup exchange is cheap and lets us
+    short-circuit the empty case (Ray's groupby-aggregate loses the
     schema entirely when its input has zero rows, which breaks
-    ``to_pandas`` downstream)."""
+    ``to_pandas`` downstream).
+
+    The dedup itself hash-partitions on the composite pair key and
+    runs ONE Arrow ``group_by`` per partition — the repo's standard
+    shape.  (It replaced ``Dataset.groupby(["id_a","id_b"])``: Ray's
+    sort-based two-key aggregate measured ~300 s CPU for a 3M-row
+    pair table at sf1 — 14 of doc_minhash's 19 s wall — vs ~1 s for
+    the partitioned Arrow hash aggregate, bit-identical output.)"""
+    import pyarrow.compute as pc
     import ray.data as rd
+
+    from ..hashing import hash_bucket_array
 
     pairs = pairs.materialize()
     if pairs.count() == 0:
         return rd.from_arrow(seed)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(agg)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        # NUL-joined composite key via Arrow (never pandas str concat —
+        # see the r3 NUL-truncation gotcha)
+        key = pc.binary_join_element_wise(
+            pc.cast(t["id_a"], pa.string()),
+            pc.cast(t["id_b"], pa.string()),
+            "\x00",
+        )
+        return t.append_column(
+            "part", hash_bucket_array(key, num_partitions)
+        )
+
+    def reduce(g: pa.Table) -> pa.Table:
+        out = g.drop_columns(["part"]).group_by(
+            ["id_a", "id_b"]
+        ).aggregate([(value_col, agg_fn)])
+        return out.select(
+            ["id_a", "id_b", f"{value_col}_{agg_fn}"]
+        ).rename_columns(["id_a", "id_b", value_col])
+
+    return (
+        pairs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce, batch_format="pyarrow")
+    )
 
 
 def hash64_neardup_pairs(ds, *, hash_col: str, id_col="doc_id",
@@ -996,17 +1030,13 @@ def hash64_neardup_pairs(ds, *, hash_col: str, id_col="doc_id",
             }
         )
 
-    from ray.data.aggregate import Min
-
     pairs = (
         ds.map_batches(add_blocks, batch_format="pyarrow", batch_size=batch_size)
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return _dedup_pairs(
-        pairs,
-        _empty_pairs(id_t, "hamming", pa.int64()),
-        Min("hamming", alias_name="hamming"),
+        pairs, _empty_pairs(id_t, "hamming", pa.int64()), "hamming", "min"
     )
 
 
@@ -1128,17 +1158,13 @@ def embedding_neardup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
             }
         )
 
-    from ray.data.aggregate import Max
-
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow", batch_size=batch_size)
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return _dedup_pairs(
-        pairs,
-        _empty_pairs(id_t, "cosine", pa.float64()),
-        Max("cosine", alias_name="cosine"),
+        pairs, _empty_pairs(id_t, "cosine", pa.float64()), "cosine", "max"
     )
 
 

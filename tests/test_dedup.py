@@ -440,7 +440,10 @@ class TestMinhashClusterDedup:
             out = {}
             for n in list(parent):
                 out.setdefault(find(n), set()).add(n)
-            return sorted(frozenset(v) for v in out.values())
+            # NB: a SET of frozensets — sorted() would compare sets
+            # with `<` (subset partial order), making the list order
+            # depend on pair emission order
+            return {frozenset(v) for v in out.values()}
 
         full = minhash_lsh_pairs(
             ds, threshold=0.5, num_partitions=8, concurrency=2
