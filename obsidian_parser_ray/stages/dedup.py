@@ -531,8 +531,6 @@ def ngram_jaccard_pairs(ds, *, text_col="text", id_col="doc_id",
     end-to-end.  Output: (id_a, id_b, inter, union_n, jaccard),
     ``id_a < id_b``.
     """
-    from ray.data.aggregate import Min, Sum
-
     import ray.data as rd
 
     id_t = _id_type(ds, id_col)
@@ -660,10 +658,33 @@ def ngram_jaccard_pairs(ds, *, text_col="text", id_col="doc_id",
     if partials.count() == 0:
         return rd.from_arrow(empty)
 
-    agg = partials.groupby(["id_a", "id_b"]).aggregate(
-        Sum("_n", alias_name="inter"),
-        Min("n_a", alias_name="n_a"),
-        Min("n_b", alias_name="n_b"),
+    # partitioned Arrow hash aggregate on the composite pair key —
+    # same replacement as _dedup_pairs (Ray's sort-based multi-key
+    # aggregate is the pathological tail on dup-heavy corpora)
+    import pyarrow.compute as _pc
+
+    from ..hashing import hash_bucket_array as _hba
+
+    def _add_part(t: pa.Table) -> pa.Table:
+        key = _pc.binary_join_element_wise(
+            _pc.cast(t["id_a"], pa.string()),
+            _pc.cast(t["id_b"], pa.string()),
+            "\x00",
+        )
+        return t.append_column("pp", _hba(key, num_partitions))
+
+    def _reduce(g: pa.Table) -> pa.Table:
+        out = g.drop_columns(["pp"]).group_by(["id_a", "id_b"]).aggregate(
+            [("_n", "sum"), ("n_a", "min"), ("n_b", "min")]
+        )
+        return out.select(
+            ["id_a", "id_b", "_n_sum", "n_a_min", "n_b_min"]
+        ).rename_columns(["id_a", "id_b", "inter", "n_a", "n_b"])
+
+    agg = (
+        partials.map_batches(_add_part, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(_reduce, batch_format="pyarrow")
     )
 
     def finish(t: pa.Table) -> pa.Table:
