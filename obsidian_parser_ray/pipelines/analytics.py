@@ -545,22 +545,12 @@ def part_supplier_counts(lineitem, part, supplier, *,
 
     Output: (p_brand, p_type, p_size, supplier_cnt).
     """
-    from ray.data.aggregate import Count
+    from ..stages.joins import distinct_rows, hash_join_unique
 
-    from ..stages.joins import hash_join_unique
-
-    def local_pairs(t: pa.Table) -> pa.Table:
-        g = pa.table(
-            {"l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"]}
-        ).group_by(["l_partkey", "l_suppkey"]).aggregate([])
-        return g
-
-    pairs = (
-        lineitem.map_batches(local_pairs, batch_format="pyarrow")
-        .groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    # partitioned Arrow distinct (stages/joins.py distinct_rows) — the
+    # pair key set is fact-scale, where Ray's multi-key sort aggregate
+    # is the measured pathology
+    pairs = distinct_rows(lineitem, ["l_partkey", "l_suppkey"])
 
     def bad(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -593,16 +583,8 @@ def part_supplier_counts(lineitem, part, supplier, *,
     # counts once — dedupe locally (reducer), then one hash groupby
     # over the 4-tuple makes it global (cardinality ≤ groups ×
     # suppliers, far below the pair table).
-    def local_groups(t: pa.Table) -> pa.Table:
-        return t.select(
-            ["p_brand", "p_type", "p_size", "l_suppkey"]
-        ).group_by(["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate([])
-
-    group_suppliers = (
-        joined.map_batches(local_groups, batch_format="pyarrow")
-        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    group_suppliers = distinct_rows(
+        joined, ["p_brand", "p_type", "p_size", "l_suppkey"]
     )
 
     def partial(t: pa.Table) -> pa.Table:

@@ -861,3 +861,40 @@ def broadcast_join(left, right, *, left_key: str,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def distinct_rows(ds, cols: list[str], *, num_partitions: int = 64):
+    """Global DISTINCT over a column tuple, fully partitioned.
+
+    Per-block Arrow distinct (bounds the exchange at block-distinct
+    rows) → hash-partition on the NUL-joined composite key → one Arrow
+    ``group_by`` per partition.  Replaces
+    ``Dataset.groupby([c1, c2, ...]).aggregate(Count())`` for
+    distinct-tuple derivation: Ray's multi-key aggregate sorts the
+    whole exchange on the composite key (measured ~300 s CPU on a
+    3M-row pair table — the doc_minhash sf1 tail before r5), while
+    this shape is a single int-keyed shuffle with C-speed hash
+    reduces.  The composite key is joined with NUL via Arrow — never
+    pandas string concat (the r3 NUL-truncation gotcha).
+    """
+    from ..hashing import hash_bucket_array
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.select(list(cols)).group_by(list(cols)).aggregate([])
+        key = pc.binary_join_element_wise(
+            *[pc.cast(g[c], pa.string()) for c in cols], "\x00"
+        ) if len(cols) > 1 else pc.cast(g[cols[0]], pa.string())
+        return g.append_column(
+            "_dpart", hash_bucket_array(key, num_partitions)
+        )
+
+    def reduce(g: pa.Table) -> pa.Table:
+        return g.drop_columns(["_dpart"]).group_by(
+            list(cols)
+        ).aggregate([]).select(list(cols))
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("_dpart")
+        .map_groups(reduce, batch_format="pyarrow")
+    )

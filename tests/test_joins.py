@@ -575,3 +575,38 @@ class TestAutoSalt:
         ds = rd.from_arrow(pa.table({"k": ["a"], "v": [1]}))
         with pytest.raises(ValueError, match="salt='auto'"):
             hash_join(ds, ds, left_key="k", how="full", salt="auto")
+
+
+class TestDistinctRows:
+    def test_matches_bruteforce_and_handles_multi_block(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.joins import distinct_rows
+
+        rng = np.random.RandomState(11)
+        a = rng.randint(0, 40, 5000)
+        # python-list strings: numpy U-dtype -> Arrow truncates at an
+        # embedded NUL (the same C-string trap as the pandas concat
+        # gotcha), and the NUL value here is the point of the test
+        vals = ["x", "y", "z\x00w", ""]
+        b = [vals[i] for i in rng.randint(0, 4, 5000)]
+        ds = rd.from_arrow(
+            pa.table({"k1": pa.array(a, pa.int64()),
+                      "k2": pa.array(b, pa.string())})
+        ).repartition(7)
+        out = distinct_rows(ds, ["k1", "k2"], num_partitions=8).to_pandas()
+        got = sorted(map(tuple, out.itertuples(index=False)))
+        exp = sorted({(int(x), str(y)) for x, y in zip(a, b)})
+        assert got == exp
+
+    def test_single_column(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.joins import distinct_rows
+
+        ds = rd.from_arrow(pa.table({"k": [3, 1, 3, 2, 1]})).repartition(3)
+        out = distinct_rows(ds, ["k"], num_partitions=4).to_pandas()
+        assert sorted(out["k"]) == [1, 2, 3]
