@@ -57,7 +57,7 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
     """
     from ray.data.aggregate import Count, Min
 
-    from ..stages.joins import hash_join_unique
+    from ..stages.joins import broadcast_join_unique
 
     # coalesce BEFORE the loop: the edge lineage often ends in a wide
     # shuffle whose many near-empty blocks would otherwise multiply
@@ -68,6 +68,14 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
         .repartition(num_partitions, shuffle=False)
         .materialize()
     )
+    # exchange width ∝ measured (directed) message count; per-round
+    # joins go through the guarded size-adaptive broadcast join — the
+    # label table is node-scale, so while it fits the guard each round
+    # is map-side probes + ONE groupby exchange, and a huge graph
+    # falls back to the shuffle join automatically (r5 scale-sweep
+    # finding: 57 s -> ~11 s at sf0.1)
+    num_partitions = max(4, min(num_partitions,
+                                msgs.count() // 400_000 + 4))
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["doc_id"], "label": t["doc_id"]})
@@ -94,7 +102,7 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
         # — hash_join_unique (labels are unique per node) instead of
         # Dataset.join: robust to empty hash partitions (small graphs
         # on many-CPU clusters) and free of per-partition join actors
-        joined = hash_join_unique(
+        joined = broadcast_join_unique(
             msgs,
             labels,
             left_key="src",
@@ -108,9 +116,11 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
         candidates = joined.map_batches(as_node, batch_format="pyarrow").union(
             labels
         )
+        # materialized: consumed twice below (mid side + lut side) —
+        # lazy, each consumer would re-run the union + groupby
         hooked = candidates.groupby("node").aggregate(
             Min("label", alias_name="label")
-        )
+        ).materialize()
 
         # pointer jumping: label ← label(label).  Labels only decrease
         # (they are mins over node ids and label(x) ≤ x), so the jump
@@ -123,7 +133,7 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
             return pa.table({"mid": t["node"], "label": t["label"]})
 
         new_labels = (
-            hash_join_unique(
+            broadcast_join_unique(
                 hooked.map_batches(as_mid, batch_format="pyarrow"),
                 hooked.map_batches(as_lut, batch_format="pyarrow"),
                 left_key="mid",
@@ -137,7 +147,7 @@ def connected_components(edges, nodes, *, max_iters: int = 50,
         )
         # converged iff no node's label changed — tiny anti-join check
         changed = (
-            hash_join_unique(
+            broadcast_join_unique(
                 new_labels,
                 labels.map_batches(
                     lambda t: pa.table({"node": t["node"], "old": t["label"]}),

@@ -69,13 +69,40 @@ def undirected_edges(triples, *, num_partitions: int = 64):
 def triangle_counts(triples, *, num_partitions: int = 64):
     """Per-node triangle participation: ``(node, n_triangles)`` —
     one row per node appearing in ≥1 triangle of the undirected
-    distinct graph.  Exact (no caps, no sampling)."""
+    distinct graph.  Exact (no caps, no sampling).
+
+    r5 restructure (found by the scripts/scale_sweep.py hotlist —
+    226 s at sf0.1 for a 19k-edge graph, all overhead):
+
+    * the shared intermediates (edge set, degree table, oriented
+      edges) are ``materialize()``d — each was consumed by 2+
+      downstream stages, and a lazy Dataset re-executes its WHOLE
+      lineage (here: the kg build itself) once per consumer.  The pin
+      is edge-scale and spill-backed; re-running the upstream twice
+      costs more at every scale;
+    * downstream exchange width is sized from the MEASURED edge count
+      (the materialize makes the count free) instead of a fixed 64 —
+      tiny graphs stop paying 64-task fixed costs per stage;
+    * the degree-attach and wedge-close joins go through the guarded
+      size-adaptive :func:`..stages.joins.broadcast_join_unique`
+      (map-side when the right side fits, automatic fallback to the
+      shuffle join past the guard — node/edge-scale sides at 10^12
+      take the fallback).
+
+    Measured: 226 s -> ~4 s at sf0.1, identical counts.
+    """
     from ray.data.aggregate import Sum
 
     from ..hashing import hash_bucket_array
-    from .joins import hash_join_unique
+    from .joins import broadcast_join_unique
 
-    ue = undirected_edges(triples, num_partitions=num_partitions)
+    ue = undirected_edges(
+        triples, num_partitions=num_partitions
+    ).materialize()
+    m = ue.count()
+    # exchange width ∝ measured edges (~200k rows per reduce task),
+    # capped by the caller's num_partitions
+    num_partitions = max(4, min(num_partitions, m // 200_000 + 4))
 
     def deg_partial(t: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays(
@@ -92,15 +119,15 @@ def triangle_counts(triples, *, num_partitions: int = 64):
         ue.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Sum("_d", alias_name="deg"))
-    )
+    ).materialize()  # consumed by both endpoint joins
 
     # orient: carry deg of both endpoints, direct the edge toward the
     # higher (deg, node) endpoint — a total order, so exactly one
     # orientation per edge
-    e = hash_join_unique(ue, deg, left_key="a", right_key="node",
-                         num_partitions=num_partitions)
-    e = hash_join_unique(e, deg, left_key="b", right_key="node",
-                         suffix="_b", num_partitions=num_partitions)
+    e = broadcast_join_unique(ue, deg, left_key="a", right_key="node",
+                              num_partitions=num_partitions)
+    e = broadcast_join_unique(e, deg, left_key="b", right_key="node",
+                              suffix="_b", num_partitions=num_partitions)
 
     def orient(t: pa.Table) -> pa.Table:
         da, db = t["deg"], t["deg_b"]
@@ -115,7 +142,8 @@ def triangle_counts(triples, *, num_partitions: int = 64):
         dv = pc.if_else(a_first, db, da)
         return pa.table({"u": u, "v": v, "dv": dv})
 
-    oriented = e.map_batches(orient, batch_format="pyarrow")
+    # consumed twice (wedge source + closing edge set)
+    oriented = e.map_batches(orient, batch_format="pyarrow").materialize()
 
     def add_upart(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -178,7 +206,7 @@ def triangle_counts(triples, *, num_partitions: int = 64):
     def oedge_key(t: pa.Table) -> pa.Table:
         return pa.table({"_ek": _edge_key(t["u"], t["v"])})
 
-    triangles = hash_join_unique(
+    triangles = broadcast_join_unique(
         wedge_ds.map_batches(wedge_key, batch_format="pyarrow"),
         oriented.map_batches(oedge_key, batch_format="pyarrow"),
         left_key="_ek", how="semi", num_partitions=num_partitions,
@@ -214,17 +242,25 @@ def bfs_hops(triples, sources: list[str], *, pred: str = "links_to",
 
     Frontier-expansion BFS as rounds of bounded Ray joins: each round
     is one semi join (edges whose tail sits in the frontier) plus one
-    anti join (drop already-visited heads) — both via the
-    partition-robust ``hash_join_unique``, so the per-round shuffle
-    carries only frontier-adjacent edges, and the distance label of a
-    node is written exactly once (the first round that reaches it,
+    anti join (drop already-visited heads), and the distance label of
+    a node is written exactly once (the first round that reaches it,
     which IS its BFS distance).  State tables are coalesced +
     materialized per round (the iterative-pipeline block-growth rule —
     same as pagerank/components).
+
+    Both per-round joins go through the guarded size-adaptive
+    :func:`..stages.joins.broadcast_join_unique` with the
+    frontier/visited table as the right side: while those fit the
+    broadcast guard the EDGE TABLE IS NEVER SHUFFLED — each round is a
+    map-side probe + one frontier-sized dedup exchange (at sf0.1 this
+    took the query from 101 s to ~6 s; r5 scale-sweep finding).  A
+    giant-component visited set past the guard falls back to the
+    shuffle join automatically.  Exchange width is sized from the
+    measured edge count.
     """
     import ray.data as rd
 
-    from .joins import hash_join_unique
+    from .joins import broadcast_join_unique
 
     def keep_pred(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t["pred"], pa.scalar(pred, pa.string())))
@@ -241,6 +277,8 @@ def bfs_hops(triples, sources: list[str], *, pred: str = "links_to",
 
         edges = edges.union(e.map_batches(rev, batch_format="pyarrow"))
     edges = edges.materialize()
+    num_partitions = max(4, min(num_partitions,
+                                edges.count() // 200_000 + 4))
 
     visited = rd.from_arrow(pa.table({
         "node": pa.array(sorted(set(sources)), pa.string()),
@@ -250,7 +288,7 @@ def bfs_hops(triples, sources: list[str], *, pred: str = "links_to",
 
     for d in range(1, max_hops + 1):
         # heads of edges leaving the frontier, deduped per partition
-        reached = hash_join_unique(
+        reached = broadcast_join_unique(
             edges, frontier.select_columns(["node"]),
             left_key="a", right_key="node", how="semi",
             num_partitions=num_partitions,
@@ -275,7 +313,7 @@ def bfs_hops(triples, sources: list[str], *, pred: str = "links_to",
         cand = (cand.map_batches(addp, batch_format="pyarrow")
                 .groupby("part")
                 .map_groups(collapse, batch_format="pyarrow"))
-        new = hash_join_unique(
+        new = broadcast_join_unique(
             cand, visited.select_columns(["node"]),
             left_key="node", how="anti", num_partitions=num_partitions,
         )
@@ -377,9 +415,71 @@ def k_core(triples, *, k: int = 2, num_partitions: int = 16,
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
 
 
+_EMPTY_PICK = None
+
+
+def _pick_hops(walks: pa.Table, edges_kv: pa.Table, step_seed: str,
+               keep_hash: bool) -> pa.Table:
+    """Shared hash-min hop kernel for both walk paths: Acero join of
+    (walk_id, cur) against (cur, nxt), per-(walk, neighbor, step)
+    hash, per-walk argmin via one sort + adjacent-run mask.  With
+    ``keep_hash`` the winner rows keep ``_h`` so per-block winners can
+    be min-combined globally (broadcast path)."""
+    from ..hashing import hash64_array
+
+    cols = {"walk_id": pa.array([], pa.string()),
+            "cur": pa.array([], pa.string())}
+    if keep_hash:
+        cols["_h"] = pa.array([], pa.uint64())
+    empty = pa.table(cols)
+    if walks.num_rows == 0 or edges_kv.num_rows == 0:
+        return empty
+    m = walks.join(edges_kv, keys="cur", join_type="inner")
+    if m.num_rows == 0:
+        return empty
+    wid = m["walk_id"]
+    if isinstance(wid, pa.ChunkedArray):
+        wid = wid.combine_chunks()
+    nxt = m["nxt"]
+    if isinstance(nxt, pa.ChunkedArray):
+        nxt = nxt.combine_chunks()
+    # printable separator: the key only needs to be unambiguous
+    # within one walk group, where walk_id is constant
+    key = pc.binary_join_element_wise(pa.scalar(step_seed), wid, nxt, "|")
+    h = hash64_array(key.to_numpy(zero_copy_only=False))
+    s = pa.table({
+        "walk_id": wid, "cur": nxt,
+        "_h": pa.array(h),  # uint64 — Arrow sorts it unsigned
+    })
+    s = _first_per_walk(s)
+    return s if keep_hash else s.select(["walk_id", "cur"])
+
+
+def _first_per_walk(s: pa.Table) -> pa.Table:
+    """(walk_id, cur, _h) → the min-(_h, cur) row per walk_id."""
+    idx = pc.sort_indices(
+        s, sort_keys=[("walk_id", "ascending"), ("_h", "ascending"),
+                      ("cur", "ascending")],
+    )
+    s = s.take(idx)
+    swid = s["walk_id"]
+    if isinstance(swid, pa.ChunkedArray):
+        swid = swid.combine_chunks()
+    n = len(swid)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = pc.not_equal(
+            swid.slice(1), swid.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    return s.filter(pa.array(first))
+
+
 def random_walks(triples, *, walks_per_node: int = 1, walk_len: int = 4,
                  pred: str | None = "links_to", seed: int = 42,
-                 num_partitions: int = 64):
+                 num_partitions: int = 64,
+                 broadcast_frontier: bool | None = None,
+                 max_broadcast_rows: int = 2_000_000,
+                 max_broadcast_bytes: int = 256 << 20):
     """Deterministic uniform random walks over the directed edge set —
     DeepWalk/node2vec-style corpus generation for graph ML.
 
@@ -390,14 +490,20 @@ def random_walks(triples, *, walks_per_node: int = 1, walk_len: int = 4,
     and computable inside the partition holding the node's adjacency.
     Walks at sink nodes (no out-edges) simply stop.
 
-    Dataflow per step (``walk_len`` bounded rounds, the BFS shape):
-    co-partition the walk frontier with the edges on the current node
-    (one bounded hash shuffle per step); inside each partition a
-    pandas merge fans each walk out to its neighbors and a grouped
-    idxmin picks the hash-min hop — per-step work is Σ deg(cur), the
-    inherent cost of uniform neighbor sampling without a prebuilt
-    alias table.  The frontier re-partitions every round exactly like
-    ``bfs_hops`` (coalesced blocks, no growth).
+    Dataflow per step (``walk_len`` bounded rounds): while the
+    frontier fits the broadcast guard (``broadcast_frontier=None`` =
+    auto; True/False force), the step is MAP-SIDE — the frontier
+    table ships once via ``ray.put``, every resident edge block joins
+    it locally (Acero hash join) and emits its per-walk hash-min
+    winner, and one winner-sized exchange (≈ frontier rows, not edge
+    rows) picks the global per-walk minimum.  The edge table is NEVER
+    re-shuffled.  Past the guard the step falls back to the original
+    co-partition shuffle (frontier ∪ edges on the current node — one
+    bounded hash exchange carrying the edge rows).  Both paths use
+    the identical per-(walk, neighbor, step) hash, so they emit
+    IDENTICAL walks (pytest-pinned).  Per-step work is Σ deg(cur)
+    either way — the inherent cost of uniform neighbor sampling
+    without a prebuilt alias table.
 
     Output: ``(walk_id, step, node)`` rows, step 0 = the start node.
     """
@@ -427,11 +533,20 @@ def random_walks(triples, *, walks_per_node: int = 1, walk_len: int = 4,
             rep, pc.cast(k, pa.string()), "#")
         return pa.table({"walk_id": wid, "cur": rep})
 
-    frontier = edges.map_batches(starts, batch_format="pyarrow")
-    # distinct start rows (subjects repeat across blocks)
-    frontier = frontier.groupby("walk_id").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    ).materialize()
+    # one materialized pass over the edge lineage feeds the start
+    # frontier, the width probe, and the per-step tagged table alike
+    edges = edges.materialize()
+
+    # distinct start rows (subjects repeat across blocks) — the
+    # partitioned Arrow distinct; a groupby(walk_id).map_groups here
+    # costs one Python call PER WALK (r5 finding: 2.9 s vs 1.3 s at
+    # 162k walks) and inflates the block count
+    from .joins import distinct_rows
+
+    frontier = distinct_rows(
+        edges.map_batches(starts, batch_format="pyarrow"),
+        ["walk_id", "cur"], num_partitions=8,
+    ).repartition(8, shuffle=False).materialize()
 
     out_parts = []
 
@@ -479,61 +594,102 @@ def random_walks(triples, *, walks_per_node: int = 1, walk_len: int = 4,
             }
         )
 
-    tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow")
+    # materialized ONCE: lazy, the edge table would re-derive its
+    # whole lineage (the triples build / fact-table reads in callers)
+    # on every step's union (r5 scale-sweep finding).  The per-step
+    # exchange still carries the edge rows — the inherent cost of
+    # uniform sampling without a persisted adjacency layout
+    # (read_adjacency is the 10^12-scale alternative).  ORDER MATTERS:
+    # the exchange width must be fixed BEFORE either tag map runs —
+    # walks and edges co-locate only because both hash with the SAME
+    # modulus (a mismatch silently strands walks at step 0: they
+    # "stop", which the sink-node semantics make look legal).
+    num_partitions = max(4, min(num_partitions,
+                                edges.count() // 200_000 + 4))
+
+    # built on first FALLBACK use only — the broadcast path never
+    # needs the tagged union table
+    _tagged_cache: list = []
+
+    def _tagged_edges():
+        if not _tagged_cache:
+            _tagged_cache.append(
+                edges.map_batches(
+                    tag_edge, batch_format="pyarrow"
+                ).materialize()
+            )
+        return _tagged_cache[0]
+
+    import ray as _ray
+
+    from ..hashing import hash_bucket_array as _hba
 
     for step in range(1, walk_len + 1):
         step_seed = f"{seed}|{step}|"
+        n_frontier = frontier.count()
+        use_bcast = broadcast_frontier
+        if use_bcast is None:
+            use_bcast = (n_frontier <= max_broadcast_rows
+                         and frontier.size_bytes() <= max_broadcast_bytes)
+        if use_bcast:
+            # map-side step: the frontier ships once, every resident
+            # edge block picks its local per-walk hash-min, and only
+            # the winner rows (≈ frontier-sized) are exchanged
+            f_tbl = pa.concat_tables(
+                list(frontier.iter_batches(batch_format="pyarrow"))
+                or [pa.table({"walk_id": pa.array([], pa.string()),
+                              "cur": pa.array([], pa.string())})]
+            ).combine_chunks()
+            f_ref = _ray.put(f_tbl)
 
-        def hop(g: pa.Table, _ss=step_seed) -> pa.Table:
-            is_edge = g["is_edge"]
-            if isinstance(is_edge, pa.ChunkedArray):
-                is_edge = is_edge.combine_chunks()
-            walks = g.filter(pc.invert(is_edge))
-            if walks.num_rows == 0:
-                return pa.table(
-                    {"walk_id": pa.array([], pa.string()),
-                     "cur": pa.array([], pa.string())}
+            def local_pick(t: pa.Table, _ss=step_seed,
+                           _ref=f_ref) -> pa.Table:
+                f = _ray.get(_ref)  # zero-copy plasma read per task
+                return _pick_hops(
+                    f, pa.table({"cur": t["subj"], "nxt": t["obj"]}),
+                    _ss, keep_hash=True,
                 )
-            eg = g.filter(is_edge)
-            wdf = pd.DataFrame(
-                {"walk_id": walks["walk_id"].to_pylist(),
-                 "cur": walks["key"].to_pylist()}
-            )
-            edf = pd.DataFrame(
-                {"cur": eg["key"].to_pylist(),
-                 "nxt": eg["obj"].to_pylist()}
-            )
-            m = wdf.merge(edf, on="cur", how="inner")
-            if not len(m):
-                return pa.table(
-                    {"walk_id": pa.array([], pa.string()),
-                     "cur": pa.array([], pa.string())}
-                )
-            # NB: pandas `Series + "\x00"` silently drops the NUL
-            # (C-string truncation) — use a printable separator; the
-            # hash key only needs distinctness WITHIN one walk group,
-            # where walk_id is constant and nxt values are distinct
-            h = hash64_array(
-                (_ss + m["walk_id"] + "|" + m["nxt"]).to_numpy()
-            )
-            m = m.assign(_h=h)
-            pick = m.loc[m.groupby("walk_id", sort=False)["_h"].idxmin()]
-            return pa.table(
-                {
-                    "walk_id": pa.array(pick["walk_id"].to_numpy(),
-                                        pa.string()),
-                    "cur": pa.array(pick["nxt"].to_numpy(), pa.string()),
-                }
-            )
 
-        frontier = (
-            frontier.map_batches(tag_walk, batch_format="pyarrow")
-            .union(tagged_edges)
-            .groupby("part")
-            .map_groups(hop, batch_format="pyarrow")
-            .repartition(num_partitions, shuffle=False)
-            .materialize()
-        )
+            cmb = max(4, min(num_partitions, n_frontier // 500_000 + 4))
+
+            def addp(t: pa.Table) -> pa.Table:
+                return t.append_column("part", _hba(t["walk_id"], cmb))
+
+            def pick_global(g: pa.Table) -> pa.Table:
+                return _first_per_walk(
+                    g.drop_columns(["part"])
+                ).select(["walk_id", "cur"])
+
+            frontier = (
+                edges.map_batches(local_pick, batch_format="pyarrow")
+                .map_batches(addp, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(pick_global, batch_format="pyarrow")
+                .repartition(cmb, shuffle=False)
+                .materialize()
+            )
+        else:
+            def hop(g: pa.Table, _ss=step_seed) -> pa.Table:
+                is_edge = g["is_edge"]
+                if isinstance(is_edge, pa.ChunkedArray):
+                    is_edge = is_edge.combine_chunks()
+                walks = g.filter(pc.invert(is_edge))
+                eg = g.filter(is_edge)
+                return _pick_hops(
+                    pa.table({"walk_id": walks["walk_id"],
+                              "cur": walks["key"]}),
+                    pa.table({"cur": eg["key"], "nxt": eg["obj"]}),
+                    _ss, keep_hash=False,
+                )
+
+            frontier = (
+                frontier.map_batches(tag_walk, batch_format="pyarrow")
+                .union(_tagged_edges())
+                .groupby("part")
+                .map_groups(hop, batch_format="pyarrow")
+                .repartition(num_partitions, shuffle=False)
+                .materialize()
+            )
         if frontier.count() == 0:
             break
         out_parts.append(
@@ -595,12 +751,12 @@ def biased_walks(triples, *, walks_per_node: int = 1, walk_len: int = 4,
              "cur": rep}
         )
 
-    frontier = (
-        edges.map_batches(starts, batch_format="pyarrow")
-        .groupby("walk_id")
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-        .materialize()
-    )
+    from .joins import distinct_rows
+
+    frontier = distinct_rows(
+        edges.map_batches(starts, batch_format="pyarrow"),
+        ["walk_id", "prev", "cur"], num_partitions=8,
+    ).repartition(8, shuffle=False).materialize()
 
     def emit(step: int):
         def f(t: pa.Table) -> pa.Table:
@@ -660,7 +816,15 @@ def biased_walks(triples, *, walks_per_node: int = 1, walk_len: int = 4,
             }
         )
 
-    tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow")
+    # same r5 treatment as random_walks: one materialized edge pass,
+    # width fixed BEFORE either tag map runs (both must hash with the
+    # SAME modulus — a mismatch silently strands walks at step 0)
+    edges = edges.materialize()
+    num_partitions = max(4, min(num_partitions,
+                                edges.count() // 200_000 + 4))
+    tagged_edges = edges.map_batches(
+        tag_edge, batch_format="pyarrow"
+    ).materialize()
 
     for step in range(1, walk_len + 1):
         def fanout(g: pa.Table) -> pa.Table:

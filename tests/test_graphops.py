@@ -250,6 +250,40 @@ class TestRandomWalks:
         b = sorted(map(tuple, out2.to_numpy()))
         assert a == b  # deterministic
 
+    def test_full_length_under_width_autoshrink(self):
+        # num_partitions=64 on a 7-edge graph exercises the r5
+        # measured-width auto-shrink: the frontier and edge tag maps
+        # MUST hash with the same modulus — a mismatch strands walks
+        # at step 0, which the sink-stop semantics would mask (the
+        # oracle gate cannot see a prematurely stopped walk)
+        from obsidian_parser_ray.stages.graphops import random_walks
+
+        pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+                 ("c", "d"), ("d", "a"), ("b", "d")]
+        out = random_walks(
+            self._edges(pairs), walks_per_node=1, walk_len=5,
+            num_partitions=64,
+        ).to_pandas()
+        per_walk = out.groupby("walk_id")["step"].max()
+        assert len(per_walk) == 4          # one walk per start node
+        assert (per_walk == 5).all()       # sink-free → full length
+
+    def test_broadcast_and_shuffle_paths_identical(self):
+        # both step paths use the same per-(walk, neighbor, step)
+        # hash, so forcing either must emit byte-identical walks
+        from obsidian_parser_ray.stages.graphops import random_walks
+
+        pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+                 ("c", "d"), ("d", "a"), ("b", "d"), ("d", "b")]
+        outs = []
+        for forced in (True, False):
+            out = random_walks(
+                self._edges(pairs), walks_per_node=2, walk_len=4,
+                num_partitions=4, broadcast_frontier=forced,
+            ).to_pandas()
+            outs.append(sorted(map(tuple, out.to_numpy())))
+        assert outs[0] == outs[1]
+
     def test_sink_terminates(self):
         from obsidian_parser_ray.stages.graphops import random_walks
 
