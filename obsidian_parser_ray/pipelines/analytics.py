@@ -162,13 +162,13 @@ def pricing_summary(lineitem, *, cutoff: _dt.datetime):
 
 
 def _revenue_per_order(lineitem, *, after: _dt.datetime | None):
-    """lineitem → one (l_orderkey, revenue_micro) row per order:
-    per-block partial sum, then a global groupby-sum."""
-    from ray.data.aggregate import Sum
+    """lineitem → one (l_orderkey, revenue_micro) row per order via
+    the partitioned Arrow aggregate (orderkey is fact-scale)."""
+    from ..stages.joins import grouped_aggregate
 
     cut = _ts(after) if after is not None else None
 
-    def partial(t: pa.Table) -> pa.Table:
+    def rows(t: pa.Table) -> pa.Table:
         if cut is not None:
             t = t.filter(pc.greater(t["l_shipdate"], cut))
         rev = _micro(
@@ -177,13 +177,14 @@ def _revenue_per_order(lineitem, *, after: _dt.datetime | None):
                 pc.subtract(pa.scalar(1.0), t["l_discount"]),
             )
         )
-        flat = pa.table({"l_orderkey": t["l_orderkey"], "revenue_micro": rev})
-        g = flat.group_by("l_orderkey").aggregate([("revenue_micro", "sum")])
-        return _rename_sums(g, {"revenue_micro_sum": "revenue_micro"})
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "revenue_micro": rev}
+        )
 
-    return lineitem.map_batches(partial, batch_format="pyarrow").groupby(
-        "l_orderkey"
-    ).aggregate(Sum("revenue_micro", alias_name="revenue_micro"))
+    return grouped_aggregate(
+        lineitem.map_batches(rows, batch_format="pyarrow"),
+        ["l_orderkey"], [("revenue_micro", "sum", "revenue_micro")],
+    )
 
 
 def top_orders_by_revenue(lineitem, orders, customer, *,
@@ -626,20 +627,19 @@ def big_orders(lineitem, orders, customer, *,
     Output: (c_name, c_custkey, o_orderkey, o_orderdate_s,
     totalprice_micro, sum_qty).
     """
-    from ray.data.aggregate import Sum
+    from ..stages.joins import grouped_aggregate, hash_join_unique
 
-    from ..stages.joins import hash_join_unique
-
-    def partial(t: pa.Table) -> pa.Table:
-        flat = pa.table(
+    def as_qty(t: pa.Table) -> pa.Table:
+        return pa.table(
             {"o_orderkey": t["l_orderkey"], "sum_qty": t["l_quantity"]}
         )
-        g = flat.group_by("o_orderkey").aggregate([("sum_qty", "sum")])
-        return _rename_sums(g, {"sum_qty_sum": "sum_qty"})
 
-    qty = lineitem.map_batches(partial, batch_format="pyarrow").groupby(
-        "o_orderkey"
-    ).aggregate(Sum("sum_qty", alias_name="sum_qty"))
+    # orderkey is fact-scale: the partitioned Arrow aggregate (2.9x
+    # the Ray sort aggregate on this shape at sf0.1)
+    qty = grouped_aggregate(
+        lineitem.map_batches(as_qty, batch_format="pyarrow"),
+        ["o_orderkey"], [("sum_qty", "sum", "sum_qty")],
+    )
 
     def having(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["sum_qty"], min_qty))

@@ -898,3 +898,78 @@ def distinct_rows(ds, cols: list[str], *, num_partitions: int = 64):
         .groupby("_dpart")
         .map_groups(reduce, batch_format="pyarrow")
     )
+
+
+def grouped_aggregate(ds, keys: list[str], aggs: list[tuple], *,
+                      num_partitions: int = 64):
+    """Distributed groupby-aggregate as per-block Arrow partials → one
+    int-keyed hash exchange → per-partition Arrow finals.
+
+    ``aggs``: list of ``(col, fn, alias)`` with ``fn`` in
+    ``{"sum", "min", "max", "count"}`` — the self-decomposable
+    aggregates (``count`` partials combine by sum).  Replaces
+    ``Dataset.groupby(keys).aggregate(...)`` where the key set is
+    data-scale: Ray's aggregate sorts the whole exchange on the key
+    (measured 4.1 s vs 1.4 s for this shape on the Q18 orderkey
+    groupby at sf0.1, and ~300 s on a 3M-row two-key pair table).
+    Composite keys are NUL-joined via Arrow, never pandas concat.
+    """
+    from ..hashing import hash_bucket_array
+
+    for _, fn, _ in aggs:
+        if fn not in ("sum", "min", "max", "count"):
+            raise ValueError(
+                f"fn must be a decomposable aggregate, got {fn!r}"
+            )
+
+    def _key_array(t: pa.Table):
+        if len(keys) == 1:
+            k = t[keys[0]]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            return pc.cast(k, pa.string())
+        return pc.binary_join_element_wise(
+            *[pc.cast(t[c], pa.string()) for c in keys], "\x00"
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        specs = []
+        names = []
+        for col, fn, alias in aggs:
+            if fn == "count":
+                specs.append(([], "count_all"))
+                names.append(alias)
+            else:
+                specs.append((col, fn))
+                names.append(alias)
+        g = t.select(
+            list(keys)
+            + sorted({c for c, f, _ in aggs if f != "count"})
+        ).group_by(list(keys)).aggregate(specs)
+        # arrow names outputs <col>_<fn> / count_all, keys last or
+        # first depending on version — select by position-safe names
+        out_cols = {k: g[k] for k in keys}
+        for (col, fn, alias) in aggs:
+            src = "count_all" if fn == "count" else f"{col}_{fn}"
+            out_cols[alias] = g[src]
+        out = pa.table(out_cols)
+        return out.append_column(
+            "_gpart", hash_bucket_array(_key_array(out), num_partitions)
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        specs = []
+        for col, fn, alias in aggs:
+            specs.append((alias, "sum" if fn == "count" else fn))
+        gg = g.drop_columns(["_gpart"]).group_by(list(keys)).aggregate(specs)
+        out_cols = {k: gg[k] for k in keys}
+        for (col, fn, alias) in aggs:
+            src = f"{alias}_{'sum' if fn == 'count' else fn}"
+            out_cols[alias] = gg[src]
+        return pa.table(out_cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_gpart")
+        .map_groups(final, batch_format="pyarrow")
+    )

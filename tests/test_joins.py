@@ -610,3 +610,46 @@ class TestDistinctRows:
         ds = rd.from_arrow(pa.table({"k": [3, 1, 3, 2, 1]})).repartition(3)
         out = distinct_rows(ds, ["k"], num_partitions=4).to_pandas()
         assert sorted(out["k"]) == [1, 2, 3]
+
+
+class TestGroupedAggregate:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.joins import grouped_aggregate
+
+        rng = np.random.RandomState(5)
+        t = pa.table({
+            "k": pa.array(rng.randint(0, 200, 20000), pa.int64()),
+            "g": pa.array([["x", "y"][i] for i in
+                           rng.randint(0, 2, 20000)]),
+            "v": pa.array(rng.randint(-50, 50, 20000), pa.int64()),
+        })
+        ds = rd.from_arrow(t).repartition(6)
+        out = grouped_aggregate(
+            ds, ["k", "g"],
+            [("v", "sum", "s"), ("v", "min", "lo"),
+             ("v", "max", "hi"), ("v", "count", "n")],
+            num_partitions=8,
+        ).to_pandas().sort_values(["k", "g"]).reset_index(drop=True)
+        exp = duckdb.connect().execute(
+            "SELECT k, g, sum(v)::BIGINT s, min(v) lo, max(v) hi,"
+            " count(*)::BIGINT n FROM t GROUP BY k, g ORDER BY k, g"
+        ).fetchdf()
+        assert out[["k", "g", "s", "lo", "hi", "n"]].equals(
+            exp[["k", "g", "s", "lo", "hi", "n"]]
+        )
+
+    def test_rejects_nondecomposable(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from obsidian_parser_ray.stages.joins import grouped_aggregate
+
+        ds = rd.from_arrow(pa.table({"k": [1], "v": [1]}))
+        with pytest.raises(ValueError, match="decomposable"):
+            grouped_aggregate(ds, ["k"], [("v", "mean", "m")])
