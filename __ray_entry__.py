@@ -1400,7 +1400,9 @@ def _q_doc_collocations(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     cooc = cooccurrence_counts(docs, window=4, min_count=3)
-    freq = token_frequencies(docs)
+    # materialized: consumed by BOTH marginal joins below — lazy, the
+    # whole frequency derivation would run twice
+    freq = token_frequencies(docs).materialize()
 
     def rn(new):
         def f(t: pa.Table) -> pa.Table:

@@ -843,7 +843,6 @@ def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
     2³² tokens would need a wider pack (not a realistic corpus).
     """
     import ray
-    from ray.data.aggregate import Sum
 
     import pyarrow.compute as pc
 
@@ -861,10 +860,11 @@ def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 4,
              "_n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    freq = (
-        ds.map_batches(token_counts, batch_format="pyarrow")
-        .groupby("w")
-        .aggregate(Sum("_n", alias_name="n"))
+    from .joins import grouped_aggregate
+
+    freq = grouped_aggregate(
+        ds.map_batches(token_counts, batch_format="pyarrow"),
+        ["w"], [("_n", "sum", "n")],
     )
     words: list = []
     for b in freq.iter_batches(batch_format="pyarrow"):
@@ -951,9 +951,8 @@ def token_frequencies(ds, *, text_col: str = "text"):
     scoring (pair with :func:`cooccurrence_counts`, whose tokenizer
     this matches exactly).  Per-block vectorized ``value_counts``
     partials (one Arrow split + count, no per-doc loop) → one
-    groupby-sum."""
+    partitioned groupby-sum."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         flat, _ = _flat_lower_tokens(t[text_col])
@@ -963,10 +962,11 @@ def token_frequencies(ds, *, text_col: str = "text"):
              "_n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("w")
-        .aggregate(Sum("_n", alias_name="n"))
+    from .joins import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w"], [("_n", "sum", "n")],
     )
 
 
