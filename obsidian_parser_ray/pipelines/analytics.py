@@ -197,8 +197,14 @@ def top_orders_by_revenue(lineitem, orders, customer, *,
     customer(segment) ──semi──▶ orders(date<cutoff) ──inner──▶
     per-order revenue of lineitems shipping AFTER cutoff → global
     top-k.  Output: (o_orderkey, revenue_micro, o_orderdate_s,
-    o_orderpriority)."""
-    from ..stages.joins import hash_join_unique
+    o_orderpriority).
+
+    Both joins go through the guarded size-adaptive broadcast join:
+    the segment key set and the filtered open-order table are
+    dimension/filtered-fact sized (map-side while they fit, shuffle
+    fallback past the guard) — at sf0.1 this halves the query wall.
+    """
+    from ..stages.joins import broadcast_join_unique
 
     cut = _ts(cutoff)
 
@@ -217,7 +223,7 @@ def top_orders_by_revenue(lineitem, orders, customer, *,
             }
         )
 
-    ords = hash_join_unique(
+    ords = broadcast_join_unique(
         orders.map_batches(open_orders, batch_format="pyarrow"),
         customer.map_batches(cust_keys, batch_format="pyarrow"),
         left_key="o_custkey", right_key="c_custkey", how="semi",
@@ -225,7 +231,7 @@ def top_orders_by_revenue(lineitem, orders, customer, *,
     ).drop_columns(["o_custkey"])
 
     rev = _revenue_per_order(lineitem, after=cutoff)
-    joined = hash_join_unique(
+    joined = broadcast_join_unique(
         rev, ords, left_key="l_orderkey", right_key="o_orderkey",
         how="inner", num_partitions=num_partitions,
     )
@@ -253,7 +259,6 @@ def late_order_priority(lineitem, orders, *, late_days: int = 90):
     lineitem → per-order max(l_shipdate) (partial max per block, then a
     global groupby-max) ──inner──▶ orders → lateness filter → tiny
     priority groupby.  Output: (o_orderpriority, n_late_orders)."""
-    from ray.data.aggregate import Max
 
     from ..stages.joins import hash_join_unique
 
@@ -264,11 +269,16 @@ def late_order_priority(lineitem, orders, *, late_days: int = 90):
         g = flat.group_by("l_orderkey").aggregate([("max_ship", "max")])
         return _rename_sums(g, {"max_ship_max": "max_ship"})
 
-    max_ship = lineitem.map_batches(partial, batch_format="pyarrow").groupby(
-        "l_orderkey"
-    ).aggregate(Max("max_ship", alias_name="max_ship"))
+    from ..stages.joins import broadcast_join_unique, grouped_aggregate
 
-    joined = hash_join_unique(
+    max_ship = grouped_aggregate(
+        lineitem.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"], [("max_ship", "max", "max_ship")],
+    )
+
+    # guarded adaptive: the 3-column order side rides map-side while
+    # it fits, falls back to the shuffle join at scale
+    joined = broadcast_join_unique(
         max_ship,
         orders.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]),
         left_key="l_orderkey", right_key="o_orderkey", how="inner",
@@ -427,9 +437,6 @@ def customer_order_distribution(orders, customer):
     orders → per-custkey partial counts → groupby-sum; customer
     ──left──▶ counts, null→0; tiny groupby over the count value.
     Output: (n_orders, n_customers)."""
-    from ray.data.aggregate import Sum
-
-    from ..stages.joins import hash_join_unique
 
     def partial(t: pa.Table) -> pa.Table:
         flat = pa.table(
@@ -441,11 +448,14 @@ def customer_order_distribution(orders, customer):
         g = flat.group_by("o_custkey").aggregate([("n_orders", "sum")])
         return _rename_sums(g, {"n_orders_sum": "n_orders"})
 
-    counts = orders.map_batches(partial, batch_format="pyarrow").groupby(
-        "o_custkey"
-    ).aggregate(Sum("n_orders", alias_name="n_orders"))
+    from ..stages.joins import broadcast_join_unique, grouped_aggregate
 
-    joined = hash_join_unique(
+    counts = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], [("n_orders", "sum", "n_orders")],
+    )
+
+    joined = broadcast_join_unique(
         customer.select_columns(["c_custkey"]), counts,
         left_key="c_custkey", right_key="o_custkey", how="left",
     )
@@ -546,7 +556,7 @@ def part_supplier_counts(lineitem, part, supplier, *,
 
     Output: (p_brand, p_type, p_size, supplier_cnt).
     """
-    from ..stages.joins import distinct_rows, hash_join_unique
+    from ..stages.joins import broadcast_join_unique, distinct_rows
 
     # partitioned Arrow distinct (stages/joins.py distinct_rows) — the
     # pair key set is fact-scale, where Ray's multi-key sort aggregate
@@ -559,7 +569,7 @@ def part_supplier_counts(lineitem, part, supplier, *,
         )
 
     bad_suppliers = supplier.map_batches(bad, batch_format="pyarrow")
-    pairs = hash_join_unique(
+    pairs = broadcast_join_unique(
         pairs, bad_suppliers, left_key="l_suppkey", right_key="s_suppkey",
         how="anti",
     )
@@ -575,7 +585,7 @@ def part_supplier_counts(lineitem, part, supplier, *,
         return t.filter(keep).select(["p_partkey", "p_brand", "p_type", "p_size"])
 
     attrs = part.map_batches(part_attrs, batch_format="pyarrow")
-    joined = hash_join_unique(
+    joined = broadcast_join_unique(
         pairs, attrs, left_key="l_partkey", right_key="p_partkey", how="inner",
     )
 
@@ -657,11 +667,17 @@ def big_orders(lineitem, orders, customer, *,
             "totalprice_micro": _micro(t["o_totalprice"]),
         })
 
-    joined = hash_join_unique(
-        survivors, orders.map_batches(order_cols, batch_format="pyarrow"),
+    from ..stages.joins import broadcast_join_unique
+
+    # swapped orientation: the HAVING survivors are the TINY side
+    # (~1 row / 15k orders), so they broadcast and the orders table is
+    # never shuffled (inner join is symmetric; survivors unique per
+    # orderkey keeps the right-unique contract)
+    joined = broadcast_join_unique(
+        orders.map_batches(order_cols, batch_format="pyarrow"), survivors,
         left_key="o_orderkey", how="inner",
     )
-    joined = hash_join_unique(
+    joined = broadcast_join_unique(
         joined, customer.select_columns(["c_custkey", "c_name"]),
         left_key="o_custkey", right_key="c_custkey", how="inner",
     )
@@ -705,7 +721,7 @@ def idle_customers(customer, orders, *,
 
     Output: (c_nationkey, numcust, totacctbal_micro).
     """
-    from ..stages.joins import hash_join_unique
+    from ..stages.joins import broadcast_join_unique
 
     def bal_partial(t: pa.Table) -> pa.Table:
         pos = t.filter(pc.greater(t["c_acctbal"], 0.0))
@@ -752,7 +768,7 @@ def idle_customers(customer, orders, *,
         t = t.filter(pc.greater_equal(t["o_orderdate"], lo))
         return t.select(["o_custkey"])
 
-    idle = hash_join_unique(
+    idle = broadcast_join_unique(
         rich_customers, orders.map_batches(recent, batch_format="pyarrow"),
         left_key="c_custkey", right_key="o_custkey", how="anti",
     )
