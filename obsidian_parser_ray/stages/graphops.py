@@ -236,7 +236,8 @@ def triangle_counts(triples, *, num_partitions: int = 64):
 
 def bfs_hops(triples, sources: list[str], *, pred: str = "links_to",
              directed: bool = False, max_hops: int = 8,
-             num_partitions: int = 32):
+             num_partitions: int = 32,
+             max_local_edges: int = 2_000_000):
     """Hop distances from ``sources`` over the ``pred`` edge set:
     ``(node, dist)`` for every node within ``max_hops``.
 
@@ -277,16 +278,126 @@ def bfs_hops(triples, sources: list[str], *, pred: str = "links_to",
 
         edges = edges.union(e.map_batches(rev, batch_format="pyarrow"))
     edges = edges.materialize()
+    n_edges = edges.count()
     num_partitions = max(4, min(num_partitions,
-                                edges.count() // 200_000 + 4))
+                                n_edges // 200_000 + 4))
 
-    visited = rd.from_arrow(pa.table({
-        "node": pa.array(sorted(set(sources)), pa.string()),
-        "dist": pa.array([0] * len(set(sources)), pa.int64()),
-    })).materialize()
-    frontier = visited
+    start_nodes = sorted(set(sources))
 
-    for d in range(1, max_hops + 1):
+    # LOCAL fast path — the same auto-guard pattern as the analyzer's
+    # component topology (pipelines/analyzer.py max_local_nodes): an
+    # edge set under the broadcast guard is fetched whole by the
+    # per-hop probes ANYWAY, so below it the whole BFS runs as one
+    # driver sweep over the fetched table instead of max_hops Dataset
+    # executions (~2.5 s of per-execution fixed cost each at sf0.1).
+    # Equality with the distributed loop is pytest-pinned; pass
+    # max_local_edges=0 to force the distributed path.
+    if n_edges <= max_local_edges:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow"))
+            or [pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})]
+        ).combine_chunks()
+        adj: dict = {}
+        for a_, b_ in zip(tbl["a"].to_pylist(), tbl["b"].to_pylist()):
+            adj.setdefault(a_, []).append(b_)
+        dist = {s: 0 for s in start_nodes}
+        frontier_l = start_nodes
+        for d in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier_l:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            if not nxt:
+                break
+            frontier_l = nxt
+        items = sorted(dist.items())
+        return rd.from_arrow(pa.table({
+            "node": pa.array([k for k, _ in items], pa.string()),
+            "dist": pa.array([v for _, v in items], pa.int64()),
+        }))
+    visited_tbl = pa.table({
+        "node": pa.array(start_nodes, pa.string()),
+        "dist": pa.array([0] * len(start_nodes), pa.int64()),
+    })
+
+    # FAST PATH — one execution and ONE exchange per hop, while the
+    # visited set fits the broadcast guard (it is exactly what the
+    # anti probe would broadcast anyway, so holding it as one driver
+    # Arrow table adds no new driver surface): the frontier node set
+    # ships via ray.put, every resident edge block emits its local
+    # distinct reached heads, and the dedup reduce drops
+    # already-visited nodes map-side against the visited broadcast.
+    # Past the guard the remaining hops run the Dataset loop below.
+    import ray as _ray
+
+    from ..hashing import hash_bucket_array
+
+    max_bcast_rows = 2_000_000
+    frontier_nodes = visited_tbl["node"].combine_chunks()
+    next_hop = 1
+    fell_back = False
+    while next_hop <= max_hops:
+        if visited_tbl.num_rows > max_bcast_rows:
+            fell_back = True
+            break
+        d = next_hop
+        f_ref = _ray.put(frontier_nodes)
+        v_ref = _ray.put(visited_tbl["node"].combine_chunks())
+
+        def probe(t: pa.Table, _f=f_ref) -> pa.Table:
+            f = _ray.get(_f)
+            keep = pc.is_valid(pc.index_in(t["a"], f))
+            heads = pc.unique(t.filter(keep)["b"])
+            out = pa.table({"node": heads})
+            return out.append_column(
+                "part", hash_bucket_array(heads, num_partitions))
+
+        def reduce(g: pa.Table, _v=v_ref) -> pa.Table:
+            nodes = g["node"]
+            if isinstance(nodes, pa.ChunkedArray):
+                nodes = nodes.combine_chunks()
+            nodes = pc.unique(nodes)
+            v = _ray.get(_v)
+            fresh = nodes.filter(
+                pc.invert(pc.is_valid(pc.index_in(nodes, v))))
+            return pa.table({"node": fresh})
+
+        new_tbl = pa.concat_tables(
+            list(
+                edges.map_batches(probe, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(reduce, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            )
+            or [pa.table({"node": pa.array([], pa.string())})]
+        ).combine_chunks()
+        if new_tbl.num_rows == 0:
+            return rd.from_arrow(visited_tbl)
+        visited_tbl = pa.concat_tables([
+            visited_tbl,
+            new_tbl.append_column(
+                "dist",
+                pa.array([d] * new_tbl.num_rows, pa.int64()),
+            ),
+        ]).combine_chunks()
+        frontier_nodes = new_tbl["node"].combine_chunks()
+        next_hop += 1
+    if not fell_back:
+        return rd.from_arrow(visited_tbl)
+
+    # FALLBACK — Dataset loop (guarded adaptive joins), resumed from
+    # wherever the fast path stopped
+    visited = rd.from_arrow(visited_tbl).repartition(
+        num_partitions // 4 or 1, shuffle=False
+    ).materialize()
+    frontier = rd.from_arrow(
+        pa.table({"node": frontier_nodes})
+    ).materialize()
+
+    for d in range(next_hop, max_hops + 1):
         # heads of edges leaving the frontier, deduped per partition
         reached = broadcast_join_unique(
             edges, frontier.select_columns(["node"]),

@@ -127,6 +127,22 @@ class TestBfsHops:
         got = self._run(edges, ["a"])
         assert "x" not in got and "y" not in got
 
+    def test_local_and_distributed_paths_identical(self):
+        # max_local_edges=0 forces the Dataset loop; default takes the
+        # local fast path — same (node, dist) map either way
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        edges = [(f"n{rng.randint(0, 60)}", f"n{rng.randint(0, 60)}")
+                 for _ in range(300)]
+        local = self._run(edges, ["n0", "n1"])
+        dist = self._run(edges, ["n0", "n1"], max_local_edges=0)
+        assert local == dist
+        fwd_l = self._run(edges, ["n0"], directed=True, max_hops=3)
+        fwd_d = self._run(edges, ["n0"], directed=True, max_hops=3,
+                          max_local_edges=0)
+        assert fwd_l == fwd_d
+
 
 def _triples(pairs):
     return pa.table(
